@@ -1,0 +1,79 @@
+"""End-to-end ETL: OSM XML + PSI list → 5 relational tables + CDC audit.
+
+Spark rendering of the reference's ``process_map`` single pass
+(parse_clean_and_csv.py:206-290,536-539). The reference fuses
+shape→clean→write into one loop; here each stage is a declarative frame
+and Catalyst fuses the narrow ones. The multi-sink economics differ on
+purpose (SURVEY.md §4): the shared upstream (shaped + cleaned tags) is
+persisted once so the six sinks don't re-scan the XML.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from udacity_data_wrangling_osm_case_study_spark.operators import (
+    cleaning,
+    official_streets,
+    shape,
+    street_repair,
+)
+from udacity_data_wrangling_osm_case_study_spark.sources import osm_xml
+
+
+def build_tables(
+    spark: SparkSession,
+    osm_path: str,
+    psi_path: str,
+    persist: bool = True,
+) -> dict[str, DataFrame]:
+    """Returns the 6-table dict: nodes, nodes_tags, ways, ways_nodes,
+    ways_tags, update_history."""
+    official = official_streets.clean_official_streets(
+        osm_xml.read_official_streets_raw(spark, psi_path)
+    )
+    lookup = official_streets.name_lookup_table(official)
+
+    nodes_raw = osm_xml.read_nodes_raw(spark, osm_path)
+    ways_raw = osm_xml.read_ways_raw(spark, osm_path)
+
+    nodes = shape.shape_nodes(nodes_raw)
+    ways = shape.shape_ways(ways_raw)
+    ways_nodes = shape.shape_way_nodes(ways_raw)
+
+    nodes_tags, node_phone_ids = cleaning.fix_phones_in_tags(
+        shape.shape_tags(nodes_raw)
+    )
+    ways_tags_pos, way_phone_ids = cleaning.fix_phones_in_tags(
+        shape.shape_tags(ways_raw, with_pos=True)
+    )
+    if persist:
+        # Shared by the repair join, the presence scan, and two sinks.
+        ways_tags_pos = ways_tags_pos.persist(StorageLevel.MEMORY_AND_DISK)
+
+    ways_tags, way_name_ids = street_repair.repair_street_names(
+        ways_tags_pos, lookup, official
+    )
+    history = cleaning.update_history(node_phone_ids, way_phone_ids, way_name_ids)
+
+    return {
+        "nodes": nodes,
+        "nodes_tags": nodes_tags.select("id", "key", "value", "type"),
+        "ways": ways,
+        "ways_nodes": ways_nodes,
+        "ways_tags": ways_tags,
+        "update_history": history,
+    }
+
+
+def write_csv(tables: dict[str, DataFrame], out_dir: str) -> None:
+    """S3: CSV sinks, header + utf-8, one directory per table."""
+    for name, df in tables.items():
+        df.write.mode("overwrite").option("header", True).csv(f"{out_dir}/{name}")
+
+
+def register_views(tables: dict[str, DataFrame]) -> None:
+    """S6: expose the relational model to Spark SQL exploration."""
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)

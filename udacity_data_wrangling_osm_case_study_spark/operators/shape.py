@@ -1,0 +1,63 @@
+"""Element shaping: raw XML DataFrames → the 5-table relational model.
+
+Parity target: ``shape_element`` (reference parse_clean_and_csv.py:115-166)
+— attribute whitelist projection (P1), problem-key filter (P2),
+first-colon key split (P3), and the ``position`` ordinal for way→node
+edges (W1, via ``posexplode`` so document order is preserved without a
+window/shuffle).
+
+All shaping is narrow (project/explode/filter) — it fuses into one
+whole-stage-codegen pass over the scan, the Spark equivalent of the
+reference's single hand-fused loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.functions import keys as K
+
+NODE_FIELDS = ["id", "lat", "lon", "user", "uid", "version", "changeset", "timestamp"]
+WAY_FIELDS = ["id", "user", "uid", "version", "changeset", "timestamp"]
+
+
+def shape_nodes(nodes_raw: DataFrame) -> DataFrame:
+    """``nodes(id, lat, lon, user, uid, version, changeset, timestamp)``."""
+    return nodes_raw.select(*[F.col(f"_{f}").alias(f) for f in NODE_FIELDS])
+
+
+def shape_ways(ways_raw: DataFrame) -> DataFrame:
+    """``ways(id, user, uid, version, changeset, timestamp)``."""
+    return ways_raw.select(*[F.col(f"_{f}").alias(f) for f in WAY_FIELDS])
+
+
+def shape_way_nodes(ways_raw: DataFrame) -> DataFrame:
+    """``ways_nodes(id, node_id, position)`` — ``posexplode`` keeps the
+    XML document order as the ordinal with zero shuffle (W1)."""
+    return ways_raw.select(
+        F.col("_id").alias("id"),
+        F.posexplode("nd").alias("position", "nd"),
+    ).select("id", F.col("nd._ref").alias("node_id"), "position")
+
+
+def shape_tags(raw: DataFrame, with_pos: bool = False) -> DataFrame:
+    """EAV tags table ``(id, key, value, type)`` for nodes or ways.
+
+    Drops tags whose raw key contains problem characters (P2), then
+    splits ``type:key`` at the first colon (P3). ``with_pos`` keeps the
+    in-element tag ordinal, needed where the reference's dict-overwrite
+    ("last tag wins") semantics matter.
+    """
+    exploded = raw.select(
+        F.col("_id").alias("id"),
+        F.posexplode("tag").alias("pos", "t"),
+    ).select("id", "pos", F.col("t._k").alias("k"), F.col("t._v").alias("value"))
+    shaped = exploded.filter(~K.has_problem_chars(F.col("k"))).select(
+        "id",
+        "pos",
+        K.key_remainder(F.col("k")).alias("key"),
+        "value",
+        K.key_type(F.col("k")).alias("type"),
+    )
+    return shaped if with_pos else shaped.drop("pos")

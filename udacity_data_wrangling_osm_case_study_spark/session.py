@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture (100 TB north star): AQE on (runtime re-plan, skew-join
+splitting, shuffle-partition coalescing), broadcast threshold raised so
+dimension tables (official street list, nation/region) always hash-join
+broadcast-side, Arrow enabled for the few pandas boundaries, UTC session
+timezone for deterministic timestamp semantics across engines.
+
+On the test rig this runs ``local[32]``; on a real cluster the same
+declarative plans scale out — nothing here hand-schedules execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "osm-case-study-spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism so the driver's
+    bench harness and pytest share one configuration path.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle = str(
+        shuffle_partitions
+        or os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- Catalyst / AQE: let the optimizer do the physical planning ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        # Dimension tables here are ≤ a few MB; always broadcast them.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- Python boundary: Arrow-vectorized when we must cross it ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- Scan sizing: 128 MB splits keep partitions executor-sized ---
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
