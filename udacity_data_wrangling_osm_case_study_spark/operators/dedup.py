@@ -1,0 +1,236 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-conscious:
+
+- **Exact**: content-hash groupBy — one shuffle on a 16-byte key.
+- **MinHash + LSH**: shingle → K minhashes → B bands → bucket join.
+  Hashes are md5-hex *strings* (engine-portable, deterministic) rather
+  than murmur ints; the min over hex strings is a uniform permutation
+  surrogate. Candidate pairs only ever form inside an LSH bucket, so
+  the self-join never goes quadratic in the corpus size.
+- **SimHash**: 16-bit fingerprint via per-hex-digit bit majority.
+  Near-dup docs land in equal/close fingerprints; clustering is a
+  groupBy on the fingerprint.
+- **N-gram Jaccard**: inverted-index (shingle) join → pair intersection
+  counts → exact Jaccard. The shingle join is the scalable path: cost
+  scales with sum of per-shingle df², not corpus².
+
+At 100 TB: every stage is groupBy/join on bounded keys; no driver
+collection, no UDFs. Skewed shingles (stop-phrases) should be dropped
+via a document-frequency cap (``max_shingle_df``) — that's the salting
+story for this operator family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def normalize_text(col):
+    """Whitespace-collapse + lowercase; the canonical content form."""
+    return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+
+
+def content_fingerprint(col):
+    """128-bit content hash of the normalized text (doc fingerprint)."""
+    return F.md5(normalize_text(col))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: group by content hash; keeper = min id per group."""
+    return (
+        df.select(F.col(id_col).alias("id"), content_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("keeper_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with higher-order array functions (transform over a slide of
+    the token array) — stays in codegen, no UDF.
+    """
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    count = F.size(tokens) - (n - 1)
+    slides = F.transform(
+        F.sequence(F.lit(0), F.greatest(count - 1, F.lit(-1))),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(slides)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """K minhash values per doc: min of md5(seed || shingle) per seed.
+
+    Output: (id, seed, minhash). md5-hex strings order uniformly, so the
+    per-seed min is a permutation-min surrogate that is bit-identical
+    across engines.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    seeded = shingles.select("id", "shingle", seeds)
+    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle")))
+    return (
+        seeded.select("id", "seed", h.alias("h"))
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Group the K minhashes into bands: (id, band, band_key)."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    return banded.groupBy("id", "band").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Docs sharing any band bucket: (id_a, id_b), id_a < id_b.
+
+    The join key is (band, band_key) — candidates never cross buckets,
+    which is what keeps this sub-quadratic at corpus scale.
+    """
+    left = bands.select(
+        F.col("band"), F.col("band_key"), F.col("id").alias("id_a")
+    )
+    right = bands.select(
+        F.col("band"), F.col("band_key"), F.col("id").alias("id_b")
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    candidates: DataFrame | None = None,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact word-shingle Jaccard per pair via the inverted-index join.
+
+    (id_a, id_b, inter, size_a, size_b, jaccard). If ``candidates`` is
+    given, only those pairs are scored (the LSH-verify path); otherwise
+    all co-shingled pairs are scored (small corpora / audits).
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col("id").alias("id_a"), "shingle")
+    b = shingles.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    scored = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= min_jaccard).select(
+        "id_a", "id_b", "inter", "size_a", "size_b", "jaccard"
+    )
+
+
+def _hex_digit_value(c):
+    """Portable hex-digit → int (works identically in DuckDB SQL)."""
+    return F.when(F.ascii(c) >= 97, F.ascii(c) - 87).otherwise(F.ascii(c) - 48)
+
+
+def simhash16(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash per doc: per md5-hex position, majority vote of
+    the digit's high bit across all token occurrences.
+
+    Output: (id, simhash) with simhash a 16-char '0'/'1' string.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    hashed = tokens.select("id", F.md5("tok").alias("h"))
+    positions = hashed.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("p"),
+        "h",
+    )
+    bit = (_hex_digit_value(F.substring(F.col("h"), F.col("p"), 1).cast("string")) >= 8)
+    votes = positions.select(
+        "id", "p", F.when(bit, 1).otherwise(-1).alias("vote")
+    )
+    per_pos = votes.groupBy("id", "p").agg(
+        F.when(F.sum("vote") > 0, F.lit("1")).otherwise(F.lit("0")).alias("b")
+    )
+    return per_pos.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "b"))), lambda s: s["b"]
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Near-dup pairs by cosine similarity, blocked to avoid the full
+    cross product. ``block_col`` is the blocking key (at scale: an LSH
+    bucket or coarse-quantizer cell; here the label column).
+
+    Output: (id_a, id_b, cosine) with cosine rounded to 4dp.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    base = base.withColumn("nrm", norm)
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "blk")
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "blk")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode / feature-extraction happens in Arrow-batched
+``mapInPandas`` stages so the Python boundary is crossed once per
+record batch, not per row.
+
+The actual codec step is STUBBED here (no image/audio libraries in
+this environment): ``decode_stub=True`` produces a deterministic fake
+feature vector from the payload bytes; ``decode_stub=False`` raises
+``NotImplementedError`` at the point where a real decoder (PIL,
+torchaudio, ffmpeg) would be called. The Spark-side plumbing — schema,
+partitioning, Arrow batch shape, UDF signature — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = (
+    "media_id bigint, payload binary, media_type string, n_bytes int, checksum string"
+)
+FEATURE_SCHEMA = f"media_id bigint, n_bytes int, feature array<double>"
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Wrap a text column as an opaque binary payload + metadata struct
+    (the testdata has no true image bytes; the column type and
+    everything downstream is what matters)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` keeps each partition as an iterator of pandas
+    batches — the decode loop below is where a real image/audio decode
+    would run, one batch at a time, bounded memory per executor.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires codec libraries (PIL/ffmpeg) "
+                    "not present in this environment"
+                )
+            feats = [
+                [float(len(p)), float(p[0] if len(p) else 0)]
+                + [float(p[i % len(p)]) if len(p) else 0.0 for i in range(FEATURE_DIM - 2)]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)

@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **Brute force** (the correctness baseline): broadcast the query
+  vector, one codegen pass computing dot/norm per row, top-k via
+  orderBy+limit (TakeOrderedAndProject — no global sort).
+- **IVF** (the scale path): coarse-quantize vectors into cells
+  (here: per-label centroids; at 100 TB, k-means cells), search only
+  the ``n_probe`` nearest cells. Partition pruning for vectors: the
+  scan + shuffle drop to n_probe/n_cells of the corpus.
+
+All arithmetic is double-precision inside higher-order array
+functions — no Python UDF; a 1000-executor scan streams at memory
+bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(u, v):
+    return F.aggregate(F.zip_with(u, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2norm(u):
+    return F.sqrt(F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(u, v):
+    return dot(u, v) / (l2norm(u) * l2norm(v))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = as_double_vec(F.col(vec_col))
+    sim = F.round(cosine(v, q), round_dp)
+    return (
+        df.select(F.col(id_col).alias("id"), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), "id")
+        .limit(k)
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-cell mean vector, via posexplode + per-dimension average.
+
+    Rounded to ``round_dp`` so the centroid is stable across engines
+    (float-sum association). Output: (cell, centroid array<double>).
+    """
+    comps = df.select(
+        F.col(cell_col).alias("cell"), F.posexplode(as_double_vec(F.col(vec_col))).alias("pos", "x")
+    )
+    per_dim = comps.groupBy("cell", "pos").agg(
+        F.round(F.sum("x") / F.count("*"), round_dp).alias("m")
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: rank cells by centroid cosine, search only the
+    ``n_probe`` best cells, exact cosine within them."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = label_centroids(df, id_col, vec_col, cell_col)
+    probed = (
+        cents.withColumn("csim", F.round(cosine(F.col("centroid"), q), round_dp))
+        .orderBy(F.desc("csim"), "cell")
+        .limit(n_probe)
+        .select("cell")
+    )
+    v = as_double_vec(F.col(vec_col))
+    sim = F.round(cosine(v, q), round_dp)
+    scored = df.select(
+        F.col(cell_col).alias("cell"), F.col(id_col).alias("id"), sim.alias("cosine")
+    )
+    return (
+        scored.join(F.broadcast(probed), "cell", "left_semi")
+        .orderBy(F.desc("cosine"), "id")
+        .limit(k)
+        .select("id", "cosine")
+    )

@@ -1,0 +1,116 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, fingerprinting, character census.
+
+All pure column expressions over the ``documents`` table shape
+(doc_id, text, lang, source, n_chars) — codegen end to end, so these
+run at scan speed over a 100 TB corpus. Ratios are computed with a
+single division (identical IEEE result across engines) and rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators.dedup import (
+    content_fingerprint,
+    normalize_text,
+)
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# Marker words → language guess, checked in order (n-gram heuristic
+# surrogate; a production system would use char-trigram profiles).
+LANG_MARKERS = [("the", "en"), ("der", "de"), ("le", "fr"), ("el", "es")]
+
+
+def tokens(col):
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col):
+    return F.size(tokens(col))
+
+
+def word_count_of(col, word: str):
+    return F.size(F.filter(tokens(col), lambda w: w == F.lit(word)))
+
+
+def stopword_ratio(col):
+    stops = F.size(F.filter(tokens(col), lambda w: w.isin(STOPWORDS)))
+    return stops / token_count(col)
+
+
+def avg_token_length(col):
+    total = F.aggregate(
+        tokens(col), F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return total / token_count(col)
+
+
+def lang_id(col):
+    """First matching marker word wins; 'und' when none present."""
+    expr = None
+    for word, lang in LANG_MARKERS:
+        cond = F.array_contains(tokens(col), word)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(col):
+    """Composite [0,1]-ish score: stopword share + token-length shape.
+
+    score = round(0.5*stop_ratio + 0.5*(1 - |avg_len - 5|/10), 4)
+    """
+    shape = F.lit(1.0) - F.abs(avg_token_length(col) - F.lit(5.0)) / F.lit(10.0)
+    return F.round(F.lit(0.5) * stopword_ratio(col) + F.lit(0.5) * shape, 4)
+
+
+def doc_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc analysis frame: tokens, stopword ratio, lang guess,
+    quality score, content fingerprint.
+
+    The ratio metrics are integer-scaled (basis points / per-mille) via
+    integer division: ratios of small integers land exactly on decimal
+    rounding boundaries, where engines' float-round rules diverge —
+    integer arithmetic is bit-identical everywhere.
+
+    quality = stop_ratio/2 + (1 - |avg_token_len - 5|/10)/2, expressed
+    over the common denominator 20*n_tokens:
+    (10*n_stop + 10*n_tokens - |total_len - 5*n_tokens|) / (20*n_tokens).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    quality_num = (
+        F.lit(10) * n_stop + F.lit(10) * n_tok - F.abs(total_len - F.lit(5) * n_tok)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        (n_stop * 10000).cast("long").alias("_stop_num"),
+        total_len.alias("_total_len"),
+        quality_num.alias("_q_num"),
+        lang_id(t).alias("lang_guess"),
+        content_fingerprint(t).alias("fingerprint"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("_stop_num DIV n_tokens").alias("stop_ratio_bp"),
+        F.expr("(_total_len * 100) DIV n_tokens").alias("avg_token_len_c"),
+        F.expr("(_q_num * 1000) DIV (20 * n_tokens)").alias("quality_pm"),
+        "lang_guess",
+        "fingerprint",
+    )
+
+
+def char_census(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct characters with the first doc they appear in (A3 analog:
+    the phone-audit character census, order-preserved via min id)."""
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit("."), 0)).alias("ch"),
+    )
+    return chars.groupBy("ch").agg(F.min("id").alias("first_doc"))

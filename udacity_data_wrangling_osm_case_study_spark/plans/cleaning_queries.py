@@ -1,0 +1,273 @@
+"""The reference's cleaning operators exercised on driver testdata.
+
+The OSM tables aren't part of the driver testdata, so these queries
+synthesize deterministic dirty values from event/doc ids and push them
+through the SAME library functions the ETL uses
+(``functions.phones`` / ``functions.keys`` / ``functions.names``); the
+oracle SQL reimplements the semantics independently in DuckDB. Golden
+row-level parity on real OSM data lives in tests/test_osm_golden.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.functions import keys as K
+from udacity_data_wrangling_osm_case_study_spark.functions import names as N
+from udacity_data_wrangling_osm_case_study_spark.functions import phones as P
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+
+# Deterministic synthetic phone-ish value per event (covers every
+# canonicalizer branch: already-canonical, separator-ridden HK, PRC
+# cell, SZ landline, pass-through, multi-number-with-junk).
+_RAW_PHONE_SQL = """
+    CASE CAST(event_id % 6 AS INT)
+      WHEN 0 THEN '+852 ' || lpad(CAST(event_id % 100000000 AS VARCHAR), 8, '2')
+      WHEN 1 THEN '(852) ' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '3')
+                || '-' || lpad(CAST(user_id % 10000 AS VARCHAR), 4, '4')
+      WHEN 2 THEN '13' || lpad(CAST(event_id % 1000000000 AS VARCHAR), 9, '5')
+      WHEN 3 THEN '0755 ' || lpad(CAST(event_id % 10000000 AS VARCHAR), 7, '6')
+      WHEN 4 THEN 'call the office'
+      ELSE lpad(CAST(event_id % 100000000 AS VARCHAR), 8, '7') || '; ext 12'
+    END
+"""
+
+
+def _raw_phone_col():
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+
+    def pad(c, n, ch):
+        return F.lpad(c.cast("string"), n, ch)
+
+    return (
+        F.when(eid % 6 == 0, F.concat(F.lit("+852 "), pad(eid % 100000000, 8, "2")))
+        .when(
+            eid % 6 == 1,
+            F.concat(
+                F.lit("(852) "), pad(eid % 10000, 4, "3"), F.lit("-"), pad(uid % 10000, 4, "4")
+            ),
+        )
+        .when(eid % 6 == 2, F.concat(F.lit("13"), pad(eid % 1000000000, 9, "5")))
+        .when(eid % 6 == 3, F.concat(F.lit("0755 "), pad(eid % 10000000, 7, "6")))
+        .when(eid % 6 == 4, F.lit("call the office"))
+        .otherwise(F.concat(pad(eid % 100000000, 8, "7"), F.lit("; ext 12")))
+    )
+
+
+# DuckDB reimplementation of fix_phone_value. NB: DuckDB regexp_replace
+# needs the 'g' flag to match Spark's replace-all semantics.
+_FIX_PHONE_SQL = """
+    (SELECT CASE WHEN len(m) > 0 THEN array_to_string(m, ';') ELSE raw END
+     FROM (SELECT list_filter(list_transform(
+         string_split_regex(raw, '[,;]'),
+         s -> CASE
+            WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(852)?(\\d{8})$')
+              THEN '+852 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(852)?(\\d{8})$', 2)
+            WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(86)?(1[3-9]\\d{9})$')
+              THEN '+86 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(86)?(1[3-9]\\d{9})$', 2)
+            WHEN regexp_matches(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(86)?0?(755)(\\d{6,8})$')
+              THEN '+86 755 ' || regexp_extract(regexp_replace(s, '[- +)(＋]+', '', 'g'), '^(86)?0?(755)(\\d{6,8})$', 3)
+            ELSE NULL END),
+         x -> x IS NOT NULL) AS m))
+"""
+
+
+@register(
+    "phone_canonicalization",
+    f"""
+    WITH synth AS (
+        SELECT event_id, {_RAW_PHONE_SQL} AS raw
+        FROM events WHERE event_id < 3000
+    )
+    SELECT event_id, raw, {_FIX_PHONE_SQL} AS fixed
+    FROM synth ORDER BY event_id
+    """,
+)
+def phone_canonicalization(spark, sf_dir):
+    """F4: the phone canonicalizer as a pure column expression."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    synth = ev.select("event_id", _raw_phone_col().alias("raw"))
+    return synth.select(
+        "event_id", "raw", P.fix_phone_value(F.col("raw")).alias("fixed")
+    ).orderBy("event_id")
+
+
+@register(
+    "phone_update_history",
+    f"""
+    WITH synth AS (
+        SELECT event_id, {_RAW_PHONE_SQL} AS raw
+        FROM events WHERE event_id < 3000
+    ),
+    fixed AS (SELECT event_id, raw, {_FIX_PHONE_SQL} AS fixed FROM synth)
+    SELECT event_id AS id, 'event' AS element_type, 'phone' AS field_updated
+    FROM fixed WHERE fixed <> raw ORDER BY id
+    """,
+)
+def phone_update_history(spark, sf_dir):
+    """S4 CDC: raw-vs-clean diff projected to the update_history shape."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    synth = ev.select("event_id", _raw_phone_col().alias("raw"))
+    fixed = synth.withColumn("fixed", P.fix_phone_value(F.col("raw")))
+    return (
+        fixed.filter(~F.col("fixed").eqNullSafe(F.col("raw")))
+        .select(
+            F.col("event_id").alias("id"),
+            F.lit("event").alias("element_type"),
+            F.lit("phone").alias("field_updated"),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
+    "key_split_census",
+    """
+    WITH synth AS (
+        SELECT CASE CAST(event_id % 5 AS INT)
+                 WHEN 0 THEN 'name:zh:yue'
+                 WHEN 1 THEN 'addr:' || event_type
+                 WHEN 2 THEN event_type
+                 WHEN 3 THEN 'bad key ' || event_type
+                 ELSE 'contact:phone'
+               END AS k
+        FROM events
+    ),
+    kept AS (
+        SELECT k FROM synth
+        WHERE NOT regexp_matches(k, '[=+/&<>;''"?%#$@,. \\t\\r\\n]')
+    )
+    SELECT CASE WHEN contains(k, ':')
+                THEN regexp_extract(k, '^(.*?):(.*)$', 1)
+                ELSE 'regular' END AS type,
+           CASE WHEN contains(k, ':')
+                THEN regexp_extract(k, '^(.*?):(.*)$', 2)
+                ELSE k END AS key,
+           COUNT(*) AS n
+    FROM kept GROUP BY type, key ORDER BY type, key
+    """,
+)
+def key_split_census(spark, sf_dir):
+    """P2+P3: problem-key filter and non-greedy first-colon split
+    (multi-colon keys keep their tail: name:zh:yue → (name, zh:yue))."""
+    eid = F.col("event_id")
+    k = (
+        F.when(eid % 5 == 0, F.lit("name:zh:yue"))
+        .when(eid % 5 == 1, F.concat(F.lit("addr:"), F.col("event_type")))
+        .when(eid % 5 == 2, F.col("event_type"))
+        .when(eid % 5 == 3, F.concat(F.lit("bad key "), F.col("event_type")))
+        .otherwise(F.lit("contact:phone"))
+    )
+    synth = table(spark, sf_dir, "events").select(k.alias("k"))
+    kept = synth.filter(~K.has_problem_chars(F.col("k")))
+    return (
+        kept.select(
+            K.key_type(F.col("k")).alias("type"),
+            K.key_remainder(F.col("k")).alias("key"),
+        )
+        .groupBy("type", "key")
+        .agg(F.count("*").alias("n"))
+        .orderBy("type", "key")
+    )
+
+
+@register(
+    "capwords_nation_styles",
+    """
+    WITH styled AS (
+        SELECT n_nationkey,
+               array_to_string(list_transform(
+                   string_split(lower(n_name || ' trading region ' || r_name), ' '),
+                   w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS styled_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT n_nationkey,
+           CASE styled_name
+             WHEN 'China Trading Region Asia' THEN 'China Trading Region ASIA'
+             WHEN 'France Trading Region Europe' THEN 'France Trading Region EUROPE'
+             ELSE styled_name
+           END AS styled_name
+    FROM styled
+    WHERE styled_name NOT LIKE 'Japan%'
+    ORDER BY n_nationkey
+    """,
+)
+def capwords_nation_styles(spark, sf_dir):
+    """F1+F2+P9: capwords normalization, dictionary value remap, and
+    blacklist filter — the official-street dimension pipeline's scalar
+    stack on testdata."""
+    nation = table(spark, sf_dir, "nation")
+    region = F.broadcast(table(spark, sf_dir, "region"))
+    joined = nation.join(region, nation.n_regionkey == region.r_regionkey)
+    styled = joined.select(
+        "n_nationkey",
+        N.capwords(
+            F.concat(F.col("n_name"), F.lit(" trading region "), F.col("r_name"))
+        ).alias("styled_name"),
+    )
+    remapped = styled.select(
+        "n_nationkey",
+        N.remap_values(
+            F.col("styled_name"),
+            {
+                "China Trading Region Asia": "China Trading Region ASIA",
+                "France Trading Region Europe": "France Trading Region EUROPE",
+            },
+        ).alias("styled_name"),
+    )
+    return remapped.filter(~F.col("styled_name").startswith("Japan")).orderBy(
+        "n_nationkey"
+    )
+
+
+@register(
+    "bilingual_name_split",
+    """
+    WITH synth AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '沙田第' || CAST(doc_id AS VARCHAR) || '號 ' || text
+                    ELSE text END AS combined
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           NULLIF(regexp_extract(combined, '[ ]*([A-Za-z0-9''\\-,. ]{4,})', 1), '') AS eng,
+           NULLIF(regexp_extract(combined, '([^A-Za-z''\\-,. ]+[0-9]?[^A-Za-z''\\-,. ]+)', 1), '') AS chi
+    FROM synth ORDER BY doc_id
+    """,
+)
+def bilingual_name_split(spark, sf_dir):
+    """F3: regex split of a combined bilingual value into the English
+    and Chinese runs (CJK prefix synthesized on every third doc)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    combined = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("沙田第"), F.col("doc_id").cast("string"), F.lit("號 "), F.col("text")
+        ),
+    ).otherwise(F.col("text"))
+    synth = docs.select("doc_id", combined.alias("combined"))
+    return synth.select(
+        "doc_id",
+        N.extract_english_name(F.col("combined")).alias("eng"),
+        N.extract_chinese_name(F.col("combined")).alias("chi"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_mentioning_spark",
+    """
+    SELECT doc_id FROM documents
+    WHERE list_contains(string_split(text, ' '), 'spark')
+    ORDER BY doc_id
+    """,
+)
+def docs_mentioning_spark(spark, sf_dir):
+    """P5/P7-shaped higher-order EXISTS over a split array."""
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.exists(F.split(F.col("text"), " "), lambda w: w == F.lit("spark")))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

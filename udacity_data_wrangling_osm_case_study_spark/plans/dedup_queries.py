@@ -1,0 +1,217 @@
+"""Deduplication queries (scale extensions, BASELINE.json north star).
+
+Each query drives the library operators in ``operators.dedup``; the
+oracle SQL reimplements the same semantics independently in DuckDB
+(md5-hex minhashes make the fuzzy pipelines engine-portable and
+deterministic). Cosines are exposed as basis points (int) so value
+hashes never ride on float formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# Shared CTE: distinct word 3-gram shingles per doc (DuckDB side).
+_SHINGLES_CTE = f"""
+    norm AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT id, unnest(list_transform(
+            range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM norm
+    )
+"""
+
+
+@register(
+    "exact_dedup_prefix_groups",
+    f"""
+    WITH fp AS (
+        SELECT doc_id AS id,
+               md5(array_to_string(({_TOKS})[1:5], ' ')) AS fp
+        FROM documents
+    )
+    SELECT fp, MIN(id) AS keeper_id, COUNT(*) AS group_size
+    FROM fp GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp
+    """,
+)
+def exact_dedup_prefix_groups(spark, sf_dir):
+    """Exact (hash-groupBy) dedup on the 5-token content prefix —
+    groups sharing a prefix with keeper id. One shuffle on a 16-byte
+    key regardless of corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(dedup.normalize_text(F.col("text")), " ")
+    fp = F.md5(F.array_join(F.slice(toks, 1, 5), " "))
+    return (
+        docs.select(F.col("doc_id").alias("id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keeper_id"), F.count("*").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+        .orderBy("fp")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs via the inverted-index
+    (shingle) self-join — cost scales with per-shingle df², never
+    corpus²."""
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    return dedup.jaccard_pairs(sh, min_jaccard=0.5).orderBy("id_a", "id_b")
+
+
+@register(
+    "minhash_lsh_dupes",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT id, s.seed AS seed,
+               MIN(md5(CAST(s.seed AS VARCHAR) || '#' || shingle)) AS minhash
+        FROM sh, range(0, 8) s(seed) GROUP BY id, s.seed
+    ),
+    bands AS (
+        SELECT id, CAST(seed // 2 AS INT) AS band,
+               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+        FROM sigs GROUP BY id, CAST(seed // 2 AS INT)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+    ORDER BY i.id_a, i.id_b
+    """,
+)
+def minhash_lsh_dupes(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands × 2 rows) candidate generation, then
+    exact-Jaccard verification of candidates only — the sub-quadratic
+    fuzzy-dedup path."""
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sigs, rows_per_band=2))
+    verified = dedup.jaccard_pairs(sh, candidates=cand, min_jaccard=0.5)
+    return verified.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+
+@register(
+    "simhash_clusters",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    h AS (SELECT id, md5(tok) AS h FROM toks),
+    pos AS (SELECT id, i AS p, substr(h, CAST(i AS INT), 1) AS c
+            FROM h, range(1, 17) t(i)),
+    votes AS (
+        SELECT id, p,
+               CASE WHEN (CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+                          ELSE ascii(c) - 48 END) >= 8
+                    THEN 1 ELSE -1 END AS v
+        FROM pos
+    ),
+    bits AS (SELECT id, p, CASE WHEN SUM(v) > 0 THEN '1' ELSE '0' END AS b
+             FROM votes GROUP BY id, p),
+    fp AS (SELECT id, string_agg(b, '' ORDER BY p) AS simhash
+           FROM bits GROUP BY id)
+    SELECT simhash, COUNT(*) AS n_docs, MIN(id) AS first_doc
+    FROM fp GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash
+    """,
+)
+def simhash_clusters(spark, sf_dir):
+    """SimHash(16-bit) fingerprint clustering: docs sharing a
+    fingerprint (bit-majority over token md5 digits)."""
+    docs = table(spark, sf_dir, "documents")
+    fp = dedup.simhash16(docs)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )
+
+
+@register(
+    "embedding_near_dupes",
+    """
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000)
+                AS BIGINT) AS cosine_bp
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000)
+               AS BIGINT) >= 4000
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dupes(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-blocked (at scale the
+    block key is an LSH bucket / coarse-quantizer cell so the self-join
+    never goes quadratic). Cosine exposed in basis points."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col("vec_id").alias("id"), v.alias("v"), F.col("label").alias("blk")
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "blk")
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "blk")
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bp = F.round(dot / (F.col("na") * F.col("nb")) * 10000).cast("bigint")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_bp", bp)
+        .filter(F.col("cosine_bp") >= 4000)
+        .select("id_a", "id_b", "cosine_bp")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,369 @@
+"""SQL exploration surface (SURVEY.md §2.9) + core relational operators
+(A1/A2/A6, J1/J3/J4, O1/O3, T2) mapped onto the driver testdata.
+
+These are the reference's "import into SQL and explore" queries
+(README.md:5; canonical Udacity rubric set) re-pointed at the TPC-H-ish
+tables: events.user_id plays the contributor column, event_type plays
+the amenity-style EAV value, nation/region play the broadcast dimension
+tables.
+
+Scale notes: every dimension join is broadcast (nation/region/part are
+dimensions); top-k queries end in orderBy+limit which Spark plans as
+TakeOrderedAndProject (no global sort); aggregates are partial+final
+hash aggregates with map-side combine — all verified via .explain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+
+_DEC = "decimal(18,4)"
+
+
+@register(
+    "table_counts",
+    """
+    SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+    UNION ALL SELECT 'orders' AS tbl, COUNT(*) AS n FROM orders
+    UNION ALL SELECT 'lineitem' AS tbl, COUNT(*) AS n FROM lineitem
+    UNION ALL SELECT 'events' AS tbl, COUNT(*) AS n FROM events
+    ORDER BY tbl
+    """,
+)
+def table_counts(spark, sf_dir):
+    """§2.9(1): table row counts (nodes/ways analog)."""
+    parts = [
+        table(spark, sf_dir, name).select(
+            F.lit(name).alias("tbl"), F.lit(1).alias("one")
+        )
+        for name in ("customer", "orders", "lineitem", "events")
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy("tbl").agg(F.count("*").alias("n")).orderBy("tbl")
+
+
+@register(
+    "distinct_contributors",
+    """
+    SELECT COUNT(DISTINCT uid) AS n_contributors FROM (
+        SELECT user_id AS uid FROM events
+        UNION ALL
+        SELECT o_custkey AS uid FROM orders
+    )
+    """,
+)
+def distinct_contributors(spark, sf_dir):
+    """§2.9(2): COUNT(DISTINCT uid) over a UNION ALL of two tables (T2)."""
+    ev = table(spark, sf_dir, "events").select(F.col("user_id").alias("uid"))
+    od = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("uid"))
+    return ev.unionByName(od).agg(
+        F.countDistinct("uid").alias("n_contributors")
+    )
+
+
+@register(
+    "top_contributors",
+    """
+    SELECT user_id, COUNT(*) AS n_events FROM events
+    GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+    """,
+)
+def top_contributors(spark, sf_dir):
+    """§2.9(3): top-10 contributors — TakeOrderedAndProject top-k (O3)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "single_appearance_users",
+    """
+    SELECT COUNT(*) AS n_single FROM (
+        SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) = 1
+    )
+    """,
+)
+def single_appearance_users(spark, sf_dir):
+    """§2.9(4): nested aggregation — users appearing exactly once."""
+    once = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") == 1)
+    )
+    return once.agg(F.count("*").alias("n_single"))
+
+
+@register(
+    "top_event_types",
+    """
+    SELECT event_type, COUNT(*) AS n FROM events
+    GROUP BY event_type ORDER BY n DESC, event_type
+    """,
+)
+def top_event_types(spark, sf_dir):
+    """§2.9(5) top amenities analog: hash count-by-key + sort desc (A1/O1)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+    )
+
+
+@register(
+    "region_rollup",
+    """
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def region_rollup(spark, sf_dir):
+    """J1/J3 analog: two broadcast hash joins into small dimensions."""
+    cust = table(spark, sf_dir, "customer")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    region = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1-shaped pricing summary (A6 aggregate surface).
+
+    Decimal-exact sums (addition order independent), divisions done once
+    in double — bit-identical across engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "orders_by_month",
+    """
+    SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+           CAST(date_part('month', o_orderdate) AS INT) AS mo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY yr, mo ORDER BY yr, mo
+    """,
+)
+def orders_by_month(spark, sf_dir):
+    """F7 date scalar surface: contributions-by-date analog."""
+    od = table(spark, sf_dir, "orders")
+    return (
+        od.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+@register(
+    "top_parts_by_revenue",
+    """
+    SELECT p_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_name ORDER BY revenue DESC, p_name LIMIT 10
+    """,
+)
+def top_parts_by_revenue(spark, sf_dir):
+    """J4: fact⋈dimension broadcast join + top-k by aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    part = F.broadcast(table(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "p_name")
+        .limit(10)
+    )
+
+
+@register(
+    "returned_orders_by_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def returned_orders_by_priority(spark, sf_dir):
+    """P5-shaped EXISTS gate as a LEFT SEMI join."""
+    od = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "customers_without_urgent_orders",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def customers_without_urgent_orders(spark, sf_dir):
+    """Anti-join (NOT EXISTS) surface."""
+    cust = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(od, cust.c_custkey == od.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "distinct_flag_status_pairs",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def distinct_flag_status_pairs(spark, sf_dir):
+    """A2: dropDuplicates on a pair of columns."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .dropDuplicates(["l_returnflag", "l_linestatus"])
+        .select("l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "users_never_big_purchase",
+    """
+    SELECT uid FROM (
+      SELECT DISTINCT user_id AS uid FROM events
+      EXCEPT
+      SELECT DISTINCT user_id AS uid FROM events
+      WHERE event_type = 'purchase' AND value > 150
+    ) ORDER BY uid
+    """,
+)
+def users_never_big_purchase(spark, sf_dir):
+    """Set-op surface (EXCEPT): users with no purchase event over 150."""
+    ev = table(spark, sf_dir, "events")
+    all_users = ev.select(F.col("user_id").alias("uid")).distinct()
+    buyers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+    )
+    return all_users.exceptAll(buyers).orderBy("uid")
+
+
+@register(
+    "eav_pivot_user_spend",
+    """
+    SELECT user_id,
+           ROUND(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN value END), 0), 4) AS max_purchase,
+           ROUND(COALESCE(MAX(CASE WHEN event_type = 'click' THEN value END), 0), 4) AS max_click,
+           ROUND(COALESCE(MAX(CASE WHEN event_type = 'view' THEN value END), 0), 4) AS max_view,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def eav_pivot_user_spend(spark, sf_dir):
+    """A5: manual pivot via conditional aggregates (the variant-pivot
+    shape of get_street_names)."""
+    ev = table(spark, sf_dir, "events")
+
+    def mx(etype, alias):
+        return F.round(
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == etype, F.col("value"))), F.lit(0)
+            ),
+            4,
+        ).alias(alias)
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            mx("purchase", "max_purchase"),
+            mx("click", "max_click"),
+            mx("view", "max_view"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

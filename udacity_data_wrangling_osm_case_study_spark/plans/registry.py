@@ -1,0 +1,79 @@
+"""Driver-facing query registry.
+
+Every implemented operator from SURVEY.md §2 (plus the scale
+extensions) registers here as a named query: a Spark callable
+``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, an
+equivalent ANSI-SQL oracle string for DuckDB. ``__spark_entry__.py``
+exposes this registry to the driver.
+
+Determinism rules (the driver hash-compares values order-insensitively):
+
+- Every computed column is aliased identically in Spark and SQL.
+- Monetary aggregates sum exact DECIMALs and only then cast to DOUBLE —
+  float addition order can differ between engines, decimal addition
+  cannot.
+- Remaining DOUBLE outputs are rounded (4-6 dp) far below both
+  engines' error bounds.
+- Top-k queries always carry a unique tie-break column in the ORDER BY.
+- No raw arrays/maps/timestamps in outputs: arrays are joined to
+  strings, instants are exposed as year/month ints or formatted text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from importlib import import_module
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_QUERY_MODULES = (
+    "udacity_data_wrangling_osm_case_study_spark.plans.exploration",
+    "udacity_data_wrangling_osm_case_study_spark.plans.window_queries",
+    "udacity_data_wrangling_osm_case_study_spark.plans.cleaning_queries",
+    "udacity_data_wrangling_osm_case_study_spark.plans.dedup_queries",
+    "udacity_data_wrangling_osm_case_study_spark.plans.similarity_queries",
+    "udacity_data_wrangling_osm_case_study_spark.plans.text_queries",
+)
+
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-testdata parquet table.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as int64 nanos —
+    convert to a proper timestamp via integer division (micros-exact,
+    matching DuckDB's read of the same file).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all() -> tuple[dict, dict]:
+    """Import every query module once; return (QUERIES, ORACLES)."""
+    global _loaded
+    if not _loaded:
+        for mod in _QUERY_MODULES:
+            import_module(mod)
+        _loaded = True
+    return QUERIES, ORACLES

@@ -1,0 +1,162 @@
+"""Similarity-search + multimodal queries (scale extensions).
+
+Brute-force cosine top-k is the oracle-checked baseline; the IVF
+variant demonstrates the partition-pruned scale path with the same
+oracle. Cosines are basis points (int) — float formatting never touches
+the value hash. The multimodal feature extraction runs through
+``mapInPandas`` (Arrow batches) and is checked rows-only (not
+SQL-expressible; the metadata projection has a full oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators import multimodal, similarity
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+
+_COS_BP = (
+    "CAST(ROUND(list_dot_product(e.v, q.q) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.q, q.q))) "
+    "* 10000) AS BIGINT)"
+)
+
+
+@register(
+    "knn_bruteforce",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+               WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id <> 0)
+    SELECT e.vec_id AS id, {_COS_BP} AS cosine_bp
+    FROM e, q
+    ORDER BY cosine_bp DESC, id LIMIT 10
+    """,
+)
+def knn_bruteforce(spark, sf_dir):
+    """Exact top-10 by cosine to vec 0. Query vector rides as a
+    broadcast single-row frame — never collected to the driver, so the
+    same plan works when the 'query' is itself a big table."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_vec(F.col("embedding"))
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(v.alias("q"))
+    )
+    e = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("id"), v.alias("v")
+    )
+    bp = F.round(
+        similarity.cosine(F.col("v"), F.col("q")) * 10000
+    ).cast("bigint")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("id", bp.alias("cosine_bp"))
+        .orderBy(F.desc("cosine_bp"), "id")
+        .limit(10)
+    )
+
+
+@register(
+    "knn_ivf",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+               WHERE vec_id = 0),
+    comps AS (
+        SELECT label AS cell,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT cell, pos, ROUND(SUM(x) / COUNT(*), 6) AS m
+        FROM comps GROUP BY cell, pos
+    ),
+    cents AS (
+        SELECT cell, list(m ORDER BY pos) AS c FROM per_dim GROUP BY cell
+    ),
+    ranked AS (
+        SELECT cell,
+               CAST(ROUND(list_dot_product(c, q.q) /
+                    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.q, q.q)))
+                    * 10000) AS BIGINT) AS csim
+        FROM cents, q
+        ORDER BY csim DESC, cell LIMIT 3
+    ),
+    e AS (SELECT vec_id, label AS cell, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id <> 0)
+    SELECT e.vec_id AS id, {_COS_BP} AS cosine_bp
+    FROM e, q
+    WHERE e.cell IN (SELECT cell FROM ranked)
+    ORDER BY cosine_bp DESC, id LIMIT 10
+    """,
+)
+def knn_ivf(spark, sf_dir):
+    """IVF-style ANN: rank label cells by centroid cosine, probe the
+    best 3 cells, exact cosine within — the partition-pruned scale
+    path (scan and shuffle shrink to n_probe/n_cells of the corpus)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_vec(F.col("embedding"))
+    q = emb.filter(F.col("vec_id") == 0).select(v.alias("q"))
+
+    cents = similarity.label_centroids(emb)
+    ranked = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            F.round(similarity.cosine(F.col("centroid"), F.col("q")) * 10000)
+            .cast("bigint")
+            .alias("csim"),
+        )
+        .orderBy(F.desc("csim"), "cell")
+        .limit(3)
+        .select("cell")
+    )
+    e = emb.filter(F.col("vec_id") != 0).select(
+        F.col("label").alias("cell"), F.col("vec_id").alias("id"), v.alias("v")
+    )
+    bp = F.round(similarity.cosine(F.col("v"), F.col("q")) * 10000).cast("bigint")
+    return (
+        e.join(F.broadcast(ranked), "cell", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select("id", bp.alias("cosine_bp"))
+        .orderBy(F.desc("cosine_bp"), "id")
+        .limit(10)
+    )
+
+
+@register(
+    "media_metadata",
+    """
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents ORDER BY media_id
+    """,
+)
+def media_metadata(spark, sf_dir):
+    """Multimodal plumbing: text payloads wrapped as opaque binary +
+    typed metadata (schema path identical for real image/audio bytes)."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return media.select("media_id", "media_type", "n_bytes", "checksum").orderBy(
+        "media_id"
+    )
+
+
+@register("media_features")  # mapInPandas — not SQL-expressible; rows-only check
+def media_features(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads
+    (deterministic stub decode; see operators.multimodal). Exposes the
+    first two feature components so the batch plumbing is observable."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media, decode_stub=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.col("feature")[0], 4).alias("f0"),
+        F.round(F.col("feature")[1], 4).alias("f1"),
+    ).orderBy("media_id")

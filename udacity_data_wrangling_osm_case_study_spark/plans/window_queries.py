@@ -1,0 +1,191 @@
+"""Window-shaped operators (W1/W2 + extensions): ordinals, uniqueness
+windows, sessionization, running totals.
+
+W1 in the ETL itself uses ``posexplode`` (array order IS the ordinal, no
+shuffle); here the same operator is exercised over ``embeddings``. The
+J2 XOR-ambiguity rewrite (SURVEY.md §2.3) appears as window uniqueness
+counts over supplier pairs. Sessionization and running totals are the
+batch faces of the streaming stateful operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+
+
+@register(
+    "first_event_per_user",
+    """
+    SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def first_event_per_user(spark, sf_dir):
+    """row_number ranking window with deterministic tie-break."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "unambiguous_supplier_pairs",
+    """
+    WITH pairs AS (SELECT DISTINCT s_name, s_nationkey FROM supplier),
+    counted AS (
+        SELECT s_name, s_nationkey,
+               COUNT(*) OVER (PARTITION BY s_name) AS n_name,
+               COUNT(*) OVER (PARTITION BY s_nationkey) AS n_nat
+        FROM pairs
+    )
+    SELECT s_name, s_nationkey FROM counted
+    WHERE n_name = 1 AND n_nat = 1
+    ORDER BY s_name
+    """,
+)
+def unambiguous_supplier_pairs(spark, sf_dir):
+    """J2 rewrite (W2): the official-street XOR-ambiguity elimination as
+    window uniqueness counts — rows where both pair members are globally
+    unique. Replaces the reference's O(n²) self-join
+    (parse_clean_and_csv.py:331-339)."""
+    pairs = (
+        table(spark, sf_dir, "supplier")
+        .select("s_name", "s_nationkey")
+        .dropDuplicates(["s_name", "s_nationkey"])
+    )
+    counted = pairs.withColumn(
+        "n_name", F.count("*").over(Window.partitionBy("s_name"))
+    ).withColumn("n_nat", F.count("*").over(Window.partitionBy("s_nationkey")))
+    return (
+        counted.filter((F.col("n_name") == 1) & (F.col("n_nat") == 1))
+        .select("s_name", "s_nationkey")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "embedding_components",
+    """
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 5) AS component
+    FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
+    """,
+)
+def embedding_components(spark, sf_dir):
+    """W1: posexplode — array order becomes the ordinal, zero shuffle."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "c")
+    ).select(
+        "vec_id", "pos", F.round(F.col("c").cast("double"), 5).alias("component")
+    ).orderBy("vec_id", "pos")
+
+
+@register(
+    "user_sessions",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_sessions(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) — the batch face of the
+    streaming session-window operator; lag + conditional sum."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "user_running_total",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW), 4)
+             AS running_value
+    FROM events WHERE user_id < 5 ORDER BY user_id, event_id
+    """,
+)
+def user_running_total(spark, sf_dir):
+    """Cumulative frame window (rowsBetween) — running total per user."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .withColumn("running_value", F.round(F.sum("value").over(w), 4))
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "event_type_tumbling_5min",
+    """
+    SELECT event_type,
+           CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS window_start_epoch_5min,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, window_start_epoch_5min
+    HAVING COUNT(*) > 1
+    ORDER BY event_type, window_start_epoch_5min
+    """,
+)
+def event_type_tumbling_5min(spark, sf_dir):
+    """Tumbling event-time window aggregation — batch twin of the
+    Structured Streaming DAG in ``streaming/events_stream.py`` (same
+    grouping; the streaming variant adds a watermark)."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("ts").cast("long") / 300).cast("bigint")
+    return (
+        ev.groupBy(
+            "event_type", bucket.alias("window_start_epoch_5min")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .filter(F.col("n") > 1)
+        .orderBy("event_type", "window_start_epoch_5min")
+    )

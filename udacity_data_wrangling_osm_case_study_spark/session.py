@@ -51,6 +51,11 @@ def get_spark(
         # --- Scan sizing: 128 MB splits keep partitions executor-sized ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # Driver testdata's events.ts is TIMESTAMP(NANOS), which the
+        # vectorized parquet reader rejects; read as raw int64 nanos and
+        # convert at the source (registry.table) — lossless, the data
+        # carries no sub-microsecond residue.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
