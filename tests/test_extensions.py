@@ -1,0 +1,124 @@
+"""Unit tests for the scale-extension operators (dedup / similarity /
+textstats / multimodal) on small in-memory frames with hand-computed
+expectations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "completely different words appear here today"),
+    (4, "The  Quick Brown Fox jumps over the lazy dog"),  # exact after normalize
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicate_groups(docs):
+    groups = {
+        r.keeper_id: r.group_size
+        for r in dedup.exact_duplicate_groups(docs).collect()
+    }
+    # doc 4 normalizes to doc 1's content → one group of 2, two singletons
+    assert groups[1] == 2
+    assert sum(groups.values()) == 4
+
+
+def test_word_shingles(docs):
+    sh = dedup.word_shingles(docs.filter("doc_id = 1"), n=3).collect()
+    shingles = {r.shingle for r in sh}
+    assert "the quick brown" in shingles
+    assert len(shingles) == 7  # 9 tokens → 7 trigrams, all distinct
+
+
+def test_jaccard_pairs(docs):
+    sh = dedup.word_shingles(docs)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(sh).collect()}
+    # docs 1/2 share 6 of 8 distinct trigrams → jaccard 0.75
+    assert pairs[(1, 2)] == 0.75
+    # docs 1/4 identical after normalization → jaccard 1.0
+    assert pairs[(1, 4)] == 1.0
+
+
+def test_minhash_lsh_finds_exact_dup(docs):
+    sh = dedup.word_shingles(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sigs, rows_per_band=2))
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 4) in pairs  # identical docs always collide in every band
+
+
+def test_simhash_identical_docs_equal(docs):
+    fp = {r.id: r.simhash for r in dedup.simhash16(docs).collect()}
+    assert fp[1] == fp[4]
+    assert len(fp[1]) == 16 and set(fp[1]) <= {"0", "1"}
+
+
+def test_cosine_topk(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical → cosine 1
+        (2, [0.0, 1.0, 0.0]),   # orthogonal → 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite → -1
+        (4, [1.0, 1.0, 0.0]),   # 45° → √2/2
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    top = similarity.brute_force_topk(df.filter("vec_id <> 0"), [1.0, 0.0, 0.0], k=3)
+    rows = top.collect()
+    assert [r.id for r in rows] == [1, 4, 2]
+    assert rows[0].cosine == 1.0
+    assert rows[1].cosine == round(math.sqrt(2) / 2, 4)
+
+
+def test_ivf_prunes_cells(spark):
+    vecs = [
+        (i, [float(i % 2), float(1 - i % 2)], i % 2) for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"])
+    got = similarity.ivf_topk(df, [1.0, 0.0], k=4, n_probe=1)
+    rows = got.collect()
+    # only the cell whose centroid points at the query is searched:
+    # odd ids have embedding [1,0] (label 1), matching the query
+    assert all(r.cosine == 1.0 for r in rows)
+    assert {r.id for r in rows} == {1, 3, 5, 7}
+
+
+def test_doc_profile_metrics(spark):
+    df = spark.createDataFrame([(1, "the cat sat")], ["doc_id", "text"])
+    row = textstats.doc_profile(df).collect()[0]
+    assert row.n_tokens == 3
+    assert row.stop_ratio_bp == 3333        # 1/3 stopwords
+    assert row.avg_token_len_c == 300       # 9 chars / 3 tokens
+    assert row.lang_guess == "en"
+
+
+def test_multimodal_feature_plumbing(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "dddd")], ["doc_id", "text"])
+    media = multimodal.documents_as_media(df)
+    feats = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1].feature[0] == 3.0            # len('abc')
+    assert feats[1].feature[1] == float(ord("a"))
+    assert feats[2].n_bytes == 4
+    assert len(feats[1].feature) == multimodal.FEATURE_DIM
+
+
+def test_multimodal_stub_gate(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = multimodal.documents_as_media(df)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(media, decode_stub=False).collect()

@@ -1,0 +1,91 @@
+"""Structured Streaming variants: the stream results must equal their
+batch twins on the same finite input (functional parity between the two
+runtimes is the whole point of sharing the column expressions)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import table
+from udacity_data_wrangling_osm_case_study_spark.streaming import events_stream
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Stage the events table as a stream-source directory with
+    micro-batch-sized files (ts re-materialized as a real timestamp —
+    the raw file stores TIMESTAMP(NANOS) which file streams can't
+    read with a pinned micros schema)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    table(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = events_stream.windowed_event_counts(
+        events_stream.read_events_stream(spark, events_dir)
+    )
+    events_stream.run_to_memory_sink(stream, "win_counts", output_mode="append")
+    got = spark.table("win_counts")
+
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    # Append mode only emits windows the final watermark has passed
+    # (end-of-stream watermark = max(ts) - 10 min); the open tail
+    # windows are correctly withheld. Compare the closed ones.
+    max_ts = table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(
+        F.col("window_start") + F.expr("INTERVAL 5 MINUTES")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    key = ["window_start", "event_type", "n", "total_value"]
+    got_rows = sorted(map(tuple, got.select(key).collect()))
+    closed_rows = sorted(map(tuple, closed.select(key).collect()))
+    assert len(got_rows) > 0
+    assert got_rows == closed_rows
+
+
+def test_running_user_counts_stateful(spark, events_dir):
+    stream = events_stream.running_user_counts(
+        events_stream.read_events_stream(spark, events_dir)
+    )
+    events_stream.run_to_memory_sink(stream, "run_counts", output_mode="update")
+    got = spark.table("run_counts")
+    # Per user, the LAST emitted running count equals the batch total.
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    batch = (
+        table(spark, SF_DIR, "events").groupBy("user_id").agg(F.count("*").alias("n_events"))
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_clean_phones_stream_matches_batch(spark, events_dir):
+    """The streaming cleaner is the same Column expression as batch."""
+    from udacity_data_wrangling_osm_case_study_spark.functions import phones as P
+
+    src = events_stream.read_events_stream(spark, events_dir).select(
+        F.col("event_id").alias("id"),
+        F.lit("phone").alias("key"),
+        F.concat(F.lit("852-"), F.lpad((F.col("event_id") % 10000).cast("string"), 8, "9")).alias("value"),
+        F.lit("regular").alias("type"),
+    )
+    cleaned = events_stream.clean_phones_stream(src)
+    events_stream.run_to_memory_sink(cleaned, "phones_stream", output_mode="append")
+    got = spark.table("phones_stream")
+    assert got.count() > 0
+    # every synthesized value matches the HK shape → all canonical + changed
+    assert got.filter(~F.col("value").rlike("^\\+852 \\d{8}$")).count() == 0
+    assert got.filter(~F.col("changed")).count() == 0

@@ -57,6 +57,9 @@ def get_spark(
         # carries no sub-microsecond residue.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Progress bars interleave with stdout when piped and can
+        # visually swallow result lines — keep output clean.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )

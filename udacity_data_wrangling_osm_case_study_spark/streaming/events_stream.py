@@ -1,0 +1,135 @@
+"""Structured Streaming variants of the engine's DAGs.
+
+The reference's only streaming-ish construct is a bounded-memory XML
+iterator (SURVEY.md §2.10) — there are no unbounded streams to port.
+These operators are the engine's forward-looking stream surface over
+the ``events`` table shape:
+
+- ``windowed_event_counts``: watermarked tumbling-window aggregation
+  (the streaming twin of the batch ``event_type_tumbling_5min`` query —
+  same grouping, plus a late-data policy).
+- ``clean_phones_stream``: the phone canonicalizer is stateless and
+  narrow, so the SAME column expression used in batch runs per
+  micro-batch unchanged — one cleaning implementation, two runtimes.
+- ``running_user_counts``: custom stateful operator via
+  ``applyInPandasWithState`` (Arrow-batched, partitioned by user).
+
+Scale posture: state is keyed by user/window and lives in the state
+store (RocksDB in production conf); watermarks bound it. No
+driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event parquet files (schema pinned —
+    streaming sources never infer)."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts+sums per event type. Late
+    rows beyond the watermark are dropped; state per (window, type) is
+    evicted once the watermark passes the window end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def clean_phones_stream(tags: DataFrame) -> DataFrame:
+    """The batch phone canonicalizer applied per micro-batch — the
+    expression is stateless, so it is literally the same Column."""
+    from udacity_data_wrangling_osm_case_study_spark.functions import phones as P
+
+    new_value = F.when(
+        P.is_phone_key(F.col("key")), P.fix_phone_value(F.col("value"))
+    ).otherwise(F.col("value"))
+    return tags.select(
+        "id",
+        "key",
+        new_value.alias("value"),
+        "type",
+        (~new_value.eqNullSafe(F.col("value"))).alias("changed"),
+    )
+
+
+RUNNING_COUNT_SCHEMA = "user_id bigint, n_events bigint"
+RUNNING_COUNT_STATE = "n bigint"
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count via
+    ``applyInPandasWithState`` — state is one bigint per user, updated
+    from Arrow batches, emitted each micro-batch (update mode)."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_COUNT_SCHEMA,
+        stateStructType=RUNNING_COUNT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream: DataFrame, name: str, output_mode: str = "update"
+) -> None:
+    """Drain a finite stream into a memory table (test/demo harness):
+    processes everything currently in the source, then stops."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
