@@ -75,29 +75,55 @@ def word_shingles(
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 8
 ) -> DataFrame:
-    """K minhash values per doc: min of md5(seed || shingle) per seed.
+    """K minhash values per doc as WIDE columns (id, h0..h{K-1}):
+    min of md5(seed || shingle) per seed.
 
-    Output: (id, seed, minhash). md5-hex strings order uniformly, so the
-    per-seed min is a permutation-min surrogate that is bit-identical
-    across engines.
+    md5-hex strings order uniformly, so the per-seed min is a
+    permutation-min surrogate that is bit-identical across engines.
+    Wide aggregation matters at scale: K mins in ONE groupBy pass over
+    the shingle frame instead of exploding it K× and shuffling
+    (id, seed) pairs — the shuffle volume is the doc count, not
+    K × shingle instances.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    seeded = shingles.select("id", "shingle", seeds)
-    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit("#"), F.col("shingle")))
-    return (
-        seeded.select("id", "seed", h.alias("h"))
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{s}#"), F.col("shingle")))
+        ).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*mins)
 
 
-def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
-    """Group the K minhashes into bands: (id, band, band_key)."""
-    banded = signatures.withColumn(
-        "band", (F.col("seed") / rows_per_band).cast("int")
+def lsh_bands(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """Slice the wide signature into bands: (id, band, band_key).
+
+    band_key = the band's minhashes sorted and '|'-joined (order inside
+    a band is irrelevant to bucket identity)."""
+    hash_cols = [c for c in signatures.columns if c != "id"]
+    n_bands = len(hash_cols) // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(
+                    F.array_sort(
+                        F.array(
+                            *[
+                                F.col(hash_cols[b * rows_per_band + r])
+                                for r in range(rows_per_band)
+                            ]
+                        )
+                    ),
+                    "|",
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    return banded.groupBy("id", "band").agg(
-        F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key")
+    return signatures.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
     )
 
 
@@ -135,6 +161,18 @@ def jaccard_pairs(
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     a = shingles.select(F.col("id").alias("id_a"), "shingle")
     b = shingles.select(F.col("id").alias("id_b"), "shingle")
+    if candidates is not None:
+        # Verify-only-candidates: restrict the inverted-index join to
+        # docs that appear in some candidate pair BEFORE the join — the
+        # verification cost scales with the candidate set, not the
+        # corpus (the LSH point at 100 TB).
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        a = a.join(cand_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        b = b.join(cand_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -142,10 +180,24 @@ def jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     if candidates is not None:
+        # …and keep only the true candidate pairs (candidate docs can
+        # co-shingle with each other without being a candidate pair).
         inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    # sizes is one row per doc — always broadcast-sized relative to the
+    # pair frame (docs ≪ pairs); hint it so neither join shuffles inter.
     scored = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+        inter.join(
+            F.broadcast(
+                sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a")
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b")
+            ),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.round(

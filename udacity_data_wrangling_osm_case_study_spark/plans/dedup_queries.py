@@ -79,9 +79,10 @@ def exact_dedup_prefix_groups(spark, sf_dir):
 def ngram_jaccard_pairs(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs via the inverted-index
     (shingle) self-join — cost scales with per-shingle df², never
-    corpus²."""
+    corpus². The shingle frame feeds three plan branches (sizes + both
+    join sides); cache it so the explode runs once."""
     docs = table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs)
+    sh = dedup.word_shingles(docs).cache()
     return dedup.jaccard_pairs(sh, min_jaccard=0.5).orderBy("id_a", "id_b")
 
 
@@ -123,12 +124,13 @@ def ngram_jaccard_pairs(spark, sf_dir):
 )
 def minhash_lsh_dupes(spark, sf_dir):
     """MinHash(8) + LSH(4 bands × 2 rows) candidate generation, then
-    exact-Jaccard verification of candidates only — the sub-quadratic
-    fuzzy-dedup path."""
+    exact-Jaccard verification restricted to candidate docs — the
+    sub-quadratic fuzzy-dedup path. Shingles and candidates are cached:
+    each feeds multiple plan branches."""
     docs = table(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs)
+    sh = dedup.word_shingles(docs).cache()
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
-    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sigs, rows_per_band=2))
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sigs, rows_per_band=2)).cache()
     verified = dedup.jaccard_pairs(sh, candidates=cand, min_jaccard=0.5)
     return verified.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
