@@ -20,6 +20,10 @@ from udacity_data_wrangling_osm_case_study_spark.session import get_spark
 
 HEADLINE = [
     "pricing_summary",
+    "shipping_priority",
+    "supplier_nation_volume",
+    "revenue_rollup",
+    "order_lineitem_balance",
     "region_rollup",
     "top_parts_by_revenue",
     "top_contributors",

@@ -1,0 +1,39 @@
+"""S3 sink fidelity: write the 6 tables to CSV, read them back with the
+contract schemas, and get identical relations."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from udacity_data_wrangling_osm_case_study_spark.operators import pipeline
+from udacity_data_wrangling_osm_case_study_spark.sources import csv_io
+from tests.conftest import OSM_SAMPLE, PSI_SAMPLE
+
+
+@pytest.fixture(scope="module")
+def roundtrip(spark):
+    tables = pipeline.build_tables(spark, OSM_SAMPLE, PSI_SAMPLE)
+    out = tempfile.mkdtemp(prefix="osmspark_csv_")
+    pipeline.write_csv(tables, out)
+    yield tables, out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["nodes", "nodes_tags", "ways", "ways_tags", "ways_nodes", "update_history"]
+)
+def test_csv_roundtrip_identical(spark, roundtrip, name):
+    tables, out = roundtrip
+    back = csv_io.read_output_table(spark, out, name)
+    orig = tables[name]
+    # nullability flags differ by construction (posexplode outputs are
+    # non-null; CSV reads are nullable) — names and types must match
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in orig.schema
+    ]
+    a = sorted(map(tuple, orig.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

@@ -1,0 +1,72 @@
+"""Layout utilities must change the PLAN, not just the files:
+partition pruning must reach the scan, and bucketed joins must drop
+the shuffle exchange."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators import layout
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import table
+from tests.conftest import SF_DIR
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partition_pruning_reaches_scan(spark):
+    d = tempfile.mkdtemp(prefix="layout_part_")
+    try:
+        orders = table(spark, SF_DIR, "orders").withColumn(
+            "yr", F.year("o_orderdate")
+        )
+        layout.write_partitioned(orders, d, ["yr"])
+        scan = spark.read.parquet(d).filter(F.col("yr") == 1997)
+        plan = _explain(scan)
+        assert "PartitionFilters" in plan and "yr" in plan.split("PartitionFilters")[1].splitlines()[0]
+        # pruned read returns exactly the 1997 orders
+        expect = orders.filter(F.col("yr") == 1997).count()
+        assert scan.count() == expect
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    warehouse = tempfile.mkdtemp(prefix="layout_wh_")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = table(spark, SF_DIR, "orders")
+        li = table(spark, SF_DIR, "lineitem")
+        layout.write_bucketed(
+            orders.select("o_orderkey", "o_totalprice"),
+            "orders_b", "o_orderkey", n_buckets=8,
+        )
+        layout.write_bucketed(
+            li.select("l_orderkey", "l_extendedprice"),
+            "lineitem_b", "l_orderkey", n_buckets=8,
+        )
+        a = layout.read_table(spark, "orders_b")
+        b = layout.read_table(spark, "lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = _explain(joined)
+        # both sides read bucketed → no Exchange feeding the join
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        shutil.rmtree(warehouse, ignore_errors=True)

@@ -1,0 +1,194 @@
+"""Join-heavy analytical queries (J4 surface widened): multi-way
+dimension joins, selective fact-fact joins, and rollup aggregations —
+the query shapes a 100 TB warehouse actually runs.
+
+Plan expectations (pinned by explain review): dimension sides broadcast;
+the orders⋈lineitem fact join shuffles on the join key once; rollup is
+a single pass with grouping sets (no union of re-scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+
+_DEC = "decimal(18,4)"
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, order_year, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: selective dimension filter, two joins, top-k by
+    aggregated revenue."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "order_year", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "supplier_nation_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def supplier_nation_volume(spark, sf_dir):
+    """TPC-H Q5-shaped: fact → three broadcast dimension hops with a
+    region filter pruning at the far end."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "revenue_rollup",
+    """
+    SELECT COALESCE(r_name, '<all>') AS r_name,
+           COALESCE(n_name, '<all>') AS n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY r_name, n_name
+    """,
+)
+def revenue_rollup(spark, sf_dir):
+    """ROLLUP grouping sets: per-nation, per-region subtotal, and grand
+    total in ONE aggregation pass (Expand + single shuffle — not a
+    union of re-scans)."""
+    cust = table(spark, sf_dir, "customer")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    region = F.broadcast(table(spark, sf_dir, "region"))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("r_name"),
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("n_name"),
+            "n_customers",
+            "total_acctbal",
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "order_lineitem_balance",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(n_items) AS BIGINT) AS total_items,
+           CAST(SUM(CASE WHEN ABS(item_total - o_totalprice) < 1e-6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_balanced
+    FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               COUNT(l_orderkey) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS item_total
+        FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, o_orderstatus, o_totalprice
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def order_lineitem_balance(spark, sf_dir):
+    """Fact-fact outer join + two-level aggregation: per-order item
+    totals reconciled against the order header (a data-quality check,
+    the warehouse cousin of the reference's audits)."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("item_total"),
+        )
+    )
+    return (
+        per_order.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("n_items").cast("bigint").alias("total_items"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("item_total") - F.col("o_totalprice")) < 1e-6, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_balanced"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -31,6 +31,7 @@ ORACLES: dict[str, str] = {}
 
 _QUERY_MODULES = (
     "udacity_data_wrangling_osm_case_study_spark.plans.exploration",
+    "udacity_data_wrangling_osm_case_study_spark.plans.join_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.window_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.cleaning_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.dedup_queries",

@@ -36,9 +36,13 @@ def get_spark(
         shuffle_partitions
         or os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: driver JVM hosts the executors — size it for the
+        # rig (default 1g OOMs once several frames are cached).
+        .config("spark.driver.memory", driver_mem)
         # --- Catalyst / AQE: let the optimizer do the physical planning ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
