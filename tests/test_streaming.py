@@ -89,3 +89,37 @@ def test_clean_phones_stream_matches_batch(spark, events_dir):
     # every synthesized value matches the HK shape → all canonical + changed
     assert got.filter(~F.col("value").rlike("^\\+852 \\d{8}$")).count() == 0
     assert got.filter(~F.col("changed")).count() == 0
+
+
+def test_session_window_stream_matches_batch(spark, events_dir):
+    """Native session windows: closed sessions emitted by the stream
+    must equal the batch session_window result; the per-user session
+    COUNT must also agree with the lag-based sessionization query."""
+    stream = events_stream.session_window_stats(
+        events_stream.read_events_stream(spark, events_dir)
+    )
+    events_stream.run_to_memory_sink(stream, "v_sess", output_mode="append")
+    got = spark.table("v_sess")
+
+    batch = events_stream.session_window_stats(table(spark, SF_DIR, "events"))
+    max_ts = table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(
+        F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    )
+    key = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    got_rows = sorted(map(tuple, got.select(key).collect()))
+    assert len(got_rows) > 0
+    assert got_rows == sorted(map(tuple, closed.select(key).collect()))
+
+    # cross-check: batch session COUNT per user == lag-based q
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+    queries, _ = registry.load_all()
+    lag_based = {
+        r.user_id: r.n_sessions
+        for r in queries["user_sessions"](spark, SF_DIR).collect()
+    }
+    native = {
+        r.user_id: r.n
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert native == lag_based

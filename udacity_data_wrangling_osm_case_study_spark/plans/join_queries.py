@@ -192,3 +192,49 @@ def order_lineitem_balance(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "fk_integrity",
+    """
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+               (SELECT o_orderkey FROM orders)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
+               (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+               (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+               (SELECT n_nationkey FROM nation))
+    ORDER BY relationship
+    """,
+)
+def fk_integrity(spark, sf_dir):
+    """Referential-integrity report via anti-joins — the warehouse twin
+    of the ETL's fk_way_exists validation rule (operators/validation.py).
+    Anti-joins against broadcastable key sets: no shuffle of the fact."""
+    def orphans(child, child_key, parent, parent_key, name):
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(parent_key)
+        return (
+            c.join(p, c[child_key] == p[parent_key], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("relationship"), "n_orphans")
+        )
+
+    rels = [
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),
+        orphans("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
+        orphans("orders", "o_custkey", "customer", "c_custkey", "orders->customer"),
+        orphans("customer", "c_nationkey", "nation", "n_nationkey", "customer->nation"),
+    ]
+    out = rels[0]
+    for r in rels[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("relationship")

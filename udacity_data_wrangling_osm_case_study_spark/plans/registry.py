@@ -62,6 +62,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to a proper timestamp via integer division (micros-exact,
     matching DuckDB's read of the same file).
     """
+    if name == "events":
+        # Defensive: the harness may hand us a session built without
+        # this conf (it is runtime-settable) — without it the scan
+        # throws PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

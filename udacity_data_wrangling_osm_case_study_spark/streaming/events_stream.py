@@ -133,3 +133,28 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows: per user, events within ``gap`` of each
+    other merge into one session; a session closes when the watermark
+    passes its end. State is (user, open-session) — bounded by the
+    watermark, evicted on close. Works identically on batch frames
+    (no watermark needed there)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
