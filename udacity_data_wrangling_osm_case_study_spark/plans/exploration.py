@@ -367,3 +367,31 @@ def eav_pivot_user_spend(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_value_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group — both engines
+    implement the same (1-d)*lo + d*hi rule over the sorted values, so
+    results agree to rounding."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("event_type")
+    )
