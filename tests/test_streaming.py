@@ -123,3 +123,17 @@ def test_session_window_stream_matches_batch(spark, events_dir):
         for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert native == lag_based
+
+
+def test_stream_dedup_within_watermark(spark, events_dir):
+    """Feeding the same source twice (a replay) must yield each
+    event_id once."""
+    doubled = events_stream.read_events_stream(spark, events_dir).unionByName(
+        events_stream.read_events_stream(spark, events_dir)
+    )
+    deduped = events_stream.dedup_events_stream(doubled)
+    events_stream.run_to_memory_sink(deduped, "v_dedup", output_mode="append")
+    got = spark.table("v_dedup")
+    n_src = table(spark, SF_DIR, "events").count()
+    assert got.count() == n_src
+    assert got.select("event_id").distinct().count() == n_src

@@ -286,3 +286,51 @@ def embedding_near_duplicates(
         .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
     )
     return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Transitive closure of the duplicate-pair graph: (id, comp) where
+    comp is the minimum id reachable from id — the canonical keeper of
+    each near-dup cluster.
+
+    Iterative min-label propagation: each round every vertex adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow). The
+    driver loop checks only a changed-count per round — data never
+    leaves the executors. At 100 TB this is the standard large-graph CC
+    pattern (label propagation over edge joins); ``max_iter`` bounds
+    runaway graphs.
+    """
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("comp").alias("nmin"))
+            .withColumnRenamed("id_a", "id")
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "new_comp"
+                ),
+                "comp",
+            )
+        ).cache()
+        changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
+        labels = updated.select("id", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return labels

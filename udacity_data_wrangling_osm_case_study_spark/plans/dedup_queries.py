@@ -217,3 +217,39 @@ def embedding_near_dupes(spark, sf_dir):
         .select("id_a", "id_b", "cosine_bp")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS id, LEAST(s, MIN(d)) AS comp
+    FROM reach GROUP BY s ORDER BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → transitive clusters via iterative min-label
+    propagation (each cluster labeled by its minimum doc id — the
+    keeper). Oracle: recursive-CTE transitive closure."""
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs).cache()
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
+    return dedup.connected_components(pairs).orderBy("id")

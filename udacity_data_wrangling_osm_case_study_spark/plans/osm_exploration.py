@@ -88,4 +88,34 @@ EXPLORATION_SQL: dict[str, str] = {
         FROM update_history GROUP BY element_type, field_updated
         ORDER BY element_type, field_updated
     """,
+    # longest streets by haversine length over the ordered node chain
+    # (ways_nodes position ordering joined to node coordinates)
+    "longest_streets": """
+        WITH pts AS (
+            SELECT wn.id, wn.position, n.lat, n.lon
+            FROM ways_nodes wn JOIN nodes n ON wn.node_id = n.id
+        ),
+        segs AS (
+            SELECT id,
+                   lat, lon,
+                   LAG(lat) OVER (PARTITION BY id ORDER BY position) AS plat,
+                   LAG(lon) OVER (PARTITION BY id ORDER BY position) AS plon
+            FROM pts
+        ),
+        lengths AS (
+            SELECT id,
+                   SUM(2 * 6371000 * ASIN(SQRT(
+                       POWER(SIN(RADIANS(lat - plat) / 2), 2)
+                       + COS(RADIANS(plat)) * COS(RADIANS(lat))
+                         * POWER(SIN(RADIANS(lon - plon) / 2), 2)
+                   ))) AS length_m
+            FROM segs WHERE plat IS NOT NULL GROUP BY id
+        )
+        SELECT t.value AS name, ROUND(l.length_m, 1) AS length_m
+        FROM lengths l
+        JOIN ways_tags t ON t.id = l.id
+           AND t.key = 'name' AND t.type = 'regular'
+        JOIN ways_tags h ON h.id = l.id AND h.key = 'highway'
+        ORDER BY l.length_m DESC, name LIMIT 10
+    """,
 }

@@ -170,3 +170,35 @@ def props_key_histogram(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@register(
+    "regex_token_count",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_symbol_tokens,
+               len({_TOKS}) AS n_ws_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_word_tokens, n_symbol_tokens, n_ws_tokens,
+           n_word_tokens + n_symbol_tokens AS n_bpe_ish_tokens
+    FROM t ORDER BY doc_id
+    """,
+)
+def regex_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    tokenizer (alnum runs + individual symbols) — the pre-tokenization
+    cost model for an LLM data pipeline, all in one scan."""
+    docs = table(spark, sf_dir, "documents")
+    word = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+    sym = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), 0))
+    ws = F.size(textstats.tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        word.alias("n_word_tokens"),
+        sym.alias("n_symbol_tokens"),
+        ws.alias("n_ws_tokens"),
+        (word + sym).alias("n_bpe_ish_tokens"),
+    ).orderBy("doc_id")

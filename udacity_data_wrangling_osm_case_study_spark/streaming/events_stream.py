@@ -158,3 +158,16 @@ def session_window_stats(
             "total_value",
         )
     )
+
+
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated event_ids arriving within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    training-pipeline ingest guard against replayed/duplicated source
+    batches. State is one key per event inside the horizon, evicted as
+    the watermark advances (bounded, unlike a naive distinct)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
