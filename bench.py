@@ -64,18 +64,47 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # Full OSM ETL on the reference's own sample — comparable to
+    # BASELINE.md's measured 2.75 s reference wall time (same input,
+    # same six outputs). Reported as a side metric, not in the query
+    # total: at 3.9 MB the time is Spark plan-compilation overhead, not
+    # data work (BASELINE.md documents this; the scale story is the
+    # sharded parallel scan).
+    osm = "/root/reference/shatin.osm"
+    psi = "/root/reference/PSI_Street Name_062017.xml"
+    osm_etl_sec = None
+    if os.path.exists(osm):
+        import shutil
+        import tempfile
+
+        from udacity_data_wrangling_osm_case_study_spark.operators import pipeline
+
+        best = float("inf")
+        for _ in range(2):
+            shard_dir = tempfile.mkdtemp(prefix="bench_osm_shards_")
+            t0 = time.time()
+            # timed end-to-end incl. the sharding pass (scan parallelism)
+            tables = pipeline.build_tables(
+                spark, osm, psi, shard_dir=shard_dir, shard_bytes=512 * 1024
+            )
+            for df in tables.values():
+                df.count()
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()
+            shutil.rmtree(shard_dir, ignore_errors=True)
+        osm_etl_sec = round(best, 3)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if osm_etl_sec is not None:
+        out["osm_etl_shatin_sec"] = osm_etl_sec
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -27,9 +27,25 @@ def build_tables(
     osm_path: str,
     psi_path: str,
     persist: bool = True,
+    shard_dir: str | None = None,
+    shard_bytes: int = 128 * 1024 * 1024,
 ) -> dict[str, DataFrame]:
     """Returns the 6-table dict: nodes, nodes_tags, ways, ways_nodes,
-    ways_tags, update_history."""
+    ways_tags, update_history.
+
+    ``persist`` pins the two raw XML parses (and the dimension table):
+    six sinks otherwise re-parse the XML per action — the multi-sink
+    economics of SURVEY.md §4. ``shard_dir`` routes the input through
+    the element-aligned splitter first (sources/osm_split.py): Spark's
+    XML source doesn't split within one file, so sharding is what makes
+    the parse scale with cores/executors.
+    """
+    if shard_dir is not None:
+        from udacity_data_wrangling_osm_case_study_spark.sources import osm_split
+
+        osm_split.split_osm_xml(osm_path, shard_dir, target_bytes=shard_bytes)
+        osm_path = f"{shard_dir}/*.osm"
+
     official = official_streets.clean_official_streets(
         osm_xml.read_official_streets_raw(spark, psi_path)
     )
@@ -37,6 +53,11 @@ def build_tables(
 
     nodes_raw = osm_xml.read_nodes_raw(spark, osm_path)
     ways_raw = osm_xml.read_ways_raw(spark, osm_path)
+    if persist:
+        # One parse per rowTag, shared by every downstream sink.
+        nodes_raw = nodes_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        ways_raw = ways_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        official = official.persist(StorageLevel.MEMORY_AND_DISK)
 
     nodes = shape.shape_nodes(nodes_raw)
     ways = shape.shape_ways(ways_raw)

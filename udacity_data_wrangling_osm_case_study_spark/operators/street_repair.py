@@ -127,9 +127,14 @@ def repair_street_names(
     ``updated_ids`` has one ``id`` row per way whose names changed —
     the 'name' CDC feed (S4).
     """
+    # canon feeds three plan branches (overwrite join, presence
+    # semi-join, gap synthesis) and the CDC count; Spark has no
+    # common-subplan sharing across branches, so without a persist the
+    # variants→match→back-join chain executes once per branch. canon is
+    # one small row per uniquely-matched street way — cache it.
     canon = canonical_names(
         match_variants(street_name_variants(ways_tags_pos), lookup), official
-    )
+    ).cache()
 
     j = ways_tags_pos.join(canon, "id", "left")
     new_value = (
@@ -172,7 +177,9 @@ def repair_street_names(
         )
         appended = rows if appended is None else appended.unionByName(rows)
 
-    all_tags = overwritten.unionByName(appended)
+    # all_tags feeds both the repaired-tags sink and the CDC updated-ids
+    # aggregate — cache so the overwrite/append work runs once.
+    all_tags = overwritten.unionByName(appended).cache()
     repaired = all_tags.select("id", "key", "value", "type")
     updated_ids = (
         all_tags.groupBy("id")
