@@ -153,9 +153,9 @@ def region_rollup(spark, sf_dir):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
@@ -180,9 +180,9 @@ def pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
             F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("avg_price"),
             F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
@@ -221,7 +221,7 @@ def orders_by_month(spark, sf_dir):
     "top_parts_by_revenue",
     """
     SELECT p_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_name ORDER BY revenue DESC, p_name LIMIT 10
@@ -238,7 +238,7 @@ def top_parts_by_revenue(spark, sf_dir):
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.desc("revenue"), "p_name")

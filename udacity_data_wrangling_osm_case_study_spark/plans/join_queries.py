@@ -20,8 +20,8 @@ _DEC = "decimal(18,4)"
     "shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
            CAST(date_part('year', o_orderdate) AS INT) AS order_year,
            o_orderpriority
     FROM customer
@@ -57,7 +57,7 @@ def shipping_priority(spark, sf_dir):
             F.year("o_orderdate").alias("order_year"),
             "o_orderpriority",
         )
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "order_year", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -68,8 +68,8 @@ def shipping_priority(spark, sf_dir):
     "supplier_nation_volume",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -97,7 +97,7 @@ def supplier_nation_volume(spark, sf_dir):
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy(F.desc("revenue"), "n_name")
