@@ -178,37 +178,40 @@ def simhash_clusters(spark, sf_dir):
     WITH v AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    n AS (SELECT vec_id, label, v,
-                 sqrt(list_dot_product(v, v)) AS nrm FROM v)
+    n AS (SELECT vec_id, label,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+          FROM v)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000)
-                AS BIGINT) AS cosine_bp
+           CAST(ROUND(list_dot_product(a.u, b.u) * 10000) AS BIGINT) AS cosine_bp
     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 10000)
-               AS BIGINT) >= 4000
+    WHERE CAST(ROUND(list_dot_product(a.u, b.u) * 10000) AS BIGINT) >= 4000
     ORDER BY id_a, id_b
     """,
 )
 def embedding_near_dupes(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-blocked (at scale the
     block key is an LSH bucket / coarse-quantizer cell so the self-join
-    never goes quadratic). Cosine exposed in basis points."""
+    never goes quadratic). Vectors are unit-normalized BEFORE the
+    self-join — per pair only the dot product remains (the n² work),
+    the sqrt/divisions stay linear in the corpus. Both engines
+    normalize the same way so the IEEE op sequence stays identical."""
     emb = table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
         F.col("vec_id").alias("id"), v.alias("v"), F.col("label").alias("blk")
-    ).withColumn(
-        "nrm",
-        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
     )
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "blk")
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "blk")
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    base = base.select(
+        "id", "blk", F.transform(F.col("v"), lambda x: x / nrm).alias("u")
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("u").alias("ua"), "blk")
+    b = base.select(F.col("id").alias("id_b"), F.col("u").alias("ub"), "blk")
     dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    bp = F.round(dot / (F.col("na") * F.col("nb")) * 10000).cast("bigint")
+    bp = F.round(dot * 10000).cast("bigint")
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
