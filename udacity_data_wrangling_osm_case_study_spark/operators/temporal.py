@@ -1,0 +1,116 @@
+"""Temporal join operators Spark lacks natively: as-of and range joins.
+
+SURVEY.md §2.3 notes the reference has no as-of/range/interval joins;
+these are the standard warehouse temporal operators, implemented with
+scale-correct plans:
+
+- **as-of** via the union+ordered-window pattern: interleave both
+  sides on (key, time), then ``last(right_value, ignorenulls)`` over an
+  unbounded-preceding window. ONE shuffle on the key, one sort —
+  exactly a sort-merge join's cost, no per-row probing, no
+  equality-range explosion. (A naive join-then-max_by explodes on
+  per-key pair counts.)
+- **range** via time-bucketing: candidates only form between rows in
+  the same or adjacent buckets, then the exact interval predicate
+  filters. Join fan-out drops from |key-group|² to per-bucket products
+  — the standard banded-join trick for interval predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    left_val: str,
+    right_val: str,
+) -> DataFrame:
+    """For each left row, the latest right row with the same key and a
+    strictly earlier time. Output: (key, time, left_val, right_val) —
+    right_val NULL when no prior right row exists.
+
+    Assumes (key, time) is unique across both sides (ties between the
+    sides are otherwise ambiguous — same contract as engines' ASOF).
+    """
+    l_tag = left.select(
+        F.col(key).alias("k"),
+        F.col(time_col).alias("t"),
+        F.col(left_val).alias("lv"),
+        F.lit(None).cast("long").alias("rv"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("k"),
+        F.col(time_col).alias("t"),
+        F.lit(None).cast("long").alias("lv"),
+        F.col(right_val).alias("rv"),
+    )
+    # strictly-earlier: exclude the current row from the carry window
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = l_tag.unionByName(r_tag).withColumn(
+        "prior_rv", F.last("rv", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("lv").isNotNull()).select(
+        F.col("k").alias(key),
+        F.col("t").alias(time_col),
+        F.col("lv").alias(left_val),
+        F.col("prior_rv").alias(f"asof_{right_val}"),
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Pairs (left, right) with the same key where right's time lies in
+    (left_time, left_time + max_gap_seconds]. Banded: both sides bucket
+    by floor(epoch/gap); right can only land in the left row's bucket
+    or the next one.
+
+    Output: left.* prefixed 'l_', right.* prefixed 'r_' for the key and
+    time columns plus ``gap_seconds``.
+    """
+    # integer microseconds end to end — no float rounding anywhere
+    gap_us = max_gap_seconds * 1_000_000
+    ep = F.unix_micros(F.col(time_col))
+    bucket = F.floor(ep / gap_us).cast("long")
+    l_b = left.select(
+        F.col(key).alias("k"),
+        F.col(time_col).alias("l_t"),
+        ep.alias("l_ep"),
+        bucket.alias("b"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, time_col)],
+    )
+    r_base = right.select(
+        F.col(key).alias("k"),
+        F.col(time_col).alias("r_t"),
+        ep.alias("r_ep"),
+        bucket.alias("rb"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, time_col)],
+    )
+    # each right row is a candidate for its own bucket and the previous
+    r_expanded = r_base.withColumn(
+        "b", F.explode(F.array(F.col("rb"), F.col("rb") - 1))
+    ).drop("rb")
+    joined = l_b.join(r_expanded, ["k", "b"])
+    return (
+        joined.filter(
+            (F.col("r_ep") > F.col("l_ep"))
+            & (F.col("r_ep") <= F.col("l_ep") + gap_us)
+        )
+        .withColumn(
+            "gap_seconds", F.expr("(r_ep - l_ep) div 1000000").cast("long")
+        )
+        .drop("b", "l_ep", "r_ep")
+    )

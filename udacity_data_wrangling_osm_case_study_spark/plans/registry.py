@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "udacity_data_wrangling_osm_case_study_spark.plans.exploration",
     "udacity_data_wrangling_osm_case_study_spark.plans.join_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.window_queries",
+    "udacity_data_wrangling_osm_case_study_spark.plans.temporal_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.cleaning_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.dedup_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.similarity_queries",
