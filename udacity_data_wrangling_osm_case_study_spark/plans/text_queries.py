@@ -202,3 +202,36 @@ def regex_token_count(spark, sf_dir):
         ws.alias("n_ws_tokens"),
         (word + sym).alias("n_bpe_ish_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "train_val_test_split",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 10 THEN 'test'
+                WHEN bucket < 20 THEN 'val'
+                ELSE 'train' END AS split,
+           lang, COUNT(*) AS n
+    FROM b GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def train_val_test_split(spark, sf_dir):
+    """Deterministic content-hash dataset split (10/10/80): the same
+    doc always lands in the same split, across engines, runs, and
+    repartitioning — RNG sampling can guarantee none of that. Output:
+    split × lang counts (the stratification audit)."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import sampling
+
+    docs = sampling.train_val_test_split(
+        table(spark, sf_dir, "documents"), "doc_id"
+    )
+    return (
+        docs.groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split", "lang")
+    )
