@@ -39,6 +39,9 @@ HEADLINE = [
     "knn_ivf",
     "doc_profiles",
     "top_words",
+    "purchase_click_attribution",
+    "error_followup_pairs",
+    "train_val_test_split",
 ]
 
 

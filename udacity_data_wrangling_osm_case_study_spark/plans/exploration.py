@@ -395,3 +395,21 @@ def event_value_percentiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register("approx_distinct_users")  # HLL sketches differ per engine — rows-only
+def approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) beside the exact count —
+    the constant-memory cardinality path for 100 TB groupBys. No SQL
+    oracle: HLL sketch implementations differ across engines by
+    construction, so the driver records the weaker rows-only check; the
+    exact column doubles as the in-row accuracy reference."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
