@@ -235,3 +235,117 @@ def train_val_test_split(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "doc_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(toks) - 10, 1) + 1, 20),
+                   s -> struct_pack(
+                       chunk_idx := (s - 1) // 20,
+                       chunk_tokens := len(toks[s:least(s + 29, len(toks))]),
+                       chunk_hash := md5(array_to_string(
+                           toks[s:least(s + 29, len(toks))], ' '))
+                   ))) AS c
+        FROM t
+    )
+    SELECT doc_id, c.chunk_idx AS chunk_idx,
+           c.chunk_tokens AS chunk_tokens, c.chunk_hash AS chunk_hash
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Training-data chunking: 30-token windows with 10-token overlap
+    (stride 20), pure higher-order array expressions — the map-side
+    segmentation step of an LLM ingest pipeline, no UDTF/UDF needed.
+    Starts are bounded by n-10 which still guarantees every token lands
+    in some chunk (the previous window always reaches the tail);
+    probe-verified across doc sizes incl. sub-window docs."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "), " "
+    )
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - 10, F.lit(1)), F.lit(20))
+    chunk = lambda s: F.slice(toks, s, 30)
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / 20).cast("long").alias("chunk_idx"),
+            F.size(chunk(s)).alias("chunk_tokens"),
+            F.md5(F.array_join(chunk(s), " ")).alias("chunk_hash"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * CAST(ROUND(ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000)
+                            AS BIGINT) AS score_micro
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score_micro FROM (
+        SELECT doc_id, term, score_micro,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_micro DESC, term) AS rn
+        FROM scored
+    ) WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF: per-doc top term. IDF is integer-scaled (micro units)
+    BEFORE the tf multiplication so ranking never rides on float
+    products; df comes from the inverted index (term -> doc count),
+    idf joins back broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "), " ")
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n_docs"))
+    idf = (
+        df_.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(F.log(F.col("n_docs").cast("double") / F.col("df")) * 1000000)
+            .cast("bigint")
+            .alias("idf_micro"),
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf_micro")).alias("score_micro")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "score_micro")
+        .orderBy("doc_id")
+    )
