@@ -238,3 +238,120 @@ def fk_integrity(spark, sf_dir):
     for r in rels[1:]:
         out = out.unionByName(r)
     return out.orderBy("relationship")
+
+
+@register(
+    "merge_upsert_customers",
+    """
+    WITH updates AS (
+        SELECT c_custkey, c_name, CAST(0.0 AS DOUBLE) AS c_acctbal,
+               c_nationkey, c_mktsegment,
+               (c_custkey % 500 = 0) AS deleted
+        FROM customer WHERE c_custkey % 100 = 0
+        UNION ALL
+        SELECT 9000000 + r AS c_custkey,
+               'NewCustomer#' || CAST(r AS VARCHAR) AS c_name,
+               CAST(100.0 AS DOUBLE) AS c_acctbal,
+               CAST(r % 25 AS INT) AS c_nationkey,
+               'MACHINERY' AS c_mktsegment,
+               FALSE AS deleted
+        FROM range(1, 21) t(r)
+    ),
+    merged AS (
+        SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+               COALESCE(u.deleted, FALSE) AS _dead,
+               COALESCE(u.c_name, t.c_name) AS c_name,
+               COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal,
+               COALESCE(u.c_nationkey, t.c_nationkey) AS c_nationkey,
+               COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+        FROM customer t FULL OUTER JOIN updates u
+          ON t.c_custkey = u.c_custkey
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_acctbal,
+           CAST(SUM(CASE WHEN c_custkey >= 9000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted,
+           CAST(SUM(CASE WHEN c_acctbal = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zeroed
+    FROM merged WHERE NOT _dead
+    """,
+)
+def merge_upsert_customers(spark, sf_dir):
+    """MERGE/upsert applied to the customer snapshot: zero the balance
+    of every 100th customer, tombstone every 500th, insert 20 new rows
+    — then checksum the merged relation. One full-outer join on the key
+    (operators/upsert.py)."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import upsert
+
+    cust = table(spark, sf_dir, "customer")
+    mod_updates = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % 500 == 0).alias("deleted"),
+    )
+    new_rows = (
+        spark.range(1, 21)
+        .select(
+            (F.col("id") + 9000000).alias("c_custkey"),
+            F.concat(F.lit("NewCustomer#"), F.col("id").cast("string")).alias("c_name"),
+            F.lit(100.0).alias("c_acctbal"),
+            (F.col("id") % 25).cast("int").alias("c_nationkey"),
+            F.lit("MACHINERY").alias("c_mktsegment"),
+            F.lit(False).alias("deleted"),
+        )
+    )
+    merged = upsert.merge_upsert(
+        cust, mod_updates.unionByName(new_rows), "c_custkey", tombstone_col="deleted"
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_acctbal"),
+        F.sum(F.when(F.col("c_custkey") >= 9000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserted"),
+        F.sum(F.when(F.col("c_acctbal") == 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zeroed"),
+    )
+
+
+@register(
+    "order_value_deciles",
+    """
+    WITH t AS (
+        SELECT o_orderpriority, o_totalprice,
+               NTILE(10) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT o_orderpriority, decile, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_value
+    FROM t GROUP BY o_orderpriority, decile
+    ORDER BY o_orderpriority, decile
+    """,
+)
+def order_value_deciles(spark, sf_dir):
+    """NTILE distribution window: per-priority order-value deciles with
+    a unique tie-break so bucket assignment is engine-stable."""
+    from pyspark.sql import Window
+
+    od = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
