@@ -21,24 +21,41 @@ from udacity_data_wrangling_osm_case_study_spark.functions import keys as K
 NODE_FIELDS = ["id", "lat", "lon", "user", "uid", "version", "changeset", "timestamp"]
 WAY_FIELDS = ["id", "user", "uid", "version", "changeset", "timestamp"]
 
+# Contract types per output column; shaping try_casts so a lenient
+# (all-strings) read degrades malformed values to NULL instead of
+# failing the scan — validation then reports them.
+_FIELD_TYPES = {
+    "id": "bigint", "lat": "double", "lon": "double", "user": "string",
+    "uid": "bigint", "version": "int", "changeset": "bigint",
+    "timestamp": "string",
+}
+
+
+def _typed(field: str):
+    return F.expr(f"try_cast(_{field} AS {_FIELD_TYPES[field]})").alias(field)
+
 
 def shape_nodes(nodes_raw: DataFrame) -> DataFrame:
     """``nodes(id, lat, lon, user, uid, version, changeset, timestamp)``."""
-    return nodes_raw.select(*[F.col(f"_{f}").alias(f) for f in NODE_FIELDS])
+    return nodes_raw.select(*[_typed(f) for f in NODE_FIELDS])
 
 
 def shape_ways(ways_raw: DataFrame) -> DataFrame:
     """``ways(id, user, uid, version, changeset, timestamp)``."""
-    return ways_raw.select(*[F.col(f"_{f}").alias(f) for f in WAY_FIELDS])
+    return ways_raw.select(*[_typed(f) for f in WAY_FIELDS])
 
 
 def shape_way_nodes(ways_raw: DataFrame) -> DataFrame:
     """``ways_nodes(id, node_id, position)`` — ``posexplode`` keeps the
     XML document order as the ordinal with zero shuffle (W1)."""
     return ways_raw.select(
-        F.col("_id").alias("id"),
+        F.expr("try_cast(_id AS bigint)").alias("id"),
         F.posexplode("nd").alias("position", "nd"),
-    ).select("id", F.col("nd._ref").alias("node_id"), "position")
+    ).select(
+        "id",
+        F.expr("try_cast(nd._ref AS bigint)").alias("node_id"),
+        "position",
+    )
 
 
 def shape_tags(raw: DataFrame, with_pos: bool = False) -> DataFrame:
@@ -50,7 +67,7 @@ def shape_tags(raw: DataFrame, with_pos: bool = False) -> DataFrame:
     ("last tag wins") semantics matter.
     """
     exploded = raw.select(
-        F.col("_id").alias("id"),
+        F.expr("try_cast(_id AS bigint)").alias("id"),
         F.posexplode("tag").alias("pos", "t"),
     ).select("id", "pos", F.col("t._k").alias("k"), F.col("t._v").alias("value"))
     shaped = exploded.filter(~K.has_problem_chars(F.col("k"))).select(

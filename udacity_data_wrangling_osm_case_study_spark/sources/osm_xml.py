@@ -26,14 +26,25 @@ def _read_xml(
     )
 
 
-def read_nodes_raw(spark: SparkSession, osm_path: str) -> DataFrame:
-    """Raw <node> elements: attribute columns + nested tag array (S1)."""
-    return _read_xml(spark, osm_path, "node", schemas.OSM_NODE_SCHEMA)
+def read_nodes_raw(
+    spark: SparkSession, osm_path: str, lenient: bool = False
+) -> DataFrame:
+    """Raw <node> elements: attribute columns + nested tag array (S1).
+
+    ``lenient=True`` reads every attribute as a string (dirty exports:
+    one malformed number fails a typed ANSI scan outright); shaping
+    then try_casts and operators/validation.py flags the casualties.
+    """
+    schema = schemas.OSM_NODE_SCHEMA_LENIENT if lenient else schemas.OSM_NODE_SCHEMA
+    return _read_xml(spark, osm_path, "node", schema)
 
 
-def read_ways_raw(spark: SparkSession, osm_path: str) -> DataFrame:
+def read_ways_raw(
+    spark: SparkSession, osm_path: str, lenient: bool = False
+) -> DataFrame:
     """Raw <way> elements; nd array order is the document order (S1/W1)."""
-    return _read_xml(spark, osm_path, "way", schemas.OSM_WAY_SCHEMA)
+    schema = schemas.OSM_WAY_SCHEMA_LENIENT if lenient else schemas.OSM_WAY_SCHEMA
+    return _read_xml(spark, osm_path, "way", schema)
 
 
 def read_official_streets_raw(spark: SparkSession, psi_path: str) -> DataFrame:
