@@ -13,6 +13,12 @@ blacklist step (SURVEY.md §2.12); reproduced via
 tag whose key is phone/fax or whose ;-split value segments match the
 tolerant phone shapes, plus the key frequency count and the character
 census that justified the cleaner's strip-regex.
+
+Documented divergence: the reference appends a tag once PER matching
+;-segment (audit_phone_numbers.py:154-161 has no break), so a value
+with two phone-like segments would produce a duplicate report row;
+this implementation reports each tag once. No tag in the shipped
+sample has multiple matching segments, so the golden outputs agree.
 """
 
 from __future__ import annotations
