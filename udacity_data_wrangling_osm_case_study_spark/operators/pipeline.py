@@ -74,7 +74,7 @@ def build_tables(
         ways_tags_pos = ways_tags_pos.persist(StorageLevel.MEMORY_AND_DISK)
 
     ways_tags, way_name_ids = street_repair.repair_street_names(
-        ways_tags_pos, lookup, official
+        ways_tags_pos, lookup, official, ways_raw=ways_raw
     )
     history = cleaning.update_history(node_phone_ids, way_phone_ids, way_name_ids)
 

@@ -94,6 +94,61 @@ def street_name_variants(ways_tags_pos: DataFrame) -> DataFrame:
     return melted.groupBy("id", "variant").agg(F.max_by("name", "pos").alias("name"))
 
 
+def street_name_variants_raw(ways_raw: DataFrame) -> DataFrame:
+    """A5 computed ROW-LOCALLY on the raw nested tag arrays — same
+    output as :func:`street_name_variants`, zero shuffle.
+
+    Every way element carries its whole tag array, so the street gate
+    (exists), the last-wins variant picks, and the regex extractions
+    are all array expressions on the way row; only the handful of
+    street ways then explode into (id, variant, name). At scale this
+    removes two groupBy shuffles and several passes over the exploded
+    EAV frame (the raw key forms are exact: 'name:en'/'name:zh' are the
+    only keys that first-colon-split to (name, en/zh); 'name' is the
+    only colon-free 'name' key — and none contain problem chars, so
+    the P2 filter cannot affect them).
+    """
+    tag = F.col("tag")
+    is_street = F.exists(
+        tag,
+        lambda t: (t["_k"] == "highway") & t["_v"].isin(STREET_VALUES),
+    )
+    streets = ways_raw.filter(tag.isNotNull() & is_street)
+
+    def last_value(key: str):
+        vals = F.filter(tag, lambda t: t["_k"] == key)
+        return F.try_element_at(vals, F.lit(-1))["_v"]
+
+    def last_extract(extract_fn):
+        reg_vals = F.transform(
+            F.filter(tag, lambda t: t["_k"] == "name"),
+            lambda t: extract_fn(t["_v"]),
+        )
+        non_null = F.filter(reg_vals, lambda x: x.isNotNull())
+        return F.try_element_at(non_null, F.lit(-1))
+
+    variants = F.array(
+        F.struct(F.lit("en_only").alias("variant"), last_value("name:en").alias("name")),
+        F.struct(F.lit("zh_only").alias("variant"), last_value("name:zh").alias("name")),
+        F.struct(
+            F.lit("reg_eng").alias("variant"),
+            last_extract(N.extract_english_name).alias("name"),
+        ),
+        F.struct(
+            F.lit("reg_chi").alias("variant"),
+            last_extract(N.extract_chinese_name).alias("name"),
+        ),
+    )
+    return (
+        streets.select(
+            F.expr("try_cast(_id AS bigint)").alias("id"),
+            F.explode(variants).alias("v"),
+        )
+        .select("id", F.col("v.variant").alias("variant"), F.col("v.name").alias("name"))
+        .filter(F.col("name").isNotNull())
+    )
+
+
 def match_variants(variants: DataFrame, lookup: DataFrame) -> DataFrame:
     """J1 + A4: probe variants into the broadcast name→idx table; per
     way collect matched official indexes and count misses."""
@@ -119,22 +174,30 @@ def canonical_names(matched: DataFrame, official: DataFrame) -> DataFrame:
 
 
 def repair_street_names(
-    ways_tags_pos: DataFrame, lookup: DataFrame, official: DataFrame
+    ways_tags_pos: DataFrame,
+    lookup: DataFrame,
+    official: DataFrame,
+    ways_raw: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """F5 overwrite-or-insert. Returns ``(repaired_tags, updated_ids)``.
 
     ``repaired_tags`` has columns (id, key, value, type);
     ``updated_ids`` has one ``id`` row per way whose names changed —
-    the 'name' CDC feed (S4).
+    the 'name' CDC feed (S4). When ``ways_raw`` is provided, variants
+    come from the shuffle-free row-local path
+    (:func:`street_name_variants_raw`).
     """
+    variants = (
+        street_name_variants_raw(ways_raw)
+        if ways_raw is not None
+        else street_name_variants(ways_tags_pos)
+    )
     # canon feeds three plan branches (overwrite join, presence
     # semi-join, gap synthesis) and the CDC count; Spark has no
     # common-subplan sharing across branches, so without a persist the
     # variants→match→back-join chain executes once per branch. canon is
     # one small row per uniquely-matched street way — cache it.
-    canon = canonical_names(
-        match_variants(street_name_variants(ways_tags_pos), lookup), official
-    ).cache()
+    canon = canonical_names(match_variants(variants, lookup), official).cache()
 
     j = ways_tags_pos.join(canon, "id", "left")
     new_value = (
