@@ -122,3 +122,62 @@ def test_multimodal_stub_gate(spark):
     media = multimodal.documents_as_media(df)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_word_shingles_short_doc_is_empty(spark):
+    # Regression: a doc shorter than n tokens used to hit a descending
+    # sequence and a 0-start slice (runtime error); it must simply
+    # produce no shingles.
+    df = spark.createDataFrame([(1, "just two"), (2, "one two three four")],
+                               ["doc_id", "text"])
+    out = dedup.word_shingles(df, n=3).collect()
+    ids = {r.id for r in out}
+    assert ids == {2}
+    assert {r.shingle for r in out} == {"one two three", "two three four"}
+
+
+def test_scrub_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "the table and the row"), (2, "nothing to hide")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in
+            textstats.scrub_terms(df, ["table", "row"]).collect()}
+    assert rows[1].n_scrubbed == 2
+    assert rows[2].n_scrubbed == 0
+    # whole-word only: 'rows' must not match 'row'
+    df2 = spark.createDataFrame([(3, "rows are not row")], ["doc_id", "text"])
+    assert textstats.scrub_terms(df2, ["row"]).collect()[0].n_scrubbed == 1
+
+
+def test_repetition_profile(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # top token 4/4; bigrams: 'a a' x3 -> 2 dups of 3
+            (2, "a b c d"),          # all unique
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in textstats.repetition_profile(df).collect()}
+    assert rows[1].top_token_bp == 10000
+    assert rows[1].dup_bigram_bp == (2 * 10000) // 3
+    assert rows[2].top_token_bp == 2500
+    assert rows[2].dup_bigram_bp == 0
+
+
+def test_contamination_report(spark):
+    # ids 0 and 11 are "benchmark" (id % 11 == 0); doc 1 copies doc 0's
+    # text, doc 2 is clean.
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (11, "unrelated benchmark text entirely different words"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally clean document with fresh content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dedup.contamination_report(df).collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_shared_grams == 2   # two 5-gram windows in a 6-token doc
+    assert rows[1].n_benchmark_docs == 1

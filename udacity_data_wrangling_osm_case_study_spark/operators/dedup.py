@@ -63,10 +63,13 @@ def word_shingles(
     """
     tokens = F.split(normalize_text(F.col(text_col)), " ")
     count = F.size(tokens) - (n - 1)
-    slides = F.transform(
-        F.sequence(F.lit(0), F.greatest(count - 1, F.lit(-1))),
-        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    # A doc shorter than n tokens has no shingles: guard with an empty
+    # array — sequence(1, 0) would be DESCENDING ([1, 0]), and a slice
+    # start of 0 is a runtime error.
+    starts = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
     )
+    slides = F.transform(starts, lambda i: F.array_join(F.slice(tokens, i, n), " "))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(slides)).alias("shingle"))
     )
@@ -328,3 +331,42 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def contamination_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_mod: int = 11,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination detection: which corpus docs share a
+    word n-gram with the held-out benchmark set, and how much.
+
+    The decontamination step of a training-data pipeline: a doc whose
+    text overlaps an eval benchmark must be dropped before training.
+    Benchmark membership here is ``id % benchmark_mod == 0`` (a stand-in
+    for "the eval set"); overlap is any shared n-token shingle.
+
+    Scale shape: shingles are md5-hashed so the join key is a fixed
+    16-byte value regardless of n; the benchmark side (eval sets are
+    thousands of prompts, the corpus is billions of docs) is broadcast,
+    making the probe a map-side BroadcastHashJoin — zero shuffle on the
+    corpus side; only the tiny per-doc aggregate shuffles.
+    """
+    sh = word_shingles(df, id_col=id_col, text_col=text_col, n=n).select(
+        "id", F.md5("shingle").alias("gram")
+    )
+    bench = sh.filter(F.col("id") % benchmark_mod == 0).select(
+        F.col("id").alias("bench_id"), "gram"
+    )
+    corpus = sh.filter(F.col("id") % benchmark_mod != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )

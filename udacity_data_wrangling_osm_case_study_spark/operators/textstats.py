@@ -114,3 +114,66 @@ def char_census(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.explode(F.regexp_extract_all(F.col(text_col), F.lit("."), 0)).alias("ch"),
     )
     return chars.groupBy("ch").agg(F.min("id").alias("first_doc"))
+
+
+def scrub_terms(df: DataFrame, terms: list[str], id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Denylist-term scrubbing: replace every whole-word occurrence of
+    ``terms`` in the normalized text with a redaction token, reporting
+    per-doc match counts and the scrubbed-content fingerprint.
+
+    This is the redaction plumbing of a PII-scrub stage (emails /
+    phone numbers / names swap in via their own patterns — the
+    synthetic corpus carries none, so the demo denylist is drawn from
+    the corpus vocabulary). One regexp pass per doc, pure codegen —
+    scales at scan speed; the word-boundary pattern behaves identically
+    in Java regex and RE2.
+    """
+    pattern = r"\b(" + "|".join(terms) + r")\b"
+    norm = normalize_text(F.col(text_col))
+    scrubbed = F.regexp_replace(norm, pattern, "<SCRUB>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(norm, F.lit(pattern)).alias("n_scrubbed"),
+        F.length(scrubbed).alias("scrubbed_chars"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
+
+
+def repetition_profile(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (the Gopher-style quality
+    filters): most-frequent-token share and duplicate-bigram share,
+    both in basis points.
+
+    Entirely row-local array expressions — zero shuffle, so the filter
+    runs at scan speed over any corpus size. The token-share inner loop
+    is O(distinct × n) per doc, bounded by document length, not data
+    volume.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("_n"),
+        (top_cnt * 10000).cast("long").alias("_top_num"),
+        F.size(bigrams).alias("_nbg"),
+        ((F.size(bigrams) - F.size(F.array_distinct(bigrams))) * 10000)
+        .cast("long")
+        .alias("_dup_num"),
+    ).select(
+        "doc_id",
+        F.expr("_top_num DIV _n").alias("top_token_bp"),
+        F.expr("_dup_num DIV greatest(_nbg, 1)").alias("dup_bigram_bp"),
+    )

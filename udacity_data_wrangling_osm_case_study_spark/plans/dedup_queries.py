@@ -256,3 +256,33 @@ def dedup_clusters(spark, sf_dir):
     sh = dedup.word_shingles(docs).cache()
     pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
     return dedup.connected_components(pairs).orderBy("id")
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH norm AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT id, unnest(list_transform(
+            range(1, greatest(len(toks) - 4, 0) + 1),
+            i -> md5(array_to_string(toks[i:i+4], ' ')))) AS gram
+        FROM norm
+    ),
+    bench AS (SELECT id AS bench_id, gram FROM sh WHERE id % 11 = 0),
+    corpus AS (SELECT id, gram FROM sh WHERE id % 11 <> 0)
+    SELECT corpus.id AS doc_id,
+           COUNT(DISTINCT corpus.gram) AS n_shared_grams,
+           COUNT(DISTINCT bench_id) AS n_benchmark_docs
+    FROM corpus JOIN bench USING (gram)
+    GROUP BY corpus.id ORDER BY doc_id
+    """,
+)
+def benchmark_contamination(spark, sf_dir):
+    """Decontamination: corpus docs sharing any word 5-gram with the
+    held-out benchmark set (id % 11 == 0 stands in for the eval set).
+    Grams are md5-hashed (fixed 16-byte join key); the benchmark side
+    broadcasts, so the corpus-side probe is shuffle-free."""
+    return (
+        dedup.contamination_report(table(spark, sf_dir, "documents"))
+        .orderBy("doc_id")
+    )

@@ -349,3 +349,58 @@ def tfidf_top_terms(spark, sf_dir):
         .select("doc_id", "term", "score_micro")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pii_term_scrub",
+    f"""
+    WITH s AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    r AS (
+        SELECT doc_id,
+               len(regexp_extract_all(norm, '\\b(table|row|value)\\b'))
+                   AS n_scrubbed,
+               regexp_replace(norm, '\\b(table|row|value)\\b', '<SCRUB>', 'g')
+                   AS scrubbed
+        FROM s
+    )
+    SELECT doc_id, n_scrubbed, strlen(scrubbed) AS scrubbed_chars,
+           md5(scrubbed) AS scrubbed_fp
+    FROM r ORDER BY doc_id
+    """,
+)
+def pii_term_scrub(spark, sf_dir):
+    """Denylist scrubbing / redaction: whole-word matches replaced with
+    a redaction token; per-doc match count + scrubbed fingerprint.
+    The PII-scrub stage of a training pipeline (swap the demo denylist
+    for email/phone patterns); single regexp pass, codegen end-to-end."""
+    return textstats.scrub_terms(
+        table(spark, sf_dir, "documents"), ["table", "row", "value"]
+    ).orderBy("doc_id")
+
+
+@register(
+    "repetition_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+        FROM t
+    )
+    SELECT doc_id,
+           (list_aggregate(list_transform(list_distinct(toks),
+                t -> len(list_filter(toks, x -> x = t))), 'max') * 10000) // n
+               AS top_token_bp,
+           ((len(bigrams) - len(list_distinct(bigrams))) * 10000)
+               // greatest(len(bigrams), 1) AS dup_bigram_bp
+    FROM m ORDER BY doc_id
+    """,
+)
+def repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filters: most-frequent-token share and
+    duplicate-bigram share per doc (basis points). Row-local array
+    expressions — zero shuffle at any corpus size."""
+    return textstats.repetition_profile(
+        table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
