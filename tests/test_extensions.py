@@ -181,3 +181,27 @@ def test_contamination_report(spark):
     assert set(rows) == {1}
     assert rows[1].n_shared_grams == 2   # two 5-gram windows in a 6-token doc
     assert rows[1].n_benchmark_docs == 1
+
+
+def test_arrow_cosine_parity_with_expression_path(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, rng.randn(16).astype(float).tolist(), int(i % 3)) for i in range(60)
+    ]
+    # plant a near-dup pair within one block
+    rows.append((100, [x * 1.001 for x in rows[0][1]], 0))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    expr = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_near_duplicates(df, threshold=0.95).collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b): r.cosine_bp
+        for r in dedup.embedding_near_duplicates_arrow(df, threshold_bp=9500).collect()
+    }
+    assert set(arrow) == set(expr)
+    assert (0, 100) in arrow
+    for k, bp in arrow.items():
+        assert abs(bp - round(expr[k] * 10000)) <= 1

@@ -370,3 +370,57 @@ def contamination_report(
         )
         .withColumnRenamed("id", "doc_id")
     )
+
+
+def embedding_near_duplicates_arrow(
+    df: DataFrame,
+    threshold_bp: int = 4000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Blockwise-matmul variant of :func:`embedding_near_duplicates`:
+    per block, one Arrow batch crosses to pandas and the whole pair
+    grid is a single numpy ``U @ U.T`` — the BLAS path for dense
+    vectors.
+
+    This is the realistic 100 TB shape: per-block O(n²·d) work runs as
+    one SIMD matmul instead of n²/2 codegen'd fold expressions, and the
+    Python boundary is crossed once per block, not per pair. Blocks are
+    LSH buckets / quantizer cells at scale, so each fits executor
+    memory. Numerics note: numpy's pairwise summation can differ from a
+    sequential fold in the last ulp; at 4-digit basis-point rounding the
+    two paths agree exactly on this data (parity-tested vs the
+    expression path), but a pair sitting exactly on a rounding boundary
+    could in principle flip — the expression path is the strict-oracle
+    variant.
+    """
+    import pandas as pd  # noqa: F401 (Arrow path dependency)
+
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_bp": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine_bp": "int64"}
+            )
+        M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        U = M / np.linalg.norm(M, axis=1, keepdims=True)
+        G = U @ U.T
+        iu = np.triu_indices(len(ids), k=1)
+        bp = np.round(G[iu] * 10000).astype("int64")
+        keep = bp >= threshold_bp
+        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine_bp": bp[keep],
+            }
+        )
+
+    return df.groupBy(block_col).applyInPandas(
+        _pairs, schema="id_a long, id_b long, cosine_bp long"
+    )

@@ -286,3 +286,30 @@ def benchmark_contamination(spark, sf_dir):
         dedup.contamination_report(table(spark, sf_dir, "documents"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "embedding_near_dupes_arrow",
+    """
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, label,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+          FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(list_dot_product(a.u, b.u) * 10000) AS BIGINT) AS cosine_bp
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(ROUND(list_dot_product(a.u, b.u) * 10000) AS BIGINT) >= 4000
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dupes_arrow(spark, sf_dir):
+    """The BLAS scale path for embedding near-dup: per block one Arrow
+    batch, one numpy U@U.T matmul for the whole pair grid. Same oracle
+    as the expression path (bp-rounding absorbs summation-order ulps on
+    this data; parity-tested against the expression variant)."""
+    return (
+        dedup.embedding_near_duplicates_arrow(table(spark, sf_dir, "embeddings"))
+        .orderBy("id_a", "id_b")
+    )

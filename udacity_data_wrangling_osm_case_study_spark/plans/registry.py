@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "udacity_data_wrangling_osm_case_study_spark.plans.dedup_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.similarity_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.text_queries",
+    "udacity_data_wrangling_osm_case_study_spark.plans.udtf_queries",
 )
 
 _loaded = False
