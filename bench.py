@@ -35,9 +35,13 @@ HEADLINE = [
     "minhash_lsh_dupes",
     "simhash_clusters",
     "embedding_near_dupes",
+    "embedding_near_dupes_arrow",
+    "benchmark_contamination",
     "knn_bruteforce",
     "knn_ivf",
     "doc_profiles",
+    "repetition_quality",
+    "pii_term_scrub",
     "top_words",
     "purchase_click_attribution",
     "error_followup_pairs",

@@ -58,3 +58,47 @@ def test_whole_stage_codegen_covers_cleaning(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("codegen")
     assert "WholeStageCodegen subtrees" in buf.getvalue()
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's InjectRuntimeFilter must add a bloom-filter semi-join
+    reduction on the fact side of a selective non-broadcast join. At
+    sf0.1 the application-side scan is below the default 10 GB
+    threshold (injection correctly does NOT fire); at cluster scale it
+    does — pinned here by lowering the threshold, with results
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    def _join():
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+
+    def _optimized(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    conf = spark.conf
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "bloom" not in _optimized(_join()).lower()  # below scan threshold
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        filtered = _join()
+        assert "bloom_filter_agg" in _optimized(filtered)
+        rows = {r.o_orderpriority: r["count"] for r in filtered.collect()}
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+    baseline = {r.o_orderpriority: r["count"] for r in _join().collect()}
+    assert rows == baseline
