@@ -355,3 +355,84 @@ def order_value_deciles(spark, sf_dir):
         )
         .orderBy("o_orderpriority", "decile")
     )
+
+
+@register(
+    "order_status_cube",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def order_status_cube(spark, sf_dir):
+    """CUBE grouping sets: all four roll-up combinations of
+    (status, priority) in ONE aggregation pass — Catalyst plans a
+    single Expand + HashAggregate, not four re-scans of orders.
+    Complements the ROLLUP in ``revenue_rollup``."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "parts_returned_and_kept",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    ORDER BY l_partkey
+    """,
+)
+def parts_returned_and_kept(spark, sf_dir):
+    """INTERSECT set-op: parts that appear both returned ('R') and kept
+    ('N'). Spark plans a left-semi hash join over deduplicated sides —
+    shuffle on the single join key, combinable map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    kept = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    return returned.intersect(kept).orderBy("l_partkey")
+
+
+@register(
+    "parts_only_returned",
+    """
+    SELECT l_partkey FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 45
+    EXCEPT
+    SELECT l_partkey FROM lineitem
+    WHERE l_returnflag = 'N' AND l_quantity >= 45
+    ORDER BY l_partkey
+    """,
+)
+def parts_only_returned(spark, sf_dir):
+    """EXCEPT set-op: parts with a large returned line but no large kept
+    line — planned as a left-anti hash join over distinct keys. The
+    quantity gate keeps the result non-empty at small scale (without it
+    every part carries every flag and the difference is trivially
+    empty)."""
+    li = table(spark, sf_dir, "lineitem")
+    returned = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45)
+    ).select("l_partkey")
+    kept = li.filter(
+        (F.col("l_returnflag") == "N") & (F.col("l_quantity") >= 45)
+    ).select("l_partkey")
+    return returned.subtract(kept).orderBy("l_partkey")

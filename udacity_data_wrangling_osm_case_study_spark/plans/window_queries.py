@@ -160,6 +160,40 @@ def user_running_total(spark, sf_dir):
 
 
 @register(
+    "balance_distribution",
+    """
+    SELECT c_mktsegment, c_custkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey), 6)
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey), 6)
+             AS cume
+    FROM customer WHERE c_custkey <= 200
+    ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def balance_distribution(spark, sf_dir):
+    """Distribution windows: percent_rank + cume_dist of account balance
+    within each market segment. The unique ``c_custkey`` tie-break makes
+    both functions deterministic across engines. One shuffle on the
+    partition key; at cluster scale the per-segment sort is the standard
+    window SortExec, no driver involvement."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@register(
     "event_type_tumbling_5min",
     """
     SELECT event_type,
