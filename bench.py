@@ -70,6 +70,11 @@ def main() -> None:
             queries[name](spark, sf_dir).collect()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # Several dedup queries cache intermediate frames (shingles,
+        # candidate pairs) that stay referenced after collect; dropping
+        # them between queries keeps later timings free of GC pressure
+        # from dead caches.
+        spark.catalog.clearCache()
 
     # Full OSM ETL on the reference's own sample — comparable to
     # BASELINE.md's measured 2.75 s reference wall time (same input,

@@ -200,9 +200,15 @@ def embedding_near_dupes(spark, sf_dir):
     base = emb.select(
         F.col("vec_id").alias("id"), v.alias("v"), F.col("label").alias("blk")
     )
-    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    # Materialize the norm as its own column first: captured inside the
+    # transform lambda the O(d) fold would re-run per vector ELEMENT,
+    # turning normalization O(d²) per row.
+    base = base.withColumn(
+        "nrm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    )
     base = base.select(
-        "id", "blk", F.transform(F.col("v"), lambda x: x / nrm).alias("u")
+        "id", "blk",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
     )
     a = base.select(F.col("id").alias("id_a"), F.col("u").alias("ua"), "blk")
     b = base.select(F.col("id").alias("id_b"), F.col("u").alias("ub"), "blk")

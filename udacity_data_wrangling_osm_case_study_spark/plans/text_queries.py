@@ -265,10 +265,16 @@ def doc_chunks(spark, sf_dir):
     Starts are bounded by n-10 which still guarantees every token lands
     in some chunk (the previous window always reaches the tail);
     probe-verified across doc sizes incl. sub-window docs."""
-    docs = table(spark, sf_dir, "documents")
-    toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "), " "
+    # Tokenize in a separate projection: captured inside the transform
+    # lambda the regexp+split would re-run per chunk start (twice per
+    # chunk via the two chunk(s) calls).
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "), " "
+        ).alias("toks"),
     )
+    toks = F.col("toks")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(n - 10, F.lit(1)), F.lit(20))
     chunk = lambda s: F.slice(toks, s, 30)
