@@ -436,3 +436,42 @@ def parts_only_returned(spark, sf_dir):
         (F.col("l_returnflag") == "N") & (F.col("l_quantity") >= 45)
     ).select("l_partkey")
     return returned.subtract(kept).orderBy("l_partkey")
+
+
+@register(
+    "nation_segment_grouping_sets",
+    """
+    SELECT COALESCE(n_name, '<all>') AS n_name,
+           COALESCE(c_mktsegment, '<all>') AS seg,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    ORDER BY n_name, seg
+    """,
+)
+def nation_segment_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (two independent breakdowns + grand total)
+    via the native ``groupingSets`` API — one Expand + one aggregation
+    pass, not three scans unioned. Completes the grouping-analytics
+    trio next to ROLLUP (``revenue_rollup``) and CUBE
+    (``order_status_cube``)."""
+    cust = table(spark, sf_dir, "customer")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    return (
+        joined.groupingSets([["n_name"], ["c_mktsegment"], []],
+                            "n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("n_name"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("<all>")).alias("seg"),
+            "n_customers",
+            "total_acctbal",
+        )
+        .orderBy("n_name", "seg")
+    )
