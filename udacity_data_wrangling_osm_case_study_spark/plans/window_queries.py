@@ -223,3 +223,47 @@ def event_type_tumbling_5min(spark, sf_dir):
         .filter(F.col("n") > 1)
         .orderBy("event_type", "window_start_epoch_5min")
     )
+
+
+@register(
+    "event_type_sliding_10min",
+    """
+    WITH starts AS (
+        SELECT event_type, value,
+               unnest([CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT),
+                       CAST(FLOOR(epoch(ts) / 300) * 300 - 300 AS BIGINT)])
+                   AS window_start_epoch
+        FROM events
+    )
+    SELECT event_type, window_start_epoch, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM starts
+    GROUP BY event_type, window_start_epoch
+    HAVING COUNT(*) > 1
+    ORDER BY event_type, window_start_epoch
+    """,
+)
+def event_type_sliding_10min(spark, sf_dir):
+    """Sliding (hopping) event-time windows: 10-minute windows every 5
+    minutes, so each event contributes to exactly two overlapping
+    windows — Spark's native ``F.window`` expands the row to its member
+    windows before a normal hash aggregation (epoch-aligned starts in
+    both engines). The streaming twin just adds a watermark."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "n",
+            "total_value",
+        )
+        .orderBy("event_type", "window_start_epoch")
+    )
