@@ -267,3 +267,23 @@ def event_type_sliding_10min(spark, sf_dir):
         )
         .orderBy("event_type", "window_start_epoch")
     )
+
+
+@register("approx_event_value_p95")
+def approx_event_value_p95(spark, sf_dir):
+    """Sketch-based approximate percentiles per event type
+    (``percentile_approx``, single-pass mergeable sketch). Registered
+    rows-only: the sketch's value depends on its internal accuracy
+    parameter, so no cross-engine hash oracle — the exact interpolated
+    counterpart (``event_value_percentiles``) carries the value check.
+    At 100 TB the sketch is the only option that avoids a global sort:
+    partial sketches merge associatively map-side."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        )
+        .orderBy("event_type")
+    )
