@@ -137,3 +137,33 @@ def test_stream_dedup_within_watermark(spark, events_dir):
     n_src = table(spark, SF_DIR, "events").count()
     assert got.count() == n_src
     assert got.select("event_id").distinct().count() == n_src
+
+
+def test_sliding_window_counts_match_batch(spark, events_dir):
+    stream = events_stream.windowed_event_counts(
+        events_stream.read_events_stream(spark, events_dir),
+        window="10 minutes",
+        slide="5 minutes",
+    )
+    events_stream.run_to_memory_sink(stream, "slide_counts", output_mode="append")
+    got = spark.table("slide_counts")
+
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    max_ts = table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(
+        F.col("window_start") + F.expr("INTERVAL 10 MINUTES")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    key = ["window_start", "event_type", "n", "total_value"]
+    got_rows = sorted(map(tuple, got.select(key).collect()))
+    closed_rows = sorted(map(tuple, closed.select(key).collect()))
+    assert len(got_rows) > 0
+    assert got_rows == closed_rows

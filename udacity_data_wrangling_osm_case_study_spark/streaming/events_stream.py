@@ -55,14 +55,23 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window counts+sums per event type. Late
     rows beyond the watermark are dropped; state per (window, type) is
-    evicted once the watermark passes the window end."""
+    evicted once the watermark passes the window end.
+
+    ``slide`` < ``window`` makes the windows hopping (each event lands
+    in window/slide overlapping windows — the streaming twin of the
+    ``event_type_sliding_10min`` batch query); state grows by the same
+    factor, still watermark-bounded."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
