@@ -43,6 +43,34 @@ _QUERY_MODULES = (
 
 _loaded = False
 
+# Names surfaced first to the driver's correctness harness. The harness
+# walks ``queries()`` in insertion order with a bounded budget (round 1
+# recorded exactly the first 50 names), so the block that has not yet
+# received a driver row — the LLM-pipeline extensions: contamination,
+# kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
+# already-attested 50 follow in their original order.
+_VERIFY_FIRST = (
+    "benchmark_contamination",
+    "embedding_near_dupes_arrow",
+    "knn_bruteforce",
+    "knn_ivf",
+    "media_metadata",
+    "media_features",
+    "doc_profiles",
+    "lang_id_confusion",
+    "corpus_token_stats",
+    "top_words",
+    "char_census",
+    "props_key_histogram",
+    "regex_token_count",
+    "train_val_test_split",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "pii_term_scrub",
+    "repetition_quality",
+    "json_props_udtf",
+)
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and optionally its DuckDB oracle SQL)."""
@@ -78,10 +106,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_all() -> tuple[dict, dict]:
-    """Import every query module once; return (QUERIES, ORACLES)."""
+    """Import every query module once; return (QUERIES, ORACLES).
+
+    Queries are returned with the ``_VERIFY_FIRST`` block hoisted to the
+    front (see comment above); registration order is preserved otherwise.
+    """
     global _loaded
     if not _loaded:
         for mod in _QUERY_MODULES:
             import_module(mod)
+        front = [n for n in _VERIFY_FIRST if n in QUERIES]
+        rest = [n for n in QUERIES if n not in _VERIFY_FIRST]
+        reordered = {n: QUERIES[n] for n in (*front, *rest)}
+        QUERIES.clear()
+        QUERIES.update(reordered)
         _loaded = True
     return QUERIES, ORACLES
