@@ -397,19 +397,37 @@ def event_value_percentiles(spark, sf_dir):
     )
 
 
-@register("approx_distinct_users")  # HLL sketches differ per engine — rows-only
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_2pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_distinct_users(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) beside the exact count —
-    the constant-memory cardinality path for 100 TB groupBys. No SQL
-    oracle: HLL sketch implementations differ across engines by
-    construction, so the driver records the weaker rows-only check; the
-    exact column doubles as the in-row accuracy reference."""
+    the constant-memory cardinality path for 100 TB groupBys. HLL
+    sketch values differ across engines by construction, so the hashed
+    output carries the exact count plus a deterministic ``within_2pct``
+    verdict on the estimate (rsd=0.01 → ~1% std error; measured
+    relative error ≤0.67% at sf0.01/sf0.1, so the 2% band has 3×
+    margin); the oracle asserts the verdict must be TRUE."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.02 * F.col("exact_users")
+            ).alias("within_2pct"),
         )
         .orderBy("event_type")
     )
