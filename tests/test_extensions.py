@@ -205,3 +205,24 @@ def test_arrow_cosine_parity_with_expression_path(spark):
     assert (0, 100) in arrow
     for k, bp in arrow.items():
         assert abs(bp - round(expr[k] * 10000)) <= 1
+
+
+def test_connected_components_deep_chain(spark):
+    # A 1000-edge chain is the worst case for one-hop label propagation
+    # (diameter = vertex count). Pointer doubling must close it within
+    # the default max_iter=20 — and localCheckpoint keeps the per-round
+    # lineage flat, so this also guards against analyzer blowup.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], ["id_a", "id_b"]
+    )
+    labels = dedup.connected_components(chain).collect()
+    assert len(labels) == 1001
+    assert {r.comp for r in labels} == {0}
+
+
+def test_connected_components_multiple_clusters(spark):
+    # Two chains and an isolated pair: min-reachable-id per component.
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (20, 21)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    comp = {r.id: r.comp for r in dedup.connected_components(df).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

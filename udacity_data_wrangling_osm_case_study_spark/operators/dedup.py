@@ -301,22 +301,37 @@ def connected_components(
     comp is the minimum id reachable from id — the canonical keeper of
     each near-dup cluster.
 
-    Iterative min-label propagation: each round every vertex adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds (near-dup clusters are shallow). The
-    driver loop checks only a changed-count per round — data never
-    leaves the executors. At 100 TB this is the standard large-graph CC
-    pattern (label propagation over edge joins); ``max_iter`` bounds
-    runaway graphs.
+    Min-label propagation with pointer doubling: each round every
+    vertex adopts the smallest label among itself and its neighbors
+    (one hop), then adopts its label's label (path compression). The
+    doubling step makes deep components converge in O(log diameter)
+    rounds instead of O(diameter) — a 1000-edge chain closes in ~10
+    rounds, not 1000 (same round bound as the small-star/large-star
+    formulation, one fewer join per round for min-label semantics).
+
+    Every round's frame is ``localCheckpoint(eager=True)``-ed: the
+    round materializes once, its lineage is CUT (the planner never
+    re-analyzes a k-deep join DAG), and superseded round storage is
+    released by the context cleaner when the previous frame goes out of
+    scope — no cache pinning across rounds. The driver loop only ever
+    sees a changed-count per round; label data never leaves the
+    executors. ``max_iter`` bounds runaway graphs.
     """
     edges = pairs.select("id_a", "id_b")
-    sym = edges.unionByName(
-        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).distinct()
+    # The symmetric edge frame is probed every round — materialize it
+    # once with truncated lineage instead of re-shuffling the distinct.
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("id_a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -325,17 +340,30 @@ def connected_components(
             .agg(F.min("comp").alias("nmin"))
             .withColumnRenamed("id_a", "id")
         )
+        # One-hop step: smallest label among self and neighbors.
+        # Invariant comp(id) <= id holds throughout (init comp = id).
+        stepped = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                "hop"
+            ),
+            F.col("comp").alias("old_comp"),
+        )
+        # Doubling step: adopt the label of our label. parent's comp is
+        # <= parent, so the jump only ever lowers the label.
+        parents = stepped.select(
+            F.col("id").alias("pid"), F.col("hop").alias("pcomp")
+        )
         updated = (
-            labels.join(neighbor_min, "id", "left")
+            stepped.join(parents, stepped.hop == parents.pid, "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
-                    "new_comp"
-                ),
-                "comp",
+                F.coalesce(F.col("pcomp"), F.col("hop")).alias("new_comp"),
+                "old_comp",
             )
-        ).cache()
-        changed = updated.filter(F.col("new_comp") != F.col("comp")).count()
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("new_comp") != F.col("old_comp")).count()
         labels = updated.select("id", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
