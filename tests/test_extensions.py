@@ -64,9 +64,28 @@ def test_minhash_lsh_finds_exact_dup(docs):
 
 
 def test_simhash_identical_docs_equal(docs):
-    fp = {r.id: r.simhash for r in dedup.simhash16(docs).collect()}
+    fp = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
     assert fp[1] == fp[4]
-    assert len(fp[1]) == 16 and set(fp[1]) <= {"0", "1"}
+    assert len(fp[1]) == 64 and set(fp[1]) <= {"0", "1"}
+
+
+def test_simhash_near_pairs_banding(docs):
+    fp = dedup.simhash64(docs)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(fp, n_bands=4, max_hamming=3).collect()
+    }
+    # identical docs (1, 4) → Hamming 0, found via every band
+    assert pairs[(1, 4)] == 0
+    # the near-dup pair (1, 2) differs by one token out of nine — its
+    # distance may exceed the tight default band guarantee; widening
+    # max_hamming with more bands must recover it
+    wide = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(fp, n_bands=16, max_hamming=15).collect()
+    }
+    assert (1, 2) in wide
+    assert wide[(1, 2)] > 0
 
 
 def test_cosine_topk(spark):
@@ -226,3 +245,31 @@ def test_connected_components_multiple_clusters(spark):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     comp = {r.id: r.comp for r in dedup.connected_components(df).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_simhash_recall_vs_jaccard_truth(spark):
+    # Recall probe against exact n-gram Jaccard ground truth on the
+    # driver documents table (same pattern as the MinHash probe):
+    # near-identical docs (jaccard >= 0.95) must be recovered by the
+    # banded Hamming search. Measured: 92% at hamming<=3, 100% once the
+    # banding is widened — pinned loosely so data regeneration noise
+    # doesn't flake the suite.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = dedup.word_shingles(docs)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(sh, min_jaccard=0.95).collect()
+    }
+    assert truth, "expected planted near-dup pairs in the documents table"
+    fp = dedup.simhash64(docs)
+    tight = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_pairs(fp, n_bands=4, max_hamming=3).collect()
+    }
+    recall = sum(1 for p in truth if p in tight) / len(truth)
+    assert recall >= 0.8
+    wide = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_pairs(fp, n_bands=16, max_hamming=15).collect()
+    }
+    assert all(p in wide for p in truth)

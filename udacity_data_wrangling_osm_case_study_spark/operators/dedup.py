@@ -8,9 +8,10 @@ Four families, all shuffle-conscious:
   than murmur ints; the min over hex strings is a uniform permutation
   surrogate. Candidate pairs only ever form inside an LSH bucket, so
   the self-join never goes quadratic in the corpus size.
-- **SimHash**: 16-bit fingerprint via per-hex-digit bit majority.
-  Near-dup docs land in equal/close fingerprints; clustering is a
-  groupBy on the fingerprint.
+- **SimHash**: 64-bit fingerprint via per-bit majority over token md5
+  bits. Near-dup docs land in equal/close fingerprints; exact-match
+  clustering is a groupBy on the fingerprint, near-match search is a
+  banded Hamming join (``simhash_near_pairs``).
 - **N-gram Jaccard**: inverted-index (shingle) join → pair intersection
   counts → exact Jaccard. The shingle join is the scalable path: cost
   scales with sum of per-shingle df², not corpus².
@@ -229,33 +230,107 @@ def _hex_digit_value(c):
     return F.when(F.ascii(c) >= 97, F.ascii(c) - 87).otherwise(F.ascii(c) - 48)
 
 
-def simhash16(
+def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """16-bit SimHash per doc: per md5-hex position, majority vote of
-    the digit's high bit across all token occurrences.
+    """64-bit SimHash per doc: majority vote per bit of each token's
+    md5 prefix (16 hex digits × 4 bits) across all token occurrences.
 
-    Output: (id, simhash) with simhash a 16-char '0'/'1' string.
+    Output: (id, simhash) with simhash a 64-char '0'/'1' string —
+    engine-portable (the same fingerprint is computable in ANSI SQL
+    from md5 hex digits, no binary types needed).
 
-    Wide-aggregate formulation: 16 conditional sums in ONE groupBy over
-    the token frame — no 16× position explode, no second shuffle
-    (same shuffle-shape win as the wide minhash signatures).
+    Wide-aggregate formulation: 64 conditional sums in ONE groupBy over
+    the token frame — no 64× position explode, no second shuffle (same
+    shuffle-shape win as the wide minhash signatures). A 16-bit
+    fingerprint caps the bucket space at 65,536 — pure collisions at
+    corpus scale; 64 bits keeps exact-fingerprint groups meaningful at
+    10⁹+ docs and supports banded Hamming search
+    (:func:`simhash_near_pairs`).
     """
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).select("id", F.md5("tok").alias("h"))
 
-    def vote(p: int):
-        bit = _hex_digit_value(F.substring(F.col("h"), p, 1)) >= 8
-        return F.sum(F.when(bit, 1).otherwise(-1)).alias(f"s{p}")
+    def vote(b: int):
+        # bit b (0-based, MSB-first) lives in hex digit b//4, weight
+        # 2^(3 - b%4) within the digit.
+        dv = _hex_digit_value(F.substring(F.col("h"), b // 4 + 1, 1))
+        bit_set = (F.floor(dv / F.lit(2 ** (3 - b % 4))).cast("int") % 2) == 1
+        return F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"s{b}")
 
-    sums = hashed.groupBy("id").agg(*[vote(p) for p in range(1, 17)])
+    sums = hashed.groupBy("id").agg(*[vote(b) for b in range(64)])
     bits = [
-        F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(1, 17)
+        F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(64)
     ]
     return sums.select("id", F.concat(*bits).alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, n_bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by banded Hamming search over 64-bit
+    SimHash fingerprints: (id_a, id_b, hamming).
+
+    Pigeonhole guarantee: with ``n_bands`` equal slices, any pair at
+    Hamming distance < n_bands matches exactly on at least one band —
+    so candidates are found by ``n_bands`` equality self-joins on
+    16-bit segments (each a bounded-key bucket join, never an all-pairs
+    scan), then verified with an exact Hamming count. Cost scales with
+    per-bucket df², the same sub-quadratic shape as MinHash LSH.
+    ``max_hamming`` defaults to n_bands - 1, the largest distance the
+    banding is complete for.
+    """
+    assert 64 % n_bands == 0, "bands must evenly slice the 64-bit fingerprint"
+    width = 64 // n_bands
+    fp = fingerprints.select("id", "simhash")
+    bands = fp.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", b * width + 1, width).alias(
+                            "band_key"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), ["band", "band_key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("fa"))
+    fb = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("fb"))
+    # Exact Hamming distance between two '0'/'1' strings: count of
+    # positions where the bit-complement sum differs — computed as the
+    # number of mismatched chars via a 64-term codegen'd sum (runs only
+    # on the candidate set, which banding keeps small).
+    mism = [
+        F.when(
+            F.substring("fa", i, 1) != F.substring("fb", i, 1), 1
+        ).otherwise(0)
+        for i in range(1, 65)
+    ]
+    hamming = mism[0]
+    for m in mism[1:]:
+        hamming = hamming + m
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def embedding_near_duplicates(

@@ -135,40 +135,90 @@ def minhash_lsh_dupes(spark, sf_dir):
     return verified.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
 
-@register(
-    "simhash_clusters",
-    f"""
-    WITH toks AS (
-        SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents
-    ),
+# Shared CTE chain: 64-bit SimHash fingerprint per doc (DuckDB side).
+# Bit b (0-based, MSB-first) lives in md5-hex digit b//4 with weight
+# 2^(3 - b%4) — identical to operators.dedup.simhash64.
+_SIMHASH64_CTE = f"""
+    toks AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
     h AS (SELECT id, md5(tok) AS h FROM toks),
-    pos AS (SELECT id, i AS p, substr(h, CAST(i AS INT), 1) AS c
-            FROM h, range(1, 17) t(i)),
+    pos AS (SELECT id, CAST(b AS INT) AS b,
+                   substr(h, CAST(b // 4 AS INT) + 1, 1) AS c
+            FROM h, range(0, 64) t(b)),
     votes AS (
-        SELECT id, p,
-               CASE WHEN (CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
-                          ELSE ascii(c) - 48 END) >= 8
+        SELECT id, b,
+               CASE WHEN (((CASE WHEN ascii(c) >= 97 THEN ascii(c) - 87
+                            ELSE ascii(c) - 48 END)
+                           >> (3 - (b % 4))) & 1) = 1
                     THEN 1 ELSE -1 END AS v
         FROM pos
     ),
-    bits AS (SELECT id, p, CASE WHEN SUM(v) > 0 THEN '1' ELSE '0' END AS b
-             FROM votes GROUP BY id, p),
-    fp AS (SELECT id, string_agg(b, '' ORDER BY p) AS simhash
+    bits AS (SELECT id, b, CASE WHEN SUM(v) > 0 THEN '1' ELSE '0' END AS bt
+             FROM votes GROUP BY id, b),
+    fp AS (SELECT id, string_agg(bt, '' ORDER BY b) AS simhash
            FROM bits GROUP BY id)
+"""
+
+
+@register(
+    "simhash_clusters",
+    f"""
+    WITH {_SIMHASH64_CTE}
     SELECT simhash, COUNT(*) AS n_docs, MIN(id) AS first_doc
     FROM fp GROUP BY simhash HAVING COUNT(*) > 1 ORDER BY simhash
     """,
 )
 def simhash_clusters(spark, sf_dir):
-    """SimHash(16-bit) fingerprint clustering: docs sharing a
-    fingerprint (bit-majority over token md5 digits)."""
+    """SimHash(64-bit) fingerprint clustering: docs sharing an exact
+    fingerprint (bit-majority over token md5 bits). 64 bits keeps the
+    bucket space (2^64) far above any corpus size, so an equal
+    fingerprint means near-identical token distributions, not a hash
+    collision; near-(not exact-)duplicates are found by the banded
+    Hamming search in ``simhash_near_pairs``."""
     docs = table(spark, sf_dir, "documents")
-    fp = dedup.simhash16(docs)
+    fp = dedup.simhash64(docs)
     return (
         fp.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("first_doc"))
         .filter(F.col("n_docs") > 1)
         .orderBy("simhash")
+    )
+
+
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH {_SIMHASH64_CTE},
+    bands AS (SELECT id, CAST(b AS INT) AS band,
+                     substr(simhash, CAST(b AS INT) * 16 + 1, 16) AS band_key
+              FROM fp, range(0, 4) t(b)),
+    cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+             FROM bands l JOIN bands r USING (band, band_key)
+             WHERE l.id < r.id),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               len(list_filter(range(1, 65),
+                   i -> substr(fa.simhash, CAST(i AS INT), 1)
+                        <> substr(fb.simhash, CAST(i AS INT), 1))) AS hamming
+        FROM cand c
+        JOIN fp fa ON c.id_a = fa.id
+        JOIN fp fb ON c.id_b = fb.id
+    )
+    SELECT id_a, id_b, hamming FROM scored
+    WHERE hamming <= 3 ORDER BY id_a, id_b
+    """,
+)
+def simhash_near_pairs(spark, sf_dir):
+    """Banded Hamming search over 64-bit SimHash fingerprints: pairs
+    within Hamming distance 3. Four 16-bit bands → any pair at distance
+    < 4 shares a band (pigeonhole), so candidates come from four
+    bounded-key bucket joins — never an all-pairs scan — and only the
+    candidate set pays the exact 64-position Hamming verify."""
+    docs = table(spark, sf_dir, "documents")
+    fp = dedup.simhash64(docs)
+    return (
+        dedup.simhash_near_pairs(fp, n_bands=4, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("id_a", "id_b")
     )
 
 

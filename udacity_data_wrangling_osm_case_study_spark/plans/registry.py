@@ -50,6 +50,7 @@ _loaded = False
 # kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
+    "simhash_near_pairs",
     "benchmark_contamination",
     "embedding_near_dupes_arrow",
     "knn_bruteforce",
