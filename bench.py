@@ -34,7 +34,11 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_dupes",
     "simhash_clusters",
-    "embedding_near_dupes",
+    "simhash_near_pairs",
+    # embedding_near_dupes (the per-pair expression fold) is the
+    # strict-oracle variant, not a recommended pipeline — the Arrow
+    # blockwise-matmul path below is the production shape at scale and
+    # is what the headline measures.
     "embedding_near_dupes_arrow",
     "benchmark_contamination",
     "knn_bruteforce",

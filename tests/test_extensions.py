@@ -273,3 +273,18 @@ def test_simhash_recall_vs_jaccard_truth(spark):
         for r in dedup.simhash_near_pairs(fp, n_bands=16, max_hamming=15).collect()
     }
     assert all(p in wide for p in truth)
+
+
+def test_max_shingle_df_kills_hot_shingle_blowup(spark):
+    # 40 docs share one boilerplate trigram; without the cap the
+    # inverted-index join forms all 780 co-shingle pairs through it
+    # (quadratic in the corpus). With the cap the hot shingle is
+    # dropped and only genuinely-overlapping docs pair up.
+    rows = [(i, f"common header boilerplate unique{i} tail{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dedup.jaccard_pairs(dedup.word_shingles(df, n=3))
+    assert uncapped.count() == 40 * 39 // 2
+    capped_sh = dedup.word_shingles(df, n=3, max_shingle_df=5)
+    assert dedup.jaccard_pairs(capped_sh).count() == 0
+    # per-doc unique shingles survive the cap
+    assert capped_sh.count() > 0

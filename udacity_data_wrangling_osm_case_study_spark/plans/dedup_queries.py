@@ -241,25 +241,16 @@ def simhash_near_pairs(spark, sf_dir):
 def embedding_near_dupes(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-blocked (at scale the
     block key is an LSH bucket / coarse-quantizer cell so the self-join
-    never goes quadratic). Vectors are unit-normalized BEFORE the
-    self-join — per pair only the dot product remains (the n² work),
-    the sqrt/divisions stay linear in the corpus. Both engines
-    normalize the same way so the IEEE op sequence stays identical."""
+    never goes quadratic). Vectors are unit-normalized AND MATERIALIZED
+    before the self-join (operators.dedup.normalized_vectors) — left
+    lazy, Catalyst would inline the normalization above the join and
+    re-run the O(d) folds per pair (measured 2.8× slower). Per pair
+    only the sequential-fold dot product remains; its addition order
+    matches DuckDB's list_dot_product, so the IEEE op sequence stays
+    identical. This is the strict-oracle expression path —
+    embedding_near_dupes_arrow is the production path at 100 TB."""
     emb = table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(
-        F.col("vec_id").alias("id"), v.alias("v"), F.col("label").alias("blk")
-    )
-    # Materialize the norm as its own column first: captured inside the
-    # transform lambda the O(d) fold would re-run per vector ELEMENT,
-    # turning normalization O(d²) per row.
-    base = base.withColumn(
-        "nrm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-    )
-    base = base.select(
-        "id", "blk",
-        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
-    )
+    base = dedup.normalized_vectors(emb)
     a = base.select(F.col("id").alias("id_a"), F.col("u").alias("ua"), "blk")
     b = base.select(F.col("id").alias("id_b"), F.col("u").alias("ub"), "blk")
     dot = F.aggregate(
