@@ -102,3 +102,15 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
         )
     baseline = {r.o_orderpriority: r["count"] for r in _join().collect()}
     assert rows == baseline
+
+
+def test_ivf_index_scan_partition_pruned(spark):
+    # The kNN probe must read only the n_probe winning cells' files
+    # from the persisted index — visible as a PartitionFilters IN-list
+    # on the cell partition column (not a post-scan Filter).
+    import re
+
+    p = _plan(spark, "knn_ivf")
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)\]", p)
+    assert m, f"no partition IN-filter on the index scan:\n{p}"
+    assert len(m.group(1).split(",")) == 3  # n_probe cells exactly

@@ -81,6 +81,77 @@ def label_centroids(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> None:
+    """Build the IVF index as a PERSISTED artifact (an ANN index is
+    built once and queried many times — recomputing the coarse
+    quantizer per query costs two full-corpus shuffles):
+
+    - ``{index_dir}/centroids``: (cell, centroid) parquet — the coarse
+      quantizer, tiny (one row per cell).
+    - ``{index_dir}/vectors``: vectors partitioned BY CELL on disk
+      (``partitionBy``), so a probe of ``n_probe`` cells reads only
+      those cells' files — partition pruning in the scan, the on-disk
+      analog of a Faiss inverted list.
+    """
+    cents = label_centroids(df, id_col, vec_col, cell_col)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        df.select(
+            F.col(cell_col).alias("cell"),
+            F.col(id_col).alias("id"),
+            as_double_vec(F.col(vec_col)).alias("v"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/vectors")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    round_dp: int = 4,
+) -> DataFrame:
+    """ANN top-k against a persisted :func:`build_ivf_index` artifact.
+
+    The quantizer probe collects only the ``n_probe`` winning cell ids
+    to the driver (bounded, index metadata — the same role as Faiss's
+    in-memory coarse quantizer); the literal IN-filter then prunes the
+    vector scan to those cells' files (PartitionFilters in the plan).
+    Corpus data itself never reaches the driver.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    probed = [
+        r.cell
+        for r in (
+            cents.withColumn("csim", F.round(cosine(F.col("centroid"), q), round_dp))
+            .orderBy(F.desc("csim"), "cell")
+            .limit(n_probe)
+            .select("cell")
+            .collect()
+        )
+    ]
+    vecs = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("cell").isin(probed)
+    )
+    sim = F.round(cosine(F.col("v"), q), round_dp)
+    return (
+        vecs.select("id", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), "id")
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -92,7 +163,9 @@ def ivf_topk(
     round_dp: int = 4,
 ) -> DataFrame:
     """IVF-style ANN: rank cells by centroid cosine, search only the
-    ``n_probe`` best cells, exact cosine within them."""
+    ``n_probe`` best cells, exact cosine within them. Index-free
+    variant (quantizer recomputed per call) — for repeated queries use
+    :func:`build_ivf_index` + :func:`ivf_topk_indexed`."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cents = label_centroids(df, id_col, vec_col, cell_col)
     probed = (

@@ -58,6 +58,28 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
+def _ivf_index_dir(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), "spark_graft_ivf", name)
+
+
+def ensure_ivf_index(spark, sf_dir: str) -> str:
+    """Build the persisted IVF index for this sf_dir if absent.
+
+    An ANN index is a build-once artifact: without it, every kNN query
+    pays two full-corpus shuffles to recompute the coarse quantizer.
+    """
+    import os
+
+    index_dir = _ivf_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(index_dir, "vectors", "_SUCCESS")):
+        similarity.build_ivf_index(table(spark, sf_dir, "embeddings"), index_dir)
+    return index_dir
+
+
 @register(
     "knn_ivf",
     f"""
@@ -93,14 +115,19 @@ def knn_bruteforce(spark, sf_dir):
     """,
 )
 def knn_ivf(spark, sf_dir):
-    """IVF-style ANN: rank label cells by centroid cosine, probe the
-    best 3 cells, exact cosine within — the partition-pruned scale
-    path (scan and shuffle shrink to n_probe/n_cells of the corpus)."""
+    """IVF-style ANN against the PERSISTED index
+    (operators.similarity.build_ivf_index): centroids parquet ranks the
+    probe cells; the vector scan reads only the 3 winning cells'
+    cell-partitioned files (PartitionFilters — locked by a plan test).
+    Only the n_probe winning cell ids cross to the driver (quantizer
+    metadata, same role as Faiss's in-memory coarse quantizer); vectors
+    never do."""
+    index_dir = ensure_ivf_index(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
     v = similarity.as_double_vec(F.col("embedding"))
     q = emb.filter(F.col("vec_id") == 0).select(v.alias("q"))
 
-    cents = similarity.label_centroids(emb)
+    cents = spark.read.parquet(f"{index_dir}/centroids")
     ranked = (
         cents.crossJoin(F.broadcast(q))
         .select(
@@ -113,13 +140,15 @@ def knn_ivf(spark, sf_dir):
         .limit(3)
         .select("cell")
     )
-    e = emb.filter(F.col("vec_id") != 0).select(
-        F.col("label").alias("cell"), F.col("vec_id").alias("id"), v.alias("v")
+    cells = [r.cell for r in ranked.collect()]
+    vecs = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .filter(F.col("cell").isin(cells))
+        .filter(F.col("id") != 0)
     )
     bp = F.round(similarity.cosine(F.col("v"), F.col("q")) * 10000).cast("bigint")
     return (
-        e.join(F.broadcast(ranked), "cell", "left_semi")
-        .crossJoin(F.broadcast(q))
+        vecs.crossJoin(F.broadcast(q))
         .select("id", bp.alias("cosine_bp"))
         .orderBy(F.desc("cosine_bp"), "id")
         .limit(10)
