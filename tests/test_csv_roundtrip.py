@@ -37,3 +37,42 @@ def test_csv_roundtrip_identical(spark, roundtrip, name):
     a = sorted(map(tuple, orig.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def parquet_out(spark, roundtrip):
+    tables, _ = roundtrip
+    out = tempfile.mkdtemp(prefix="osmspark_parquet_")
+    pipeline.write_parquet(tables, out)
+    yield tables, out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize(
+    "name", ["nodes", "nodes_tags", "ways", "ways_tags", "ways_nodes", "update_history"]
+)
+def test_parquet_roundtrip_identical(spark, parquet_out, name):
+    tables, out = parquet_out
+    orig = tables[name]
+    # partitionBy moves the partition column last on read — restore the
+    # contract column order before comparing
+    back = spark.read.parquet(f"{out}/{name}").select(*orig.columns)
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in orig.schema
+    ]
+    assert sorted(map(tuple, orig.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_parquet_tag_sink_partition_pruned(spark, parquet_out):
+    # A type filter on the partitioned tag sink must prune directories
+    # (PartitionFilters), not scan-and-filter.
+    import contextlib
+    import io
+
+    _, out = parquet_out
+    df = spark.read.parquet(f"{out}/ways_tags").filter("type = 'regular'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "type" in p.split("PartitionFilters", 1)[1].splitlines()[0]

@@ -22,8 +22,7 @@ def _etl(args) -> None:
     spark = get_spark(app_name="osmspark-etl")
     tables = pipeline.build_tables(spark, args.osm, args.psi)
     if args.format == "parquet":
-        for name, df in tables.items():
-            df.write.mode("overwrite").parquet(f"{args.out}/{name}")
+        pipeline.write_parquet(tables, args.out)
     else:
         pipeline.write_csv(tables, args.out)
     for name, df in tables.items():

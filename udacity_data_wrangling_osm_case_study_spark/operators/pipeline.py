@@ -94,6 +94,27 @@ def write_csv(tables: dict[str, DataFrame], out_dir: str) -> None:
         df.write.mode("overwrite").option("header", True).csv(f"{out_dir}/{name}")
 
 
+# Tag tables are directory-partitioned by tag type: the audits and the
+# SQL exploration filter on type ('regular' vs namespaced classes), so
+# the partition prunes at directory level before any file opens.
+_PARQUET_PARTITIONS = {"nodes_tags": ["type"], "ways_tags": ["type"]}
+
+
+def write_parquet(tables: dict[str, DataFrame], out_dir: str) -> None:
+    """Scale-out sink beside the CSV parity path: columnar, compressed,
+    splittable — what the 100 TB deployment writes (the reference's
+    CSV→SQL import step, README.md:5, collapses into reading these
+    files directly). Layouts via operators.layout."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import layout
+
+    for name, df in tables.items():
+        cols = _PARQUET_PARTITIONS.get(name)
+        if cols:
+            layout.write_partitioned(df, f"{out_dir}/{name}", cols)
+        else:
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+
+
 def register_views(tables: dict[str, DataFrame]) -> None:
     """S6: expose the relational model to Spark SQL exploration."""
     for name, df in tables.items():
