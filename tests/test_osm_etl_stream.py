@@ -35,3 +35,20 @@ def test_stream_converges_to_batch(spark, streamed, name):
     a = sorted(map(tuple, got.select(batch.columns).collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b
+
+
+def test_batch_write_is_idempotent_on_replay(spark):
+    # foreachBatch is at-least-once: a batch retried after a mid-write
+    # failure re-runs. Replaying the same batch id must REPLACE its
+    # partition, not append duplicates; other batches stay untouched.
+    out = tempfile.mkdtemp(prefix="etl_idem_")
+    try:
+        df1 = spark.range(0, 5).withColumnRenamed("id", "v")
+        df2 = spark.range(100, 103).withColumnRenamed("id", "v")
+        osm_etl_stream.write_batch_idempotent(df1, out, "n-0")
+        osm_etl_stream.write_batch_idempotent(df2, out, "n-1")
+        osm_etl_stream.write_batch_idempotent(df1, out, "n-0")  # replay
+        got = sorted(r.v for r in spark.read.parquet(out).collect())
+        assert got == [0, 1, 2, 3, 4, 100, 101, 102]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -60,12 +60,8 @@ def is_phone_key(key: Column) -> Column:
     return key.isin(PHONE_KEYS)
 
 
-def is_phone_shaped(key: Column, value: Column) -> Column:
-    """Predicate P7 (audit_phone_numbers.py:129-162): value is phone-like
-    if the key is phone/fax, or any ;-split segment matches a tolerant
-    phone regex after separator stripping."""
-    seg_matches = F.exists(
-        F.split(value, DELIMITERS_RE),
-        lambda seg: canonicalize_segment(seg).isNotNull(),
-    )
-    return key.isin("phone", "fax") | seg_matches
+# Predicate P7 (the tolerant phone-shape probe of
+# audit_phone_numbers.py:129-162) lives in plans/audits.py: the audit
+# uses TOLERANT pre-strip regexes that accept separators in place,
+# which are deliberately different from this module's strict
+# post-strip canonicalization shapes.

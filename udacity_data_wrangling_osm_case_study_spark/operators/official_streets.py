@@ -59,7 +59,16 @@ def clean_official_streets(raw: DataFrame, apply_corrections: bool = True) -> Da
 def name_lookup_table(official: DataFrame) -> DataFrame:
     """Melt both language columns into one probe table ``(name, idx)`` —
     the broadcast build side of J1 (reference ``create_lookups``,
-    parse_clean_and_csv.py:358-374, keys one dict by both languages)."""
+    parse_clean_and_csv.py:358-374, keys one dict by both languages).
+
+    One idx per name, like the dict: a name that lands twice (e.g. a
+    typo correction colliding with an existing row, or a cross-language
+    homonym) is collapsed to a single winner, mirroring the reference's
+    dict-overwrite — otherwise the repair join would count 2 matches
+    and skip a way the reference repairs. The winner is max(idx)
+    (deterministic surrogate) where the reference keeps last list
+    order; both are arbitrary picks among colliding rows (documented
+    divergence, no collision exists in the shipped sample)."""
     eng = official.select(F.col("eng").alias("name"), "idx")
     chi = official.select(F.col("chi").alias("name"), "idx")
-    return eng.unionByName(chi)
+    return eng.unionByName(chi).groupBy("name").agg(F.max("idx").alias("idx"))

@@ -21,8 +21,10 @@ def merge_upsert(
 ) -> DataFrame:
     """Upsert ``updates`` into ``target`` by ``key``.
 
-    - key present in both → update row wins (per column, the update's
-      value).
+    - key present in both → the WHOLE update row wins (standard MERGE
+      ``UPDATE SET *``: an update carrying NULL in a column nulls that
+      column out — gated on the update row's existence, NOT per-column
+      coalesce, which would silently keep the target's old value).
     - key only in updates → insert.
     - key only in target → kept.
     - ``tombstone_col`` (boolean, on updates) marks deletes.
@@ -38,11 +40,14 @@ def merge_upsert(
     t = target.alias("t")
     u = u.alias("u")
     joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+    upd_exists = F.col(f"u.{key}").isNotNull()
     merged = joined.select(
         F.coalesce(F.col(f"u.{key}"), F.col(f"t.{key}")).alias(key),
         tombstone.alias("_dead"),
         *[
-            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            F.when(upd_exists, F.col(f"u.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
             for c in value_cols
         ],
     )

@@ -258,12 +258,18 @@ def fk_integrity(spark, sf_dir):
         FROM range(1, 21) t(r)
     ),
     merged AS (
+        -- row-existence gating (MERGE UPDATE SET *), not per-column
+        -- coalesce: an update row carrying NULL nulls the column out
         SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
                COALESCE(u.deleted, FALSE) AS _dead,
-               COALESCE(u.c_name, t.c_name) AS c_name,
-               COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal,
-               COALESCE(u.c_nationkey, t.c_nationkey) AS c_nationkey,
-               COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+                    ELSE t.c_name END AS c_name,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                    ELSE t.c_acctbal END AS c_acctbal,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey
+                    ELSE t.c_nationkey END AS c_nationkey,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                    ELSE t.c_mktsegment END AS c_mktsegment
         FROM customer t FULL OUTER JOIN updates u
           ON t.c_custkey = u.c_custkey
     )

@@ -14,14 +14,19 @@ aligned shards (sources/osm_split.py makes them):
   broadcast dimension table (stream-static join pattern). No cross-
   batch state, no watermark needed for correctness.
 
-Each micro-batch appends to the same parquet tables the batch ETL
-writes — the outputs converge to the batch result once the source
-drains (asserted in tests/test_osm_etl_stream.py).
+Each micro-batch writes the same parquet tables the batch ETL writes —
+the outputs converge to the batch result once the source drains
+(asserted in tests/test_osm_etl_stream.py). Writes are IDEMPOTENT per
+micro-batch: foreachBatch is at-least-once (a batch retried after a
+mid-write failure re-runs), so every sink is partitioned by the
+engine-stable ``_batch_id`` and dynamically overwrites only that
+partition — a replay replaces its own output instead of duplicating it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from udacity_data_wrangling_osm_case_study_spark import schemas
 from udacity_data_wrangling_osm_case_study_spark.operators import (
@@ -31,6 +36,21 @@ from udacity_data_wrangling_osm_case_study_spark.operators import (
     street_repair,
 )
 from udacity_data_wrangling_osm_case_study_spark.sources import osm_xml
+
+
+def write_batch_idempotent(df: DataFrame, path: str, batch_key: str) -> None:
+    """Idempotent micro-batch parquet sink: partition by the
+    checkpointed batch id and dynamically overwrite ONLY that
+    partition, so an at-least-once replay of a batch replaces its own
+    rows instead of appending duplicates. ``batch_key`` is the stream
+    name + batch id (two streams share the update_history sink)."""
+    (
+        df.withColumn("_batch_id", F.lit(batch_key))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(path)
+    )
 
 
 def _read_stream(spark: SparkSession, shard_dir: str, row_tag: str, schema) -> DataFrame:
@@ -64,32 +84,39 @@ def run_streaming_etl(
     nodes_stream = _read_stream(spark, shard_dir, "node", schemas.OSM_NODE_SCHEMA)
     ways_stream = _read_stream(spark, shard_dir, "way", schemas.OSM_WAY_SCHEMA)
 
-    def process_nodes(batch: DataFrame, _batch_id: int) -> None:
-        shape.shape_nodes(batch).write.mode("append").parquet(f"{out_dir}/nodes")
-        tags, phone_ids = cleaning.fix_phones_in_tags(shape.shape_tags(batch))
-        tags.select("id", "key", "value", "type").write.mode("append").parquet(
-            f"{out_dir}/nodes_tags"
-        )
-        cleaning.update_history(
-            phone_ids, phone_ids.limit(0), phone_ids.limit(0)
-        ).write.mode("append").parquet(f"{out_dir}/update_history")
+    def _write(df: DataFrame, table: str, batch_id: int, stream: str) -> None:
+        write_batch_idempotent(df, f"{out_dir}/{table}", f"{stream}-{batch_id}")
 
-    def process_ways(batch: DataFrame, _batch_id: int) -> None:
-        shape.shape_ways(batch).write.mode("append").parquet(f"{out_dir}/ways")
-        shape.shape_way_nodes(batch).write.mode("append").parquet(
-            f"{out_dir}/ways_nodes"
+    def process_nodes(batch: DataFrame, batch_id: int) -> None:
+        _write(shape.shape_nodes(batch), "nodes", batch_id, "n")
+        tags, phone_ids = cleaning.fix_phones_in_tags(shape.shape_tags(batch))
+        _write(
+            tags.select("id", "key", "value", "type"), "nodes_tags", batch_id, "n"
         )
+        _write(
+            cleaning.update_history(phone_ids, phone_ids.limit(0), phone_ids.limit(0)),
+            "update_history",
+            batch_id,
+            "n",
+        )
+
+    def process_ways(batch: DataFrame, batch_id: int) -> None:
+        _write(shape.shape_ways(batch), "ways", batch_id, "w")
+        _write(shape.shape_way_nodes(batch), "ways_nodes", batch_id, "w")
         tags_pos, phone_ids = cleaning.fix_phones_in_tags(
             shape.shape_tags(batch, with_pos=True)
         )
         repaired, name_ids = street_repair.repair_street_names(
             tags_pos, lookup, official
         )
-        repaired.write.mode("append").parquet(f"{out_dir}/ways_tags")
+        _write(repaired, "ways_tags", batch_id, "w")
         empty = phone_ids.limit(0)
-        cleaning.update_history(empty, phone_ids, name_ids).write.mode(
-            "append"
-        ).parquet(f"{out_dir}/update_history")
+        _write(
+            cleaning.update_history(empty, phone_ids, name_ids),
+            "update_history",
+            batch_id,
+            "w",
+        )
 
     trigger = {"availableNow": True} if available_now else {}
     queries = [
