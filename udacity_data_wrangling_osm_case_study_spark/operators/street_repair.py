@@ -225,20 +225,35 @@ def repair_street_names(
         )
     )
     gaps = canon.join(presence, "id", "left")
-    appended = None
-    for flag, key, typ, src in (
-        ("has_en", "en", "name", "eng"),
-        ("has_zh", "zh", "name", "chi"),
-        ("has_reg", "name", "regular", "reg"),
-    ):
-        rows = gaps.filter(F.coalesce(F.col(flag), F.lit(0)) == 0).select(
-            "id",
-            F.lit(key).alias("key"),
-            F.col(src).alias("value"),
-            F.lit(typ).alias("type"),
-            F.lit(True).alias("_changed"),
+    # One row-local explode instead of three filter/select/union branches:
+    # each canonical way emits the (key, value, type) rows whose name
+    # shape is absent — identical rows, one plan node, no re-scan per
+    # shape.
+    candidates = F.array(
+        *(
+            F.struct(
+                (F.coalesce(F.col(flag), F.lit(0)) == 0).alias("missing"),
+                F.lit(key).alias("key"),
+                F.col(src).alias("value"),
+                F.lit(typ).alias("type"),
+            )
+            for flag, key, typ, src in (
+                ("has_en", "en", "name", "eng"),
+                ("has_zh", "zh", "name", "chi"),
+                ("has_reg", "name", "regular", "reg"),
+            )
         )
-        appended = rows if appended is None else appended.unionByName(rows)
+    )
+    appended = gaps.select(
+        "id",
+        F.explode(F.filter(candidates, lambda c: c["missing"])).alias("c"),
+    ).select(
+        "id",
+        F.col("c.key").alias("key"),
+        F.col("c.value").alias("value"),
+        F.col("c.type").alias("type"),
+        F.lit(True).alias("_changed"),
+    )
 
     # all_tags feeds both the repaired-tags sink and the CDC updated-ids
     # aggregate — cache so the overwrite/append work runs once.
