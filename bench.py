@@ -32,6 +32,8 @@ HEADLINE = [
     "phone_canonicalization",
     "exact_dedup_prefix_groups",
     "ngram_jaccard_pairs",
+    "doc_fingerprints",
+    "fingerprint_near_pairs",
     "minhash_lsh_dupes",
     "simhash_clusters",
     "simhash_near_pairs",

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "udacity_data_wrangling_osm_case_study_spark.plans.temporal_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.cleaning_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.dedup_queries",
+    "udacity_data_wrangling_osm_case_study_spark.plans.fingerprint_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.similarity_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.text_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.udtf_queries",
@@ -50,6 +51,8 @@ _loaded = False
 # kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
+    "doc_fingerprints",
+    "fingerprint_near_pairs",
     "simhash_near_pairs",
     "benchmark_contamination",
     "embedding_near_dupes_arrow",
