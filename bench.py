@@ -45,6 +45,7 @@ HEADLINE = [
     "benchmark_contamination",
     "knn_bruteforce",
     "knn_ivf",
+    "knn_srp_lsh",
     "doc_profiles",
     "repetition_quality",
     "pii_term_scrub",

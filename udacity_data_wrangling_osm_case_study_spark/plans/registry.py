@@ -58,6 +58,7 @@ _VERIFY_FIRST = (
     "embedding_near_dupes_arrow",
     "knn_bruteforce",
     "knn_ivf",
+    "knn_srp_lsh",
     "media_metadata",
     "media_features",
     "doc_profiles",

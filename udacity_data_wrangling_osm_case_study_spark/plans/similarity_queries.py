@@ -189,3 +189,81 @@ def media_features(spark, sf_dir):
         F.round(F.col("feature")[0], 4).alias("f0"),
         F.round(F.col("feature")[1], 4).alias("f1"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH ANN (random-hyperplane bucketed variant beside IVF)
+# ---------------------------------------------------------------------------
+
+_SRP_TABLES, _SRP_BITS, _SRP_DIM = 8, 4, 64
+_PLANES = similarity.srp_hyperplanes(_SRP_TABLES, _SRP_BITS, _SRP_DIM)
+
+
+def _sig_sql(vec_expr: str, planes) -> str:
+    """DuckDB expression for one table's bit-string signature — the
+    same literal hyperplanes the Spark plan carries."""
+    cases = [
+        "CASE WHEN list_dot_product({v}, [{h}]) >= 0 THEN '1' ELSE '0' END".format(
+            v=vec_expr, h=",".join(str(x) for x in plane)
+        )
+        for plane in planes
+    ]
+    return " || ".join(cases)
+
+
+_SRP_QSIG = "\n        UNION ALL ".join(
+    f"SELECT {t} AS t, {_sig_sql('q.q', _PLANES[t])} AS sig FROM q"
+    for t in range(_SRP_TABLES)
+)
+_SRP_CSIG = "\n        UNION ALL ".join(
+    f"SELECT vec_id, {t} AS t, {_sig_sql('e.v', _PLANES[t])} AS sig FROM e"
+    for t in range(_SRP_TABLES)
+)
+
+
+@register(
+    "knn_srp_lsh",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+               WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id <> 0),
+    qsig AS ({_SRP_QSIG}),
+    csig AS ({_SRP_CSIG}),
+    cand AS (SELECT DISTINCT vec_id FROM csig JOIN qsig USING (t, sig))
+    SELECT e.vec_id AS id, {_COS_BP} AS cosine_bp
+    FROM e JOIN cand USING (vec_id), q
+    ORDER BY cosine_bp DESC, id LIMIT 10
+    """,
+)
+def knn_srp_lsh(spark, sf_dir):
+    """LSH-bucketed ANN: sign-random-projection signatures (8 tables x
+    4 Rademacher hyperplanes, deterministic literals in the plan),
+    candidates = vectors sharing any bucket with the query, exact
+    cosine re-rank. Bucketing is a narrow row-local map; the candidate
+    probe is a broadcast semi-join on (table, signature) — per-query
+    work scales with bucket occupancy, never the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_vec(F.col("embedding"))
+    q = emb.filter(F.col("vec_id") == 0).select(v.alias("q"))
+    qb = q.select(
+        F.posexplode(similarity.srp_all_signatures(F.col("q"), _PLANES)).alias(
+            "t0", "sig"
+        )
+    ).select(F.col("t0").alias("t"), "sig")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cand = (
+        similarity.srp_buckets(corpus, _PLANES)
+        .join(F.broadcast(qb), ["t", "sig"], "left_semi")
+        .select("id")
+        .distinct()
+    )
+    bp = F.round(similarity.cosine(F.col("v"), F.col("q")) * 10000).cast("bigint")
+    e = corpus.select(F.col("vec_id").alias("id"), v.alias("v"))
+    return (
+        e.join(cand, "id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select("id", bp.alias("cosine_bp"))
+        .orderBy(F.desc("cosine_bp"), "id")
+        .limit(10)
+    )
