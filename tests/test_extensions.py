@@ -318,3 +318,32 @@ def test_srp_lsh_topk_recall_vs_bruteforce(spark):
         )[0].alias("sig")
     ).collect()
     assert [r.sig for r in one] == [r.sig for r in allt]
+
+
+def test_media_frame_sample_and_resize(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "abc"), (3, "")], ["doc_id", "text"]
+    )
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.sample_frames(media, n_frames=4, frame_bytes=8).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 100 bytes → 4 frames of min(25, 8) = 8 bytes at stride 25.
+    assert [r.frame_idx for r in sorted(by_id[1], key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    assert all(len(r.frame) == 8 for r in by_id[1])
+    # Shorter than n_frames bytes → one whole-payload frame.
+    assert len(by_id[2]) == 1 and bytes(by_id[2][0].frame) == b"abc"
+    assert len(by_id[3]) == 1 and bytes(by_id[3][0].frame) == b""
+
+    resized = {r.media_id: r for r in multimodal.resize_media(media, target_bytes=16).collect()}
+    assert all(r.n_bytes == 16 for r in resized.values())
+    assert bytes(resized[2].payload) == b"abc" + b"\0" * 13
+    import hashlib
+    assert resized[2].checksum == hashlib.md5(b"abc" + b"\0" * 13).hexdigest()
+    # Schema is preserved: resized media flows back into any media stage.
+    assert multimodal.extract_features(
+        multimodal.resize_media(media)
+    ).columns == ["media_id", "n_bytes", "feature"]

@@ -72,3 +72,76 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, frame_bytes: int = 32
+) -> DataFrame:
+    """One-to-many Arrow stage: evenly-strided byte windows stand in
+    for video frame extraction (one row in → ``n_frames`` rows out).
+
+    The real part is the batch-explosion plumbing — mapInPandas lets a
+    batch yield MORE rows than it received with bounded memory, which
+    is exactly the shape of frame sampling / audio chunking at 100 TB
+    (the decode itself would sit in the slice loop; stride math and
+    schema stay unchanged). A payload shorter than ``n_frames`` bytes
+    yields a single whole-payload frame.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p)
+                seg = len(p) // n_frames
+                if seg == 0:
+                    picks = [(0, p)]
+                else:
+                    w = min(seg, frame_bytes)
+                    picks = [(f, p[f * seg : f * seg + w]) for f in range(n_frames)]
+                for f, fr in picks:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["frame"].append(fr)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        _sample, schema="media_id bigint, frame_idx int, frame binary"
+    )
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """Decode → resize → re-encode plumbing, preserving MEDIA_SCHEMA so
+    resized media flows into any stage that reads media tables.
+
+    The stub 'resize' truncates-or-zero-pads the payload to
+    ``target_bytes`` (deterministic); a real implementation decodes,
+    resamples, re-encodes in the same loop — batch shape, metadata
+    recompute (n_bytes, checksum) and schema are the real contract.
+    """
+    import hashlib
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media resize requires codec libraries (PIL/ffmpeg) "
+                    "not present in this environment"
+                )
+            resized = [
+                bytes(p)[:target_bytes].ljust(target_bytes, b"\0")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(r) for r in resized],
+                    "checksum": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)

@@ -61,6 +61,7 @@ _VERIFY_FIRST = (
     "knn_srp_lsh",
     "media_metadata",
     "media_features",
+    "media_frame_sample",
     "doc_profiles",
     "lang_id_confusion",
     "corpus_token_stats",

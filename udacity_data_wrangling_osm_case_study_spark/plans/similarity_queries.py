@@ -267,3 +267,43 @@ def knn_srp_lsh(spark, sf_dir):
         .orderBy(F.desc("cosine_bp"), "id")
         .limit(10)
     )
+
+
+@register(
+    "media_frame_sample",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS L
+        FROM documents
+    ),
+    fr AS (
+        SELECT media_id, f AS frame_idx,
+               CASE WHEN L // 4 = 0 THEN L ELSE least(L // 4, 32) END
+                   AS frame_len,
+               CASE WHEN L // 4 = 0 THEN hx
+                    ELSE substring(hx, f * (L // 4) * 2 + 1,
+                                   2 * least(L // 4, 32)) END AS frame_hex
+        FROM m, (SELECT unnest(range(0, 4)) AS f)
+        WHERE L // 4 > 0 OR f = 0
+    )
+    SELECT media_id, frame_idx, CAST(frame_len AS INT) AS frame_len, frame_hex
+    FROM fr ORDER BY media_id, frame_idx
+    """,
+)
+def media_frame_sample(spark, sf_dir):
+    """Frame sampling over binary media: 4 evenly-strided byte windows
+    per payload via the one-to-many ``mapInPandas`` stage
+    (operators.multimodal.sample_frames). The oracle reproduces the
+    byte arithmetic on the hex encoding — DuckDB 1.0 has no BLOB
+    substring — so the Arrow path's slicing is value-checked
+    byte-for-byte."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.sample_frames(media, n_frames=4, frame_bytes=32)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").cast("int").alias("frame_len"),
+        F.hex("frame").alias("frame_hex"),
+    ).orderBy("media_id", "frame_idx")
