@@ -1,0 +1,81 @@
+"""Sequence packing and per-key capping invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators import packing, sampling
+
+
+def _docs(spark, counts):
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(counts)], "doc_id long, n_tokens long"
+    )
+
+
+def test_offsets_match_sequential_prefix_sum(spark):
+    counts = [5, 0, 12, 3, 7, 1, 0, 9, 2, 4] * 30
+    offs = (
+        packing.global_token_offsets(_docs(spark, counts), num_range_partitions=7)
+        .orderBy("doc_id")
+        .collect()
+    )
+    expect, acc = [], 0
+    for n in counts:
+        expect.append(acc)
+        acc += n
+    assert [r.start for r in offs] == expect
+
+
+def test_pack_covers_every_token_exactly_once(spark):
+    counts = [17, 3, 250, 1, 64, 129, 5, 40, 700, 2]
+    seq_len = 128
+    placed = packing.pack_sequences(_docs(spark, counts), seq_len).collect()
+    total = sum(counts)
+    # Per-doc contributions reassemble the doc.
+    by_doc = {}
+    for r in placed:
+        by_doc.setdefault(r.doc_id, 0)
+        by_doc[r.doc_id] += r.n_tokens
+    assert by_doc == {i: n for i, n in enumerate(counts) if n > 0}
+    # Per-sequence contributions tile [0, seq_len) with no overlap;
+    # every sequence but the last is exactly full.
+    by_seq = {}
+    for r in placed:
+        by_seq.setdefault(r.seq_id, []).append((r.seq_offset, r.n_tokens))
+    n_seqs = -(-total // seq_len)
+    assert set(by_seq) == set(range(n_seqs))
+    for seq_id, spans in by_seq.items():
+        spans.sort()
+        pos = 0
+        for off, n in spans:
+            assert off == pos and n > 0
+            pos += n
+        assert pos == (seq_len if seq_id < n_seqs - 1 else total - seq_len * (n_seqs - 1))
+
+
+def test_pack_is_partitioning_invariant(spark):
+    counts = [9, 30, 2, 55, 11, 6, 120, 1]
+    df = _docs(spark, counts)
+    a = packing.pack_sequences(df, 64).orderBy("seq_id", "doc_id").collect()
+    b = (
+        packing.pack_sequences(df.repartition(13), 64)
+        .orderBy("seq_id", "doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_per_key_cap(spark):
+    rows = [(i, f"src{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sampling.per_key_cap(df, "source", "doc_id", cap=10)
+    sizes = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"src0": 10, "src1": 10, "src2": 10}
+    # Deterministic: same draw after repartitioning; different salt
+    # draws a different subset.
+    ids = lambda d: sorted(r.doc_id for r in d.collect())
+    assert ids(kept) == ids(sampling.per_key_cap(df.repartition(17), "source", "doc_id", cap=10))
+    assert ids(kept) != ids(sampling.per_key_cap(df, "source", "doc_id", cap=10, salt="other"))
+    # A key under the cap keeps everything.
+    assert sampling.per_key_cap(df, "source", "doc_id", cap=50).count() == 100

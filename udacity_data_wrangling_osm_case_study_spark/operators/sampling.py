@@ -14,7 +14,7 @@ and salt-able so different experiments draw independent samples.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -30,6 +30,34 @@ def deterministic_sample(
     """Keep rows whose hash bucket falls below ``fraction_pct`` (of
     100) — a reproducible ~fraction sample keyed on ``key_col``."""
     return df.filter(hash_bucket(F.col(key_col), 100, salt) < fraction_pct)
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` rows per ``key_col``
+    (per domain / source / site), chosen deterministically by content
+    hash — the anti-overrepresentation guard of a web-corpus pipeline
+    (one crawl-happy domain must not dominate the training mix).
+
+    Selection order is md5(salt || id) with the id as tie-break, so
+    the kept subset is a stable pseudo-random draw per key: stable
+    across runs, engines, and partitionings, and re-salt-able for
+    independent draws. One shuffle on the key (the window); at scale a
+    skewed hot key is bounded by the cap itself — the window ranks and
+    discards, state per key is O(1) beyond the sort.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(h, id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
 
 
 def train_val_test_split(

@@ -1,0 +1,115 @@
+"""Sequence-packing and corpus-mix queries (scale extensions):
+concat-and-chunk training-sequence packing, per-source frequency caps.
+
+Both drive ``operators.packing`` / ``operators.sampling``. The packing
+oracle recomputes the global prefix sum with a plain windowed SUM —
+fine in DuckDB at sf scale; the Spark side uses the distributed
+two-phase prefix sum (``packing.global_token_offsets``) precisely
+because the plain window is a single-partition funnel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators import packing, sampling
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NTOK = f"len(string_split({_NORM}, ' '))"
+
+_SEQ_LEN = 512
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_NTOK} AS n_tokens FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS start
+        FROM t
+    ),
+    spans AS (
+        SELECT doc_id, start, n_tokens,
+               unnest(range(start // {_SEQ_LEN},
+                            (start + n_tokens - 1) // {_SEQ_LEN} + 1)) AS seq_id
+        FROM offs WHERE n_tokens > 0
+    )
+    SELECT seq_id, doc_id,
+           greatest(start, seq_id * {_SEQ_LEN}) - seq_id * {_SEQ_LEN}
+               AS seq_offset,
+           least(start + n_tokens, (seq_id + 1) * {_SEQ_LEN})
+               - greatest(start, seq_id * {_SEQ_LEN}) AS n_tokens
+    FROM spans ORDER BY seq_id, doc_id
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Concat-and-chunk packing of the documents table into 512-token
+    training sequences: the doc -> (sequence, offset, length) placement
+    map a pretraining loader consumes. Global offsets come from the
+    distributed two-phase prefix sum — no single-partition window."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "), " "
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    return packing.pack_sequences(docs, seq_len=_SEQ_LEN).orderBy(
+        "seq_id", "doc_id"
+    )
+
+
+@register(
+    "per_source_cap",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ),
+    kept AS (SELECT doc_id AS kept_id, source FROM ranked WHERE rn <= 40)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(k.kept_id) AS n_kept,
+           CAST(MIN(k.kept_id) AS BIGINT) AS min_kept_id,
+           CAST(SUM(k.kept_id) AS BIGINT) AS kept_id_sum
+    FROM documents d
+    LEFT JOIN kept k ON d.doc_id = k.kept_id AND d.source = k.source
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def per_source_cap(spark, sf_dir):
+    """Frequency capping audit: keep at most 40 docs per source
+    (deterministic hash draw), report per-source kept counts plus an
+    id checksum proving WHICH docs were kept matches the oracle."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    # The kept frame derives from docs (a self-join): rename BOTH its
+    # columns so the join condition and grouping are unambiguous.
+    kept = sampling.per_key_cap(docs, "source", "doc_id", cap=40).select(
+        F.col("doc_id").alias("kept_id"), F.col("source").alias("kept_source")
+    )
+    return (
+        docs.join(
+            kept,
+            (docs.doc_id == kept.kept_id) & (docs.source == kept.kept_source),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("kept_id").alias("n_kept"),
+            F.min("kept_id").cast("bigint").alias("min_kept_id"),
+            F.sum("kept_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )

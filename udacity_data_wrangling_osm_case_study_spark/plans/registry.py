@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "udacity_data_wrangling_osm_case_study_spark.plans.fingerprint_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.similarity_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.text_queries",
+    "udacity_data_wrangling_osm_case_study_spark.plans.packing_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.udtf_queries",
 )
 
@@ -51,6 +52,8 @@ _loaded = False
 # kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
+    "sequence_packing",
+    "per_source_cap",
     "doc_fingerprints",
     "fingerprint_near_pairs",
     "simhash_near_pairs",
