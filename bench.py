@@ -53,6 +53,8 @@ HEADLINE = [
     "purchase_click_attribution",
     "error_followup_pairs",
     "train_val_test_split",
+    "sequence_packing",
+    "per_source_cap",
 ]
 
 

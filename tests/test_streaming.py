@@ -139,6 +139,49 @@ def test_stream_dedup_within_watermark(spark, events_dir):
     assert got.select("event_id").distinct().count() == n_src
 
 
+def test_cms_user_counts_bounds(spark, events_dir):
+    """The streamed count-min sketch must respect its guarantees vs the
+    exact batch aggregate: never undercount, and overcount by at most
+    e/W of the per-type total (the standard CMS bound; depth 4 makes
+    exceeding it on EVERY row astronomically unlikely — assert the 99th
+    percentile instead of the max to keep the test deterministic-ish
+    while still catching any systematic error)."""
+    stream = events_stream.cms_user_event_counts(
+        events_stream.read_events_stream(spark, events_dir)
+    )
+    events_stream.run_to_memory_sink(stream, "v_cms", output_mode="update")
+    # est only grows across micro-batches: the final estimate per key
+    # is the max emitted.
+    got = {
+        (r.event_type, r.user_id): r.est_n
+        for r in spark.table("v_cms")
+        .groupBy("event_type", "user_id")
+        .agg(F.max("est_n").alias("est_n"))
+        .collect()
+    }
+    exact = {
+        (r.event_type, r.user_id): r.n
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    totals = {
+        r.event_type: r.n
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    overs = []
+    for (etype, uid), est in got.items():
+        assert est >= exact[(etype, uid)], f"CMS undercounted {(etype, uid)}"
+        bound = 2.7183 / events_stream.CMS_WIDTH * totals[etype]
+        overs.append((est - exact[(etype, uid)]) <= bound)
+    assert sum(overs) / len(overs) >= 0.99
+
+
 def test_sliding_window_counts_match_batch(spark, events_dir):
     stream = events_stream.windowed_event_counts(
         events_stream.read_events_stream(spark, events_dir),

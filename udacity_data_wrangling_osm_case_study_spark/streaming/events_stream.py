@@ -129,6 +129,74 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+CMS_DEPTH, CMS_WIDTH = 4, 256
+# Pairwise-independent hash family h_d(x) = ((a_d x + b_d) mod P) mod W.
+# P is the Mersenne prime 2^31-1; a/b are fixed odd constants so the
+# sketch is deterministic across runs and engines. Keys are reduced mod
+# P first, so the int64 products below never overflow (a < 2^20,
+# x mod P < 2^31 → product < 2^51).
+_CMS_P = 2_147_483_647
+_CMS_A = (823_117, 544_231, 921_023, 687_101)
+_CMS_B = (105_943, 700_417, 331_777, 964_981)
+
+CMS_OUTPUT_SCHEMA = "event_type string, user_id bigint, est_n bigint"
+CMS_STATE_SCHEMA = "counts array<long>"
+
+
+def cms_user_event_counts(events: DataFrame) -> DataFrame:
+    """Per-event-type count-min sketch of user activity: a custom
+    stateful streaming operator (``applyInPandasWithState``) whose
+    state is one fixed CMS_DEPTH x CMS_WIDTH counter grid per event
+    type — **constant-size state per key** no matter how many distinct
+    users pass through, the trade a streaming pipeline makes when exact
+    per-(type, user) counts would need unbounded state.
+
+    Each micro-batch the sketch absorbs the batch's rows (vectorized
+    numpy bincount per hash row — the Python work is O(batch), not
+    O(batch x depth) scalar loops) and emits the current estimate for
+    every user seen in that batch. CMS guarantees est >= true count,
+    and est <= true + e/W * N with probability 1 - e^-depth — the
+    parity test checks both bounds against the exact batch aggregate.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        counts = (
+            np.array(state.get[0], dtype=np.int64).reshape(CMS_DEPTH, CMS_WIDTH)
+            if state.exists
+            else np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        )
+        seen = []
+        for pdf in pdfs:
+            users = pdf["user_id"].to_numpy(dtype=np.int64)
+            seen.append(users)
+            um = users % _CMS_P
+            for d in range(CMS_DEPTH):
+                idx = ((_CMS_A[d] * um + _CMS_B[d]) % _CMS_P) % CMS_WIDTH
+                counts[d] += np.bincount(idx, minlength=CMS_WIDTH)
+        state.update((counts.ravel().tolist(),))
+        probe = np.unique(np.concatenate(seen)) if seen else np.array([], dtype=np.int64)
+        pm = probe % _CMS_P
+        est = np.full(len(probe), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(CMS_DEPTH):
+            idx = ((_CMS_A[d] * pm + _CMS_B[d]) % _CMS_P) % CMS_WIDTH
+            est = np.minimum(est, counts[d][idx])
+        yield pd.DataFrame(
+            {"event_type": key[0], "user_id": probe, "est_n": est}
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory_sink(
     stream: DataFrame, name: str, output_mode: str = "update"
 ) -> None:
