@@ -66,6 +66,29 @@ def test_pack_is_partitioning_invariant(spark):
     assert a == b
 
 
+def test_weighted_key_quota(spark):
+    # 400 docs in src0, 100 in src1, 4 in src2: sqrt weights 20/10/2,
+    # target 64 -> quotas 64*20//32=40, 64*10//32=20, 64*2//32=4.
+    rows = (
+        [(i, "src0") for i in range(400)]
+        + [(1000 + i, "src1") for i in range(100)]
+        + [(2000 + i, "src2") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sampling.weighted_key_quota(df, "source", "doc_id", total_target=64)
+    sizes = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # src2's quota covers its whole population (no replacement).
+    assert sizes == {"src0": 40, "src1": 20, "src2": 4}
+    # Head/tail rebalance: src0 has 4x src1's docs but only 2x quota.
+    ids = lambda d: sorted(r.doc_id for r in d.collect())
+    assert ids(kept) == ids(
+        sampling.weighted_key_quota(df.repartition(11), "source", "doc_id", 64)
+    )
+
+
 def test_per_key_cap(spark):
     rows = [(i, f"src{i % 3}") for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, source string")

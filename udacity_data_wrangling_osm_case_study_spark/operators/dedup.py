@@ -293,18 +293,22 @@ def simhash64(
         F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
     )
 
-    def vote(b: int):
-        # bit b (0-based, MSB-first): bits 0-31 in `hi`, 32-63 in `lo`.
-        src, shift = (F.col("hi"), 31 - b) if b < 32 else (F.col("lo"), 63 - b)
-        bit = F.shiftright(src, shift).bitwiseAND(F.lit(1))
-        return F.sum(bit * 2 - 1).alias(f"s{b}")
+    # Majority via ones-counts: sum(bit) per position plus ONE shared
+    # row count — bit b is set iff 2*ones_b > n (identical to the ±1
+    # vote sum being positive; ties are 0 either way). Half the per-row
+    # arithmetic of summing ±1 votes, and every aggregate is built as a
+    # parsed SQL string: the 64-expression tree was costing more in
+    # py4j Column construction + analysis than the whole JVM execution
+    # (measured ~1.5 s of a 2.7 s wall at sf0.1).
+    def ones(b: int) -> str:
+        src, shift = ("hi", 31 - b) if b < 32 else ("lo", 63 - b)
+        return f"sum(shiftright({src}, {shift}) & 1) AS c{b}"
 
-    sums = packed.groupBy("id").agg(*[vote(b) for b in range(64)])
-    bits = [
-        F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for b in range(64)
-    ]
-    return sums.select("id", F.concat(*bits).alias("simhash"))
+    sums = packed.groupBy("id").agg(
+        F.expr("count(*) AS n"), *[F.expr(ones(b)) for b in range(64)]
+    )
+    bit_str = ", ".join(f"if(2 * c{b} > n, '1', '0')" for b in range(64))
+    return sums.select("id", F.expr(f"concat({bit_str}) AS simhash"))
 
 
 def simhash_near_pairs(

@@ -60,6 +60,52 @@ def per_key_cap(
     )
 
 
+def weighted_key_quota(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    total_target: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-balanced corpus mixing (alpha = 0.5, no
+    replacement): draw ~``total_target`` rows with per-key quotas
+    proportional to sqrt(n_key) — the standard rebalancing that
+    upweights tail sources/languages relative to their raw share
+    (a head key with 100x the docs gets only 10x the quota).
+
+    Quota arithmetic is INTEGER end-to-end: weights are
+    floor(sqrt(n)) (IEEE sqrt is correctly rounded, so floor is exact
+    for perfect squares), quotas are (target * w) div sum(w) — no
+    float share ever hits a rounding boundary, so the same rows are
+    selected in any engine. A key whose quota exceeds its population
+    just keeps everything (sampling is without replacement), so the
+    realized total can undershoot ``total_target``.
+
+    Selection within a key is the same stable hash draw as
+    :func:`per_key_cap`. Scale shape: the quota table is one row per
+    key (broadcast); the only corpus-wide work is the per-key window.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("_n"))
+    w = F.floor(F.sqrt(F.col("_n"))).cast("long")
+    weights = counts.select(F.col(key_col), F.col("_n"), w.alias("_w"))
+    total_w = weights.agg(F.sum("_w").alias("_sum_w"))
+    quotas = (
+        weights.crossJoin(F.broadcast(total_w))
+        .select(
+            key_col,
+            F.expr(f"CAST({total_target} AS BIGINT) * _w div _sum_w").alias("_quota"),
+        )
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    win = Window.partitionBy(key_col).orderBy(h, id_col)
+    return (
+        df.join(F.broadcast(quotas), key_col)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )
+
+
 def train_val_test_split(
     df: DataFrame,
     key_col: str,

@@ -113,3 +113,68 @@ def per_source_cap(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_MIX_TARGET = 600
+
+
+@register(
+    "source_temperature_mix",
+    f"""
+    WITH c AS (
+        SELECT source, COUNT(*) AS n,
+               CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS w
+        FROM documents GROUP BY source
+    ),
+    q AS (
+        SELECT source, n,
+               CAST({_MIX_TARGET} AS BIGINT) * w
+                   // (SELECT SUM(w) FROM c) AS quota
+        FROM c
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ),
+    kept AS (
+        SELECT r.doc_id, r.source
+        FROM ranked r JOIN q USING (source) WHERE r.rn <= q.quota
+    )
+    SELECT q.source, q.n AS n_docs, CAST(q.quota AS BIGINT) AS quota,
+           COUNT(k.doc_id) AS n_kept,
+           CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+    FROM q LEFT JOIN kept k USING (source)
+    GROUP BY q.source, q.n, q.quota ORDER BY q.source
+    """,
+)
+def source_temperature_mix(spark, sf_dir):
+    """Temperature-balanced mixing audit (alpha = 0.5): per-source
+    sqrt-weighted quotas out of a 600-doc target, integer-exact
+    arithmetic, hash-draw selection — with an id checksum proving the
+    selected subset matches the oracle row-for-row."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = sampling.weighted_key_quota(docs, "source", "doc_id", _MIX_TARGET).select(
+        F.col("doc_id").alias("kept_id"), F.col("source").alias("kept_source")
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    weights = counts.withColumn("_w", w)
+    total_w = weights.agg(F.sum("_w").alias("_sum_w"))
+    quotas = weights.crossJoin(F.broadcast(total_w)).select(
+        "source",
+        "n_docs",
+        F.expr(f"CAST({_MIX_TARGET} AS BIGINT) * _w div _sum_w").alias("quota"),
+    )
+    return (
+        quotas.join(kept, quotas.source == kept.kept_source, "left")
+        .groupBy("source", "n_docs", "quota")
+        .agg(
+            F.count("kept_id").alias("n_kept"),
+            F.coalesce(F.sum("kept_id"), F.lit(0)).cast("bigint").alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )

@@ -54,6 +54,7 @@ _loaded = False
 _VERIFY_FIRST = (
     "sequence_packing",
     "per_source_cap",
+    "source_temperature_mix",
     "doc_fingerprints",
     "fingerprint_near_pairs",
     "simhash_near_pairs",
