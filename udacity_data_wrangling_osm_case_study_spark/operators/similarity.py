@@ -25,6 +25,25 @@ def as_double_vec(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def array_literal(xs):
+    """(Nested) double-array literal built as ONE parsed SQL string.
+
+    ``F.lit`` / per-element ``F.array(F.lit(...))`` construct the
+    literal through py4j element by element — measured 1.4 s for an
+    8x4x64 plane bank, PER USE, before any data moves. Rendering the
+    same values as a single ``array(array(...))`` SQL string and
+    letting the JVM parser build it costs ~5 ms. repr() round-trips
+    doubles exactly, so the plan is bit-identical either way.
+    """
+
+    def render(v):
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        return f"{float(v)!r}D"
+
+    return F.expr(render(xs))
+
+
 def dot(u, v):
     return F.aggregate(F.zip_with(u, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -46,7 +65,7 @@ def brute_force_topk(
     round_dp: int = 4,
 ) -> DataFrame:
     """Exact top-k by cosine to a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = array_literal(query_vec)
     v = as_double_vec(F.col(vec_col))
     sim = F.round(cosine(v, q), round_dp)
     return (
@@ -129,7 +148,7 @@ def ivf_topk_indexed(
     vector scan to those cells' files (PartitionFilters in the plan).
     Corpus data itself never reaches the driver.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = array_literal(query_vec)
     cents = spark.read.parquet(f"{index_dir}/centroids")
     probed = [
         r.cell
@@ -166,7 +185,7 @@ def ivf_topk(
     ``n_probe`` best cells, exact cosine within them. Index-free
     variant (quantizer recomputed per call) — for repeated queries use
     :func:`build_ivf_index` + :func:`ivf_topk_indexed`."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = array_literal(query_vec)
     cents = label_centroids(df, id_col, vec_col, cell_col)
     probed = (
         cents.withColumn("csim", F.round(cosine(F.col("centroid"), q), round_dp))
@@ -235,7 +254,7 @@ def srp_all_signatures(vec, planes: list[list[list[float]]]):
     driver round-trips and ~3 s of plan construction at T=8, B=4
     (measured; execution work is identical either way)."""
     return F.transform(
-        F.lit(planes),
+        array_literal(planes),
         lambda tbl: F.array_join(
             F.transform(
                 tbl,
@@ -285,7 +304,7 @@ def srp_lsh_topk(
     per query the probe is L bucket lookups, so work scales with bucket
     occupancy, never the corpus.
     """
-    q = F.lit([float(x) for x in query_vec])
+    q = array_literal(query_vec)
     # One literal-only row: (t, sig) buckets of the query.
     qb = (
         df.sparkSession.range(1)
