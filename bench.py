@@ -55,6 +55,8 @@ HEADLINE = [
     "train_val_test_split",
     "sequence_packing",
     "per_source_cap",
+    "source_temperature_mix",
+    "corpus_curation_funnel",
 ]
 
 

@@ -1,0 +1,167 @@
+"""End-to-end corpus curation funnel: the operators composed as one
+training-data pipeline, with a per-stage survivor audit.
+
+This is the shape a real 100 TB pretraining-ingest job has — a chain
+of independently-tested stages:
+
+    input -> exact dedup -> MinHash near-dedup -> quality filter
+          -> PII/denylist gate -> per-source frequency cap
+
+The registered query reports the funnel (docs + tokens surviving each
+stage), which is both the operational dashboard of a curation run and
+a full-pipeline integration check: the DuckDB oracle recomputes every
+stage independently, so a drift anywhere in the chain (shingling,
+LSH banding, Jaccard verify, capping hash) breaks the value match.
+
+Scale notes: each stage is the library operator documented in its own
+module; the funnel adds no new shuffle shapes. The two survivor
+frames that feed multiple downstream branches are cached, mirroring
+``minhash_lsh_dupes``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators import dedup, sampling
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_MIN_TOKENS = 20
+_MAX_DENY = 3
+_CAP = 40
+_DENY_PATTERN = r"\b(table|row|value)\b"
+
+_FUNNEL_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id AS id, source, {_NORM} AS norm,
+               len(string_split({_NORM}, ' ')) AS n_tokens
+        FROM documents
+    ),
+    fp AS (SELECT id, md5(norm) AS fp FROM base),
+    keep1 AS (SELECT MIN(id) AS id FROM fp GROUP BY fp),
+    s2 AS (SELECT b.* FROM base b JOIN keep1 USING (id)),
+    toks2 AS (SELECT id, string_split(norm, ' ') AS toks FROM s2),
+    sh AS (
+        SELECT DISTINCT id, unnest(list_transform(
+            range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM toks2
+    ),
+    sigs AS (
+        SELECT id, s.seed AS seed,
+               MIN(md5(CAST(s.seed AS VARCHAR) || '#' || shingle)) AS minhash
+        FROM sh, range(0, 8) s(seed) GROUP BY id, s.seed
+    ),
+    bands AS (
+        SELECT id, CAST(seed // 2 AS INT) AS band,
+               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+        FROM sigs GROUP BY id, CAST(seed // 2 AS INT)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    drops AS (
+        SELECT DISTINCT i.id_b AS id
+        FROM inter i
+        JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+        JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b
+        WHERE ROUND(i.inter / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+    ),
+    s3 AS (SELECT * FROM s2 WHERE id NOT IN (SELECT id FROM drops)),
+    s4 AS (SELECT * FROM s3 WHERE n_tokens >= {_MIN_TOKENS}),
+    s5 AS (
+        SELECT * FROM s4
+        WHERE len(regexp_extract_all(norm, '{_DENY_PATTERN}')) <= {_MAX_DENY}
+    ),
+    ranked AS (
+        SELECT id, source, n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap' || CAST(id AS VARCHAR)), id
+               ) AS rn
+        FROM s5
+    ),
+    s6 AS (SELECT id, source, n_tokens FROM ranked WHERE rn <= {_CAP})
+    SELECT stage, n_docs, n_tokens FROM (
+        SELECT '00_input' AS stage, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM base
+        UNION ALL SELECT '01_exact_dedup', COUNT(*),
+               CAST(SUM(n_tokens) AS BIGINT) FROM s2
+        UNION ALL SELECT '02_near_dedup', COUNT(*),
+               CAST(SUM(n_tokens) AS BIGINT) FROM s3
+        UNION ALL SELECT '03_quality', COUNT(*),
+               CAST(SUM(n_tokens) AS BIGINT) FROM s4
+        UNION ALL SELECT '04_denylist', COUNT(*),
+               CAST(SUM(n_tokens) AS BIGINT) FROM s5
+        UNION ALL SELECT '05_source_cap', COUNT(*),
+               CAST(SUM(n_tokens) AS BIGINT) FROM s6
+    ) ORDER BY stage
+    """
+
+
+def _stage_agg(df, stage: str):
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
+
+
+@register("corpus_curation_funnel", _FUNNEL_ORACLE)
+def corpus_curation_funnel(spark, sf_dir):
+    """Full curation pipeline over ``documents``, reported as a funnel:
+    docs and tokens surviving each stage. Every stage is a library
+    operator; see module docstring."""
+    docs = table(spark, sf_dir, "documents")
+    norm = dedup.normalize_text(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        norm.alias("norm"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+    )
+
+    # 1: exact dedup — keeper = min id per full-content fingerprint.
+    keepers = (
+        base.select("doc_id", F.md5("norm").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = base.join(keepers, "doc_id", "left_semi").cache()
+
+    # 2: MinHash-LSH near-dedup on the survivors — drop the larger id
+    # of every verified pair (greedy keep-first, deterministic).
+    sh = dedup.word_shingles(s2).cache()
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sigs, rows_per_band=2))
+    verified = dedup.jaccard_pairs(sh, candidates=cand, min_jaccard=0.5)
+    drops = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    s3 = s2.join(drops, "doc_id", "left_anti").cache()
+
+    # 3: quality gate (token-count floor), 4: denylist gate, 5: cap.
+    s4 = s3.filter(F.col("n_tokens") >= _MIN_TOKENS)
+    s5 = s4.filter(F.regexp_count(F.col("norm"), F.lit(_DENY_PATTERN)) <= _MAX_DENY)
+    s6 = sampling.per_key_cap(s5, "source", "doc_id", cap=_CAP)
+
+    funnel = (
+        _stage_agg(base, "00_input")
+        .unionByName(_stage_agg(s2, "01_exact_dedup"))
+        .unionByName(_stage_agg(s3, "02_near_dedup"))
+        .unionByName(_stage_agg(s4, "03_quality"))
+        .unionByName(_stage_agg(s5, "04_denylist"))
+        .unionByName(_stage_agg(s6, "05_source_cap"))
+    )
+    return funnel.orderBy("stage")

@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "udacity_data_wrangling_osm_case_study_spark.plans.similarity_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.text_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.packing_queries",
+    "udacity_data_wrangling_osm_case_study_spark.plans.curation_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.udtf_queries",
 )
 
@@ -52,6 +53,7 @@ _loaded = False
 # kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
+    "corpus_curation_funnel",
     "sequence_packing",
     "per_source_cap",
     "source_temperature_mix",
