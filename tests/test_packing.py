@@ -89,6 +89,59 @@ def test_weighted_key_quota(spark):
     )
 
 
+def test_zorder_key_interleaves_bits(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import layout
+
+    def morton(x, y, bits=16):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b + 1)
+            z |= ((y >> b) & 1) << (2 * b)
+        return z
+
+    rows = [(0b101, 0b011), (0, 0), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", layout.zorder_key(["x", "y"]).alias("z")).collect()
+    for r in got:
+        assert r.z == morton(r.x, r.y), (r.x, r.y)
+
+
+def test_zordered_write_tightens_file_envelopes(spark, tmp_path):
+    """Z-ordered files must have far smaller per-file (x, y) stat
+    envelopes than an insertion-ordered write — that envelope IS the
+    row-group-skipping guarantee for filters on either column."""
+    import pyarrow.parquet as pq
+    import os
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import layout
+
+    # A grid walked in row-major order: insertion order is the worst
+    # case for y locality.
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    df.repartition(8).write.mode("overwrite").parquet(plain)
+    layout.write_zordered(df, zed, ["x", "y"], bits=6, n_files=8)
+
+    def area(path):
+        total = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                sx = md.row_group(rg).column(cols["x"]).statistics
+                sy = md.row_group(rg).column(cols["y"]).statistics
+                total += (sx.max - sx.min + 1) * (sy.max - sy.min + 1)
+        return total
+
+    assert area(zed) * 4 < area(plain)
+
+
 def test_per_key_cap(spark):
     rows = [(i, f"src{i % 3}") for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, source string")

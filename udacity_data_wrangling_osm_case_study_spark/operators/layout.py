@@ -19,7 +19,8 @@ trust the layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -49,3 +50,51 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def zorder_key(cols: list[str], bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column — rows close in the key are close in EVERY dimension.
+
+    Sorting/range-partitioning by this key before writing gives each
+    parquet file a tight min/max envelope on ALL the interleaved
+    columns at once, so predicate pushdown skips row groups for
+    filters on any of them — the single-sort-column layout can only
+    serve its leading column. This is the same layout trick Delta/
+    Iceberg expose as OPTIMIZE ZORDER BY; here it is ~60 codegen'd
+    shift/mask ops (built as one parsed SQL string — the py4j tree
+    for bits x cols terms is plan-construction-bound otherwise).
+
+    Inputs must already be non-negative ints; callers bucket/rank raw
+    values first (``bits`` x len(cols) must stay <= 63).
+    """
+    n = len(cols)
+    assert n * bits <= 63, "interleaved key must fit a signed long"
+    terms = [
+        f"shiftleft(shiftright(CAST({c} AS BIGINT), {b}) & 1, {b * n + (n - 1 - i)})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return F.expr(" + ".join(terms))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-partitioned on the Z-order key of ``cols``:
+    ``n_files`` output splits, each covering one compact Z-range, so
+    per-file column statistics are tight on every interleaved column.
+    """
+    keyed = df.withColumn("_z", zorder_key(cols, bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

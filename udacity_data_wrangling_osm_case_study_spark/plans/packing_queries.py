@@ -115,6 +115,66 @@ def per_source_cap(spark, sf_dir):
     )
 
 
+def _z_sql(cols: list[str], bits: int = 16) -> str:
+    """DuckDB twin of ``layout.zorder_key`` (bit-identical)."""
+    n = len(cols)
+    terms = [
+        f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {b * n + (n - 1 - i)})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_locality",
+    f"""
+    WITH pts AS (
+        SELECT event_id,
+               user_id & 65535 AS x,
+               CAST(floor(abs(value) * 100) AS BIGINT) & 65535 AS y
+        FROM events
+    ),
+    keyed AS (SELECT event_id, x, y, {_z_sql(['x', 'y'])} AS zkey FROM pts)
+    SELECT zkey >> 22 AS zbucket, COUNT(*) AS n,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM keyed GROUP BY zbucket
+    ORDER BY n DESC, zbucket LIMIT 20
+    """,
+)
+def zorder_locality(spark, sf_dir):
+    """Z-order locality audit over events (user_id x value): per
+    coarse Z-bucket, the row count and the min/max envelope of BOTH
+    dimensions — the tight per-bucket envelopes are exactly what makes
+    Z-ordered files skippable on either column's predicate
+    (``layout.write_zordered`` is the write path)."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import layout
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").bitwiseAND(65535).alias("x"),
+        F.floor(F.abs(F.col("value")) * 100)
+        .cast("bigint")
+        .bitwiseAND(65535)
+        .alias("y"),
+    )
+    keyed = ev.withColumn("zkey", layout.zorder_key(["x", "y"], bits=16))
+    return (
+        keyed.select(F.shiftright("zkey", 22).alias("zbucket"), "x", "y")
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy(F.desc("n"), "zbucket")
+        .limit(20)
+    )
+
+
 _MIX_TARGET = 600
 
 

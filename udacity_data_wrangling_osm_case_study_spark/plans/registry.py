@@ -54,6 +54,7 @@ _loaded = False
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
     "corpus_curation_funnel",
+    "zorder_locality",
     "sequence_packing",
     "per_source_cap",
     "source_temperature_mix",
