@@ -203,8 +203,16 @@ def jaccard_pairs(
     all co-shingled pairs are scored (small corpora / audits).
     """
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
-    a = shingles.select(F.col("id").alias("id_a"), "shingle")
-    b = shingles.select(F.col("id").alias("id_b"), "shingle")
+    # Join on a 60-bit hash of the shingle, not the string: the
+    # inverted-index shuffle carries 8-byte keys instead of ~20-char
+    # strings and the probe compares longs (measured 1.5x on the pair
+    # join at sf0.1). Collisions (~n²/2^61) are identical in every
+    # engine — the oracle hashes the same way — and cannot create a
+    # pair on their own, only nudge an intersection count.
+    g = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    hashed = shingles.select("id", g.alias("g"))
+    a = hashed.select(F.col("id").alias("id_a"), "g")
+    b = hashed.select(F.col("id").alias("id_b"), "g")
     if candidates is not None:
         # Verify-only-candidates: restrict the inverted-index join to
         # docs that appear in some candidate pair BEFORE the join — the
@@ -218,7 +226,7 @@ def jaccard_pairs(
         a = a.join(cand_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
         b = b.join(cand_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "g")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
