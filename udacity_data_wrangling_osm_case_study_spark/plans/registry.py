@@ -100,21 +100,29 @@ def register(name: str, oracle: str | None = None):
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-testdata parquet table.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as int64 nanos —
-    convert to a proper timestamp via integer division (micros-exact,
-    matching DuckDB's read of the same file).
+    ``events.ts`` has shipped in two physical shapes across driver
+    testdata generations — TIMESTAMP(NANOS) (scan as int64 nanos via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and timezone-naive
+    TIMESTAMP(MICROS) (scans as TIMESTAMP_NTZ). Both are normalized to
+    TIMESTAMP_LTZ under a UTC session zone so every downstream plan
+    sees one type and the wall clock matches DuckDB's naive read of the
+    same file.
     """
     if name == "events":
-        # Defensive: the harness may hand us a session built without
-        # this conf (it is runtime-settable) — without it the scan
-        # throws PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
+        # Defensive: the harness may hand us a vanilla session — both
+        # confs are runtime-settable. UTC makes the NTZ→LTZ cast a
+        # wall-clock identity (and matches the DuckDB oracle).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # naive micros
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
