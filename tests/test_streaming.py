@@ -139,6 +139,25 @@ def test_stream_dedup_within_watermark(spark, events_dir):
     assert got.select("event_id").distinct().count() == n_src
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """The watermarked stream-stream interval join must emit exactly
+    the pairs the identical batch join produces — every (purchase,
+    click-within-30-min-before) pair, once."""
+    joined = events_stream.click_purchase_pairs(
+        events_stream.read_events_stream(spark, events_dir)
+    )
+    events_stream.run_to_memory_sink(joined, "v_ssj", output_mode="append")
+    got = sorted(
+        map(tuple, spark.table("v_ssj").select("purchase_id", "click_id").collect())
+    )
+    batch = events_stream.click_purchase_pairs(table(spark, SF_DIR, "events"))
+    want = sorted(
+        map(tuple, batch.select("purchase_id", "click_id").collect())
+    )
+    assert len(want) > 0
+    assert got == want
+
+
 def test_cms_user_counts_bounds(spark, events_dir):
     """The streamed count-min sketch must respect its guarantees vs the
     exact batch aggregate: never undercount, and overcount by at most

@@ -197,6 +197,54 @@ def cms_user_event_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_pairs(
+    events: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: every (purchase, click) pair by the
+    same user where the click happened within ``lookback`` BEFORE the
+    purchase — the streaming face of the batch range-join attribution
+    family (``plans/temporal_queries.py``).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance between them, so Spark derives a state-eviction
+    horizon for BOTH join buffers: a click older than
+    watermark + lookback can never match a future purchase and is
+    dropped from state. Without the time-range predicate a
+    stream-stream join would have to buffer every row forever — the
+    interval bound is what makes this runnable on an unbounded stream.
+
+    The same function works on batch frames (``withWatermark`` is only
+    applied on streaming inputs), which is how the parity test pins the
+    join semantics.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (purchases["user_id"] == clicks["user_id"])
+        & (clicks["click_ts"] < purchases["purchase_ts"])
+        & (
+            clicks["click_ts"]
+            >= purchases["purchase_ts"] - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        purchases["user_id"], "purchase_id", "purchase_ts", "click_id", "click_ts"
+    )
+
+
 def run_to_memory_sink(
     stream: DataFrame, name: str, output_mode: str = "update"
 ) -> None:
