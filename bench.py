@@ -43,6 +43,7 @@ HEADLINE = [
     # is what the headline measures.
     "embedding_near_dupes_arrow",
     "benchmark_contamination",
+    "incremental_dedup",
     "knn_bruteforce",
     "knn_ivf",
     "knn_srp_lsh",

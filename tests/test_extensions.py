@@ -63,6 +63,21 @@ def test_minhash_lsh_finds_exact_dup(docs):
     assert (1, 4) in pairs  # identical docs always collide in every band
 
 
+def test_incremental_dedup_probe(docs, spark, tmp_path):
+    """Index docs 1-3, probe with doc 4 (normalizes to doc 1's exact
+    content, and is a 0.75-Jaccard near-dup of doc 2): the probe must
+    find exactly those two pairs and nothing for unrelated doc 3."""
+    index_dir = str(tmp_path / "dedup_index")
+    dedup.build_dedup_index(docs.filter("doc_id <= 3"), index_dir)
+    hits = dedup.incremental_near_dupes(
+        docs.filter("doc_id = 4"), index_dir, min_jaccard=0.5
+    ).collect()
+    assert {(r.new_id, r.index_id, r.jaccard) for r in hits} == {
+        (4, 1, 1.0),
+        (4, 2, 0.75),
+    }
+
+
 def test_simhash_identical_docs_equal(docs):
     fp = {r.id: r.simhash for r in dedup.simhash64(docs).collect()}
     assert fp[1] == fp[4]

@@ -209,8 +209,7 @@ def jaccard_pairs(
     # join at sf0.1). Collisions (~n²/2^61) are identical in every
     # engine — the oracle hashes the same way — and cannot create a
     # pair on their own, only nudge an intersection count.
-    g = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    hashed = shingles.select("id", g.alias("g"))
+    hashed = shingles.select("id", shingle_hash().alias("g"))
     a = hashed.select(F.col("id").alias("id_a"), "g")
     b = hashed.select(F.col("id").alias("id_b"), "g")
     if candidates is not None:
@@ -262,6 +261,126 @@ def jaccard_pairs(
     return scored.filter(F.col("jaccard") >= min_jaccard).select(
         "id_a", "id_b", "inter", "size_a", "size_b", "jaccard"
     )
+
+
+_SHINGLE_HASH = "conv(substring(md5(shingle), 1, 15), 16, 10)"
+
+
+def shingle_hash(col_name: str = "shingle"):
+    """60-bit integer surrogate of a shingle string (join-key form)."""
+    return F.conv(F.substring(F.md5(col_name), 1, 15), 16, 10).cast("long")
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    index_dir: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> None:
+    """Persist the near-dup index of a curated corpus as a build-once
+    artifact, so each new ingest batch is deduplicated against the
+    corpus WITHOUT re-shingling it (at 100 TB the corpus-side pass is
+    the cost; an ingest batch is orders of magnitude smaller):
+
+    - ``{index_dir}/bands``: (id, band, band_key) LSH bucket postings —
+      the probe side joins these on (band, band_key).
+    - ``{index_dir}/postings``: (id, g) hashed-shingle postings for the
+      exact-Jaccard verify of candidate pairs.
+    - ``{index_dir}/sizes``: (id, sz) shingle-set sizes.
+
+    All three are plain parquet: on a cluster they'd be written
+    bucketed by their join key so the probe joins are shuffle-free on
+    the index side (see operators.layout for the bucketed writer).
+    """
+    sh = word_shingles(docs, n=n, max_shingle_df=max_shingle_df)
+    sh = sh.persist()
+    try:
+        sigs = minhash_signatures(sh, num_hashes)
+        lsh_bands(sigs, rows_per_band).write.mode("overwrite").parquet(
+            f"{index_dir}/bands"
+        )
+        sh.select("id", shingle_hash().alias("g")).write.mode("overwrite").parquet(
+            f"{index_dir}/postings"
+        )
+        sh.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/sizes")
+    finally:
+        sh.unpersist()
+
+
+def incremental_near_dupes(
+    new_docs: DataFrame,
+    index_dir: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs (new_id, index_id, jaccard) between an ingest
+    batch and a :func:`build_dedup_index` artifact.
+
+    The batch is shingled/banded fresh (it is small); the corpus side
+    is read from the index. Candidates form only inside shared LSH
+    buckets, and the exact-Jaccard verify touches only index postings
+    of candidate docs (semi-join restriction before the posting join) —
+    so probe cost scales with the batch and its bucket overlap, never
+    with the corpus.
+    """
+    spark = new_docs.sparkSession
+    sh_new = word_shingles(new_docs, n=n).persist()
+    sigs = minhash_signatures(sh_new, num_hashes)
+    bands_new = lsh_bands(sigs, rows_per_band)
+    bands_idx = spark.read.parquet(f"{index_dir}/bands")
+    cand = (
+        bands_new.select("band", "band_key", F.col("id").alias("new_id"))
+        .join(
+            bands_idx.select("band", "band_key", F.col("id").alias("index_id")),
+            ["band", "band_key"],
+        )
+        .select("new_id", "index_id")
+        .distinct()
+    ).persist()
+
+    post_new = sh_new.select(F.col("id").alias("new_id"), shingle_hash().alias("g"))
+    post_new = post_new.join(
+        cand.select("new_id").distinct(), "new_id", "left_semi"
+    )
+    post_idx = spark.read.parquet(f"{index_dir}/postings").select(
+        F.col("id").alias("index_id"), "g"
+    )
+    post_idx = post_idx.join(
+        cand.select("index_id").distinct(), "index_id", "left_semi"
+    )
+    inter = (
+        post_new.join(post_idx, "g")
+        .groupBy("new_id", "index_id")
+        .agg(F.count("*").alias("inter"))
+        .join(cand, ["new_id", "index_id"], "left_semi")
+    )
+    sizes_new = sh_new.groupBy("id").agg(F.count("*").alias("size_new"))
+    sizes_idx = spark.read.parquet(f"{index_dir}/sizes").select(
+        F.col("id").alias("index_id"), F.col("sz").alias("size_index")
+    )
+    scored = (
+        inter.join(
+            F.broadcast(sizes_new.withColumnRenamed("id", "new_id")), "new_id"
+        )
+        .join(F.broadcast(sizes_idx), "index_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_new") + F.col("size_index") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("new_id", "index_id", "jaccard")
+    )
+    return scored
 
 
 def _hex_digit_value(c):

@@ -335,6 +335,83 @@ def benchmark_contamination(spark, sf_dir):
     )
 
 
+def _dedup_index_dir(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), "spark_graft_dedup_index", name)
+
+
+def ensure_dedup_index(spark, sf_dir: str) -> str:
+    """Build the persisted near-dup index over the corpus partition
+    (doc_id % 5 != 0) if absent or older than the source table."""
+    import os
+
+    index_dir = _dedup_index_dir(sf_dir)
+    marker = os.path.join(index_dir, "sizes", "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(marker) or (
+        os.path.exists(src) and os.path.getmtime(marker) < os.path.getmtime(src)
+    ):
+        corpus = table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 != 0
+        )
+        dedup.build_dedup_index(corpus, index_dir)
+    return index_dir
+
+
+@register(
+    "incremental_dedup",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT id, s.seed AS seed,
+               MIN(md5(CAST(s.seed AS VARCHAR) || '#' || shingle)) AS minhash
+        FROM sh, range(0, 8) s(seed) GROUP BY id, s.seed
+    ),
+    bands AS (
+        SELECT id, CAST(seed // 2 AS INT) AS band,
+               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+        FROM sigs GROUP BY id, CAST(seed // 2 AS INT)
+    ),
+    cand AS (
+        SELECT DISTINCT n.id AS new_id, c.id AS index_id
+        FROM bands n
+        JOIN bands c ON n.band = c.band AND n.band_key = c.band_key
+        WHERE n.id % 5 = 0 AND c.id % 5 <> 0
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS new_id, b.id AS index_id, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.id % 5 = 0 AND b.id % 5 <> 0
+        GROUP BY a.id, b.id
+    )
+    SELECT i.new_id, i.index_id,
+           ROUND(i.inter / (sn.sz + si.sz - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN cand c ON c.new_id = i.new_id AND c.index_id = i.index_id
+    JOIN sizes sn ON sn.id = i.new_id
+    JOIN sizes si ON si.id = i.index_id
+    WHERE ROUND(i.inter / (sn.sz + si.sz - i.inter), 6) >= 0.5
+    ORDER BY i.new_id, i.index_id
+    """,
+)
+def incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup: the batch (doc_id % 5 == 0) probes the
+    PERSISTED corpus index (operators.dedup.build_dedup_index) — LSH
+    bucket join for candidates, posting-restricted exact-Jaccard
+    verify. The corpus is never re-shingled at probe time; at 100 TB
+    that's the difference between an ingest job sized by the batch and
+    one sized by the corpus."""
+    index_dir = ensure_dedup_index(spark, sf_dir)
+    new_docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_near_dupes(new_docs, index_dir).orderBy(
+        "new_id", "index_id"
+    )
+
+
 @register(
     "embedding_near_dupes_arrow",
     """

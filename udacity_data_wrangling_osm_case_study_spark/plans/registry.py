@@ -53,6 +53,7 @@ _loaded = False
 # kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
+    "incremental_dedup",
     "corpus_curation_funnel",
     "zorder_locality",
     "sequence_packing",

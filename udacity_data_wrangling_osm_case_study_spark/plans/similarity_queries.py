@@ -67,15 +67,22 @@ def _ivf_index_dir(sf_dir: str) -> str:
 
 
 def ensure_ivf_index(spark, sf_dir: str) -> str:
-    """Build the persisted IVF index for this sf_dir if absent.
+    """Build the persisted IVF index for this sf_dir if absent or stale.
 
     An ANN index is a build-once artifact: without it, every kNN query
     pays two full-corpus shuffles to recompute the coarse quantizer.
+    Staleness check: an index written before the source table's current
+    file is a different corpus's index — rebuild (the source data here
+    can be regenerated in place between runs).
     """
     import os
 
     index_dir = _ivf_index_dir(sf_dir)
-    if not os.path.exists(os.path.join(index_dir, "vectors", "_SUCCESS")):
+    marker = os.path.join(index_dir, "vectors", "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(marker) or (
+        os.path.exists(src) and os.path.getmtime(marker) < os.path.getmtime(src)
+    ):
         similarity.build_ivf_index(table(spark, sf_dir, "embeddings"), index_dir)
     return index_dir
 
