@@ -48,6 +48,7 @@ HEADLINE = [
     "knn_ivf",
     "knn_srp_lsh",
     "doc_profiles",
+    "quality_classifier",
     "repetition_quality",
     "pii_term_scrub",
     "top_words",

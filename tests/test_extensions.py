@@ -170,6 +170,24 @@ def test_word_shingles_short_doc_is_empty(spark):
     assert {r.shingle for r in out} == {"one two three", "two three four"}
 
 
+def test_hashed_linear_score(spark):
+    """Score properties: bounded milli-range, exact mean for a
+    one-token doc, identical docs (after normalization) score equal."""
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "Alpha  "), (3, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in textstats.hashed_linear_score(df).collect()}
+    assert rows[1].score_milli == rows[2].score_milli  # normalize first
+    assert all(0 <= r.score_milli <= 2000 for r in rows.values())
+    assert rows[3].n_tokens == 4
+    import hashlib
+
+    w = int(hashlib.md5(b"alpha").hexdigest()[:4], 16) % 2001
+    assert rows[1].score_milli == w
+    assert rows[1].keep == (w >= 1000)
+
+
 def test_scrub_terms(spark):
     df = spark.createDataFrame(
         [(1, "the table and the row"), (2, "nothing to hide")],

@@ -106,6 +106,50 @@ def doc_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_threshold: int = 1000,
+) -> DataFrame:
+    """Feature-hashed linear classifier over the token bag — the
+    fastText / Vowpal-Wabbit shape for model-based quality filtering,
+    expressed entirely in codegen column arithmetic.
+
+    Each token hashes straight to a weight bucket (first 4 hex digits
+    of md5 → 0..65535, folded mod 2001 into 0..2000 milli-units, i.e.
+    [-1, +1] shifted by +1000) — feature hashing means NO vocabulary
+    table ships with the job; a trained model replaces the identity
+    bucket→weight map with its learned vector, same plan shape. The
+    document score is the mean token weight (integer division — exact
+    in every engine); thresholding the mean is equivalent to
+    thresholding the monotone sigmoid of a linear model.
+
+    Row-local: token array → per-token weight via ``transform`` → one
+    integer fold. Zero shuffle, scan-speed at 100 TB.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    weights = F.transform(
+        F.col("toks"),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long")
+        % 2001,
+    )
+    return base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.aggregate(weights, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "_sum_w"
+        ),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("_sum_w DIV n_tokens").alias("score_milli"),
+        (F.expr("_sum_w DIV n_tokens") >= keep_threshold).alias("keep"),
+    )
+
+
 def char_census(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct characters with the first doc they appear in (A3 analog:
     the phone-audit character census, order-preserved via min id)."""

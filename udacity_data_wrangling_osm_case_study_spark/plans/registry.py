@@ -54,6 +54,7 @@ _loaded = False
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
     "incremental_dedup",
+    "quality_classifier",
     "corpus_curation_funnel",
     "zorder_locality",
     "sequence_packing",

@@ -54,6 +54,45 @@ def doc_profiles(spark, sf_dir):
 
 
 @register(
+    "quality_classifier",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    hx AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    w AS (
+        SELECT doc_id,
+               (((CASE WHEN ascii(substr(h, 1, 1)) >= 97
+                       THEN ascii(substr(h, 1, 1)) - 87
+                       ELSE ascii(substr(h, 1, 1)) - 48 END) * 4096
+                + (CASE WHEN ascii(substr(h, 2, 1)) >= 97
+                        THEN ascii(substr(h, 2, 1)) - 87
+                        ELSE ascii(substr(h, 2, 1)) - 48 END) * 256
+                + (CASE WHEN ascii(substr(h, 3, 1)) >= 97
+                        THEN ascii(substr(h, 3, 1)) - 87
+                        ELSE ascii(substr(h, 3, 1)) - 48 END) * 16
+                + (CASE WHEN ascii(substr(h, 4, 1)) >= 97
+                        THEN ascii(substr(h, 4, 1)) - 87
+                        ELSE ascii(substr(h, 4, 1)) - 48 END)) % 2001) AS w
+        FROM hx
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(w) // COUNT(*) AS BIGINT) AS score_milli,
+           (SUM(w) // COUNT(*)) >= 1000 AS keep
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def quality_classifier(spark, sf_dir):
+    """Model-based quality filter: feature-hashed linear classifier
+    score per document (operators.textstats.hashed_linear_score) —
+    mean token-bucket weight in milli-units plus the keep verdict.
+    The oracle recomputes the 4-hex-digit bucket arithmetic from
+    md5 character codes."""
+    return textstats.hashed_linear_score(
+        table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+@register(
     "lang_id_confusion",
     f"""
     WITH g AS (
