@@ -335,6 +335,78 @@ def benchmark_contamination(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s),
+    sized AS (
+        SELECT c.id, c.comp, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+    ),
+    ranked AS (
+        SELECT id, comp, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                                  ORDER BY n_chars DESC, id) AS rn
+        FROM sized
+    )
+    SELECT comp, COUNT(*) AS n_docs,
+           MAX(CASE WHEN rn = 1 THEN id END) AS keeper_id,
+           MAX(CASE WHEN rn = 1 THEN n_chars END) AS keeper_chars
+    FROM ranked GROUP BY comp ORDER BY comp
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """Cluster-representative selection — the decision step a dedup
+    pipeline runs AFTER clustering: per near-dup cluster keep the
+    longest document (ties → smallest id), report cluster size and the
+    keeper. Window rank inside the cluster partition + conditional
+    aggregate; the only shuffle beyond clustering is one on the
+    cluster label."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs).cache()
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    sized = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("comp").orderBy(F.desc("n_chars"), "id")
+    )
+    ranked = sized.withColumn("rn", rn)
+    return (
+        ranked.groupBy("comp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("id"))).alias("keeper_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
+                "keeper_chars"
+            ),
+        )
+        .orderBy("comp")
+    )
+
+
 def _dedup_index_dir(sf_dir: str) -> str:
     import os
     import tempfile

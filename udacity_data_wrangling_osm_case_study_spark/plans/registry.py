@@ -55,6 +55,7 @@ _loaded = False
 _VERIFY_FIRST = (
     "incremental_dedup",
     "quality_classifier",
+    "dedup_survivors",
     "corpus_curation_funnel",
     "zorder_locality",
     "sequence_packing",
