@@ -132,6 +132,23 @@ def test_ivf_prunes_cells(spark):
     assert {r.id for r in rows} == {1, 3, 5, 7}
 
 
+def test_kmeans_quantizer_converges(spark):
+    """Two well-separated direction clusters, k=2, seeds one per
+    cluster (ids 0 and 1): after training every vector must assign to
+    its own cluster's centroid."""
+    a = [(0, [1.0, 0.1, 0.0]), (2, [0.9, 0.2, 0.0]), (4, [1.1, 0.0, 0.1])]
+    b = [(1, [0.0, 0.1, 1.0]), (3, [0.1, 0.0, 0.9]), (5, [0.0, 0.2, 1.1])]
+    df = spark.createDataFrame(a + b, ["vec_id", "embedding"])
+    cents = similarity.train_quantizer(df, k=2, n_iter=3)
+    assert cents.count() == 2
+    assigned = {
+        r.id: r.cell for r in similarity.kmeans_assign(df, cents).collect()
+    }
+    groups = {assigned[0], assigned[2], assigned[4]}, {assigned[1], assigned[3], assigned[5]}
+    assert len(groups[0]) == 1 and len(groups[1]) == 1
+    assert groups[0] != groups[1]
+
+
 def test_doc_profile_metrics(spark):
     df = spark.createDataFrame([(1, "the cat sat")], ["doc_id", "text"])
     row = textstats.doc_profile(df).collect()[0]

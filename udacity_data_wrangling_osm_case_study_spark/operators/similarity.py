@@ -17,7 +17,7 @@ bandwidth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -204,6 +204,101 @@ def ivf_topk(
         .limit(k)
         .select("id", "cosine")
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine:
+    (id, cell, cos_bp).
+
+    The centroid frame (cell, centroid) is broadcast — k rows — so the
+    corpus side streams map-only through a k-way scored crossJoin; the
+    only shuffle is the per-vector argmax groupBy. Cosines are
+    quantized to basis points BEFORE the argmax (ties → smallest cell)
+    so the assignment is deterministic and engine-portable — a last-ulp
+    float difference can never flip it.
+    """
+    v = as_double_vec(F.col(vec_col))
+    scored = df.select(
+        F.col(id_col).alias("id"), v.alias("v")
+    ).crossJoin(F.broadcast(centroids))
+    cos_bp = F.round(cosine(F.col("v"), F.col("centroid")) * 10000).cast("long")
+    best = (
+        scored.select("id", "cell", cos_bp.alias("cos_bp"))
+        .groupBy("id")
+        .agg(F.max(F.struct(F.col("cos_bp"), (-F.col("cell")).alias("nc"))).alias("m"))
+        .select(
+            "id",
+            (-F.col("m.nc")).alias("cell"),
+            F.col("m.cos_bp").alias("cos_bp"),
+        )
+    )
+    return best
+
+
+def lloyd_step(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """One k-means (Lloyd) iteration: assign to nearest centroid, then
+    recompute each cell's mean vector. Returns the new (cell, centroid)
+    frame — same schema as the input, so iterations compose.
+
+    Shuffle shape per iteration: one groupBy for the argmax, one
+    posexplode+groupBy for the means — both keyed on bounded keys
+    (vector id / (cell, dim)); the centroid set itself stays
+    broadcast-sized. This is the standard distributed k-means cost.
+    """
+    assigned = kmeans_assign(df, centroids, id_col, vec_col)
+    with_cell = df.join(assigned.select("id", "cell"), F.col(id_col) == F.col("id"))
+    comps = with_cell.select(
+        "cell", F.posexplode(as_double_vec(F.col(vec_col))).alias("pos", "x")
+    )
+    per_dim = comps.groupBy("cell", "pos").agg(
+        F.round(F.sum("x") / F.count("*"), round_dp).alias("m")
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def train_quantizer(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the IVF coarse quantizer: deterministic seeding (the k
+    lowest-id vectors — reproducible without RNG state; k-means++ would
+    slot in here) then ``n_iter`` Lloyd iterations.
+
+    Each round's centroid frame is localCheckpoint()ed: it is tiny
+    (k rows) but feeds the next round's broadcast, and without the cut
+    the plan lineage doubles per iteration (the connected-components
+    lesson applied to the other iterative operator in the engine).
+    """
+    seeds = (
+        df.orderBy(F.col(id_col)).limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("rn"),
+            as_double_vec(F.col(vec_col)).alias("centroid"),
+        )
+        .select((F.col("rn") - 1).alias("cell"), "centroid")
+    )
+    centroids = seeds.localCheckpoint()
+    for _ in range(n_iter):
+        centroids = lloyd_step(df, centroids, id_col, vec_col).localCheckpoint()
+    return centroids
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,7 @@ _VERIFY_FIRST = (
     "incremental_dedup",
     "quality_classifier",
     "dedup_survivors",
+    "kmeans_step",
     "corpus_curation_funnel",
     "zorder_locality",
     "sequence_packing",

@@ -58,6 +58,62 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
+@register(
+    "kmeans_step",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell, v AS centroid FROM v WHERE vec_id < 8),
+    scored AS (
+        SELECT v.vec_id AS id, c.cell,
+               CAST(ROUND(list_dot_product(v.v, c.centroid) /
+                    (sqrt(list_dot_product(v.v, v.v))
+                     * sqrt(list_dot_product(c.centroid, c.centroid)))
+                    * 10000) AS BIGINT) AS cos_bp
+        FROM v, c
+    ),
+    best AS (
+        SELECT id, cell,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY cos_bp DESC, cell) AS rn
+        FROM scored
+    ),
+    assign AS (SELECT id, cell FROM best WHERE rn = 1)
+    SELECT a.cell, COUNT(*) AS n_assigned,
+           CAST(ROUND(AVG(v.v[1]) * 1000000) AS BIGINT) AS c0_micro
+    FROM assign a JOIN v ON v.vec_id = a.id
+    GROUP BY a.cell ORDER BY a.cell
+    """,
+)
+def kmeans_step(spark, sf_dir):
+    """One distributed k-means (Lloyd) iteration — how the IVF coarse
+    quantizer is trained when no labels exist: deterministic seeds (the
+    8 lowest-id vectors), quantized-cosine argmax assignment
+    (operators.similarity.kmeans_assign), per-cell occupancy and the
+    new centroid's first component (micro-units). The full iterative
+    trainer is operators.similarity.train_quantizer (convergence
+    unit-tested); one step is registered because it is exactly
+    SQL-expressible."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_vec(F.col("embedding"))
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), v.alias("centroid")
+    )
+    assigned = similarity.kmeans_assign(emb, seeds)
+    comp0 = emb.select(
+        F.col("vec_id").alias("id"),
+        F.element_at(v, 1).alias("c0"),
+    )
+    return (
+        assigned.join(comp0, "id")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.round(F.avg("c0") * 1000000).cast("bigint").alias("c0_micro"),
+        )
+        .orderBy("cell")
+    )
+
+
 def _ivf_index_dir(sf_dir: str) -> str:
     import os
     import tempfile
