@@ -398,6 +398,54 @@ def event_value_percentiles(spark, sf_dir):
 
 
 @register(
+    "lineitem_metric_unpivot",
+    """
+    WITH u AS (
+        SELECT l_returnflag, 'quantity' AS metric,
+               CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice',
+               CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount',
+               CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax',
+               CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+    )
+    SELECT l_returnflag, metric, CAST(SUM(v) AS DOUBLE) AS total
+    FROM u GROUP BY l_returnflag, metric
+    ORDER BY l_returnflag, metric
+    """,
+)
+def lineitem_metric_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): wide lineitem measures to long (metric, value)
+    rows, then a per-flag total — the native ``unpivot`` relational
+    operator, which rewrites to a generate/expand node, NOT four
+    self-unions (one scan of the fact table instead of four). The
+    oracle states the same result as the UNION ALL it replaces."""
+    li = table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    wide = li.select(
+        "l_returnflag",
+        *[F.col(c).cast("decimal(18,2)").alias(c) for c in measures],
+    )
+    long = wide.unpivot(
+        ids=["l_returnflag"],
+        values=measures,
+        variableColumnName="metric",
+        valueColumnName="v",
+    ).withColumn(
+        "metric", F.expr("substring(metric, 3)")  # l_quantity → quantity
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(F.sum("v").cast("double").alias("total"))
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+@register(
     "approx_distinct_users",
     """
     SELECT event_type,

@@ -57,6 +57,9 @@ _VERIFY_FIRST = (
     "quality_classifier",
     "dedup_survivors",
     "kmeans_step",
+    "trailing_hour_user_value",
+    "weekly_cohort_retention",
+    "lineitem_metric_unpivot",
     "corpus_curation_funnel",
     "zorder_locality",
     "sequence_packing",

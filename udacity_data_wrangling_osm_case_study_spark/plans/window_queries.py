@@ -160,6 +160,100 @@ def user_running_total(spark, sf_dir):
 
 
 @register(
+    "trailing_hour_user_value",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                    OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING
+                                    AND CURRENT ROW)
+                AS DOUBLE) AS trailing_1h_value
+    FROM events WHERE user_id < 5 ORDER BY user_id, event_id
+    """,
+)
+def trailing_hour_user_value(spark, sf_dir):
+    """Time-range window frame (RANGE BETWEEN on event time): per
+    event, the user's total value over the trailing hour — the sliding
+    frame is defined by the TIME distance, not a row count, so sparse
+    and dense activity windows are handled by the same frame.
+    The windowed sum runs in DECIMAL (associative — engines may
+    accumulate the frame in different orders) and only the final value
+    casts to double."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_1h_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "weekly_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id,
+               strftime(date_trunc('week', f.first_ts), '%Y-%m-%d')
+                   AS cohort_week,
+               date_diff('day', date_trunc('week', f.first_ts),
+                         date_trunc('week', e.ts)) // 7 AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active
+    FROM act GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def weekly_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-event week, the
+    count still active N weeks later. Two shuffles total — the per-user
+    min and the distinct/count on (cohort, offset); both Monday-start
+    week truncations agree across engines, and the offset is exact
+    integer division of a day difference that is always a multiple
+    of 7."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(firsts, "user_id")
+    cw = F.date_trunc("week", F.col("first_ts"))
+    aw = F.date_trunc("week", F.col("ts"))
+    # datediff needs plain columns — materialize the truncations first.
+    act = (
+        j.select(
+            "user_id",
+            F.to_date(cw).alias("__cw"),
+            F.to_date(aw).alias("__aw"),
+        )
+        .select(
+            "user_id",
+            F.date_format("__cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(__aw, __cw) DIV 7").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
     "balance_distribution",
     """
     SELECT c_mktsegment, c_custkey,
