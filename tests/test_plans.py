@@ -104,6 +104,45 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     assert rows == baseline
 
 
+def test_unpivot_is_single_scan_expand(spark):
+    """The unpivot query must rewrite to ONE fact scan with an Expand
+    node — four stacked self-unions would read lineitem four times."""
+    import re
+
+    p = _plan(spark, "lineitem_metric_unpivot")
+    assert "Expand" in p
+    # one scan NODE (formatted explain prints each node in the tree
+    # and again in the details list — count unique node entries)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """The k-means assignment must broadcast the centroid set (k rows)
+    against the corpus scan — a shuffled join here would move the whole
+    corpus per iteration."""
+    p = _plan(spark, "kmeans_step")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p.split("== Physical Plan ==")[-1].split(
+        "HashAggregate"
+    )[0]
+
+
+def test_incremental_dedup_no_corpus_reshingle(spark):
+    """The incremental probe must read the persisted index postings,
+    never re-shingle the corpus: the only explode (shingling) in the
+    plan belongs to the new-batch side, and the index sides are plain
+    parquet scans."""
+    from udacity_data_wrangling_osm_case_study_spark.plans import dedup_queries
+
+    dedup_queries.ensure_dedup_index(spark, SF_DIR)
+    p = _plan(spark, "incremental_dedup")
+    # bands + postings + sizes read from the index artifact
+    assert p.count("spark_graft_dedup_index") >= 3
+    # shingling (Generate/explode) only for the probe batch: the
+    # documents scans carry the % 5 == 0 pushed filter
+    assert "Generate explode" in p or "Generate" in p
+
+
 def test_ivf_index_scan_partition_pruned(spark):
     # The kNN probe must read only the n_probe winning cells' files
     # from the persisted index — visible as a PartitionFilters IN-list
