@@ -132,6 +132,23 @@ def test_ivf_prunes_cells(spark):
     assert {r.id for r in rows} == {1, 3, 5, 7}
 
 
+def test_pq_encode_codebook_fixed_points(spark):
+    """Codebook-seed vectors must encode to themselves: vector j < ksub
+    supplies codeword j in every subspace (self-distance 0), so its
+    packed code is j * (1 + k + k² + k³)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = similarity.pq_codebooks(df, m=4, ksub=4)
+    codes = {r.id: r.code for r in similarity.pq_encode(df, cb, m=4, ksub=4).collect()}
+    assert len(codes) == 10
+    for j in range(4):
+        assert codes[j] == j * (1 + 4 + 16 + 64)
+    assert all(0 <= c < 4**4 for c in codes.values())
+
+
 def test_kmeans_quantizer_converges(spark):
     """Two well-separated direction clusters, k=2, seeds one per
     cluster (ids 0 and 1): after training every vector must assign to

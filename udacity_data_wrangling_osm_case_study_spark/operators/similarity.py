@@ -301,6 +301,97 @@ def train_quantizer(
     return centroids
 
 
+def pq_subvectors(
+    df: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, s, sv): each vector split into ``m`` equal subvectors —
+    one explode, row-local."""
+    v = as_double_vec(F.col(vec_col))
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.expr(
+                    f"slice(v, {s} * (size(v) DIV {m}) + 1, size(v) DIV {m})"
+                ).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return base.select("id", F.explode(subs).alias("x")).select(
+        "id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv")
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: subspace ``s``'s codewords are the
+    subvectors of the ``ksub`` lowest-id vectors (reproducible seeding,
+    as in :func:`train_quantizer` — a production build runs Lloyd
+    iterations per subspace on these seeds). Output (s, cw, csv),
+    ksub × m rows — always broadcast-sized."""
+    return (
+        pq_subvectors(df, m, id_col, vec_col)
+        .filter(F.col("id") < ksub)
+        .select(F.col("s"), F.col("id").alias("cw"), F.col("sv").alias("csv"))
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: (id, code) with code packing each
+    subspace's nearest-codeword id into ``ksub``-ary digits — a dim-D
+    float vector compresses to one integer (m·log2(ksub) bits), the
+    memory trick that lets an IVF-PQ index hold billions of vectors.
+
+    Distances are quantized to micro-units BEFORE the argmin (ties →
+    lowest codeword id), so the encoding is deterministic and
+    engine-portable. The codebook side is broadcast; the corpus side is
+    one explode + one groupBy on (id) — no shuffle grows with m·ksub.
+    """
+    subs = pq_subvectors(df, m, id_col, vec_col)
+    d2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("csv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = subs.join(F.broadcast(codebooks), "s").select(
+        "id",
+        "s",
+        "cw",
+        F.round(d2 * 1_000_000).cast("long").alias("d2_micro"),
+    )
+    best = (
+        scored.groupBy("id", "s")
+        .agg(F.min(F.struct(F.col("d2_micro"), F.col("cw"))).alias("b"))
+        .select("id", "s", F.col("b.cw").alias("cw"))
+    )
+    return (
+        best.groupBy("id")
+        .agg(
+            F.sum(
+                F.col("cw") * F.pow(F.lit(ksub), F.col("s")).cast("long")
+            ).alias("code")
+        )
+        .select("id", F.col("code").cast("bigint").alias("code"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SRP-LSH (sign random projection / random-hyperplane LSH)
 # ---------------------------------------------------------------------------

@@ -57,6 +57,7 @@ _VERIFY_FIRST = (
     "quality_classifier",
     "dedup_survivors",
     "kmeans_step",
+    "pq_codes",
     "trailing_hour_user_value",
     "weekly_cohort_retention",
     "lineitem_metric_unpivot",

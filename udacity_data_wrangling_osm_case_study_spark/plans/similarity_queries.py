@@ -114,6 +114,47 @@ def kmeans_step(spark, sf_dir):
     )
 
 
+@register(
+    "pq_codes",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+        SELECT vec_id AS id, CAST(t.s AS INT) AS s,
+               v[CAST(t.s AS INT) * 16 + 1 : CAST(t.s AS INT) * 16 + 16] AS sv
+        FROM v, range(0, 4) t(s)
+    ),
+    cb AS (SELECT s, id AS cw, sv AS csv FROM sub WHERE id < 8),
+    scored AS (
+        SELECT sub.id, sub.s, cb.cw,
+               CAST(ROUND(list_reduce(
+                   list_transform(range(1, 17),
+                       i -> (sub.sv[CAST(i AS INT)] - cb.csv[CAST(i AS INT)])
+                            * (sub.sv[CAST(i AS INT)] - cb.csv[CAST(i AS INT)])),
+                   (a, b) -> a + b) * 1000000) AS BIGINT) AS d2_micro
+        FROM sub JOIN cb USING (s)
+    ),
+    best AS (
+        SELECT id, s, cw,
+               ROW_NUMBER() OVER (PARTITION BY id, s
+                                  ORDER BY d2_micro, cw) AS rn
+        FROM scored
+    )
+    SELECT id, CAST(SUM(cw * CAST(pow(8, s) AS BIGINT)) AS BIGINT) AS code
+    FROM best WHERE rn = 1
+    GROUP BY id ORDER BY id
+    """,
+)
+def pq_codes(spark, sf_dir):
+    """Product-quantization encoding: every 64-dim vector compresses
+    to one integer of four 3-bit codeword digits (4 subspaces × 8
+    deterministic codewords — operators.similarity.pq_encode). The
+    compression arm of an IVF-PQ index: cells prune the scan
+    (knn_ivf), codes shrink residency ~85× (64 floats → 12 bits)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(emb, m=4, ksub=8)
+    return similarity.pq_encode(emb, cb, m=4, ksub=8).orderBy("id")
+
+
 def _ivf_index_dir(sf_dir: str) -> str:
     import os
     import tempfile
