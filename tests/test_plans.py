@@ -143,6 +143,37 @@ def test_incremental_dedup_no_corpus_reshingle(spark):
     assert "Generate explode" in p or "Generate" in p
 
 
+def test_no_cartesian_products_anywhere(spark):
+    """Full-registry sweep: every registered query's physical plan must
+    build cleanly and contain no CartesianProduct. The only
+    BroadcastNestedLoopJoins allowed are the intentional broadcasts of
+    a tiny keyless frame — a 1-row query vector / corpus total or a
+    k-row centroid bank — against a scan; anything else joining two
+    big sides without keys is a plan bug."""
+    allowed_bnlj = {
+        "kmeans_step",        # k-row centroid bank
+        "knn_bruteforce",     # 1-row query vector
+        "knn_ivf",            # 1-row query vector
+        "knn_srp_lsh",        # 1-row query vector
+        "tfidf_top_terms",    # 1-row corpus doc-count frame
+        "source_temperature_mix",  # 1-row total-weight frame
+    }
+    queries, _ = registry.load_all()
+    offenders, bnlj_offenders = [], []
+    for name, fn in queries.items():
+        df = fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        if "CartesianProduct" in p:
+            offenders.append(name)
+        if "BroadcastNestedLoopJoin" in p and name not in allowed_bnlj:
+            bnlj_offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+    assert not bnlj_offenders, f"unexpected keyless joins in: {bnlj_offenders}"
+
+
 def test_ivf_index_scan_partition_pruned(spark):
     # The kNN probe must read only the n_probe winning cells' files
     # from the persisted index — visible as a PartitionFilters IN-list
