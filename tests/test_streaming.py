@@ -158,6 +158,104 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     assert got == want
 
 
+def test_cdc_apply_stream_converges_and_is_idempotent(spark):
+    """A change stream (upserts + a tombstone per key group) applied
+    through the versioned foreachBatch sink must equal the batch MERGE
+    of the same changes in sequence order; re-applying the final batch
+    (a foreachBatch retry) must leave the snapshot unchanged."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import upsert
+    from udacity_data_wrangling_osm_case_study_spark.streaming import cdc_apply
+
+    base = table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    # Synthetic change feed: two files → two micro-batches. seq orders
+    # changes within a key; key % 7 == 0 rows end in a delete.
+    changes = base.select(
+        "c_custkey",
+        F.concat(F.lit("v2-"), "c_name").alias("c_name"),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        (F.col("c_custkey") % 2).cast("bigint").alias("seq"),
+        (F.col("c_custkey") % 7 == 0).alias("deleted"),
+    )
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    tgt = tempfile.mkdtemp(prefix="cdc_tgt_")
+    try:
+        changes.repartition(2).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        cdc_apply.apply_cdc_stream(
+            stream, tgt, key="c_custkey", tombstone_col="deleted"
+        )
+        got = cdc_apply.read_snapshot(spark, tgt)
+
+        # Batch twin: all changes at once (same per-key collapse).
+        w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        latest = (
+            spark.read.parquet(src)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    w.partitionBy("c_custkey").orderBy(F.desc("seq"))
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn", "seq")
+        )
+        want = upsert.merge_upsert(
+            base.limit(0), latest, "c_custkey", tombstone_col="deleted"
+        )
+        key = ["c_custkey", "c_name", "c_acctbal"]
+        assert sorted(map(tuple, got.select(key).collect())) == sorted(
+            map(tuple, want.select(key).collect())
+        )
+        # tombstoned keys are gone
+        assert got.filter(F.col("c_custkey") % 7 == 0).count() == 0
+
+        # Idempotence: re-apply the final version's own changes.
+        ver = cdc_apply.snapshot_version(tgt)
+        before = sorted(map(tuple, got.select(key).collect()))
+        cdc_apply.apply_cdc_batch(
+            spark,
+            spark.read.parquet(src),
+            ver,
+            tgt,
+            key="c_custkey",
+            tombstone_col="deleted",
+        )
+        after = sorted(
+            map(
+                tuple,
+                cdc_apply.read_snapshot(spark, tgt).select(key).collect(),
+            )
+        )
+        assert before == after
+
+        # Intra-batch collapse: an upsert then a tombstone for the SAME
+        # key inside one batch must net out to the delete (seq order,
+        # not row order, decides).
+        mini = spark.createDataFrame(
+            [
+                (999991, "newbie", 1.0, 0, False),
+                (999991, "newbie-2", 2.0, 1, True),
+                (999992, "kept-v1", 1.0, 1, False),
+                (999992, "kept-v0", 0.0, 0, False),
+            ],
+            ["c_custkey", "c_name", "c_acctbal", "seq", "deleted"],
+        )
+        cdc_apply.apply_cdc_batch(
+            spark, mini, ver + 1, tgt, key="c_custkey", tombstone_col="deleted"
+        )
+        snap = cdc_apply.read_snapshot(spark, tgt)
+        assert snap.filter(F.col("c_custkey") == 999991).count() == 0
+        got_row = snap.filter(F.col("c_custkey") == 999992).collect()
+        assert [(r.c_name, r.c_acctbal) for r in got_row] == [("kept-v1", 1.0)]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(tgt, ignore_errors=True)
+
+
 def test_cms_user_counts_bounds(spark, events_dir):
     """The streamed count-min sketch must respect its guarantees vs the
     exact batch aggregate: never undercount, and overcount by at most
