@@ -132,6 +132,33 @@ def test_ivf_prunes_cells(spark):
     assert {r.id for r in rows} == {1, 3, 5, 7}
 
 
+def test_fuzzy_blocking_complete_for_deletions(spark):
+    """Every single-char deletion of every name must recover its
+    original through the two-block candidate join (pigeonhole: either
+    the first or the last character survives the deletion)."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import fuzzy
+
+    names = ["aurora", "borealis", "cascade"]
+    canon = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], ["cid", "cname"]
+    )
+    typos = spark.createDataFrame(
+        [
+            (100 * i + p, n[:p] + n[p + 1 :])
+            for i, n in enumerate(names)
+            for p in range(len(n))
+        ],
+        ["tid", "tname"],
+    )
+    got = {
+        (r.tid, r.cid)
+        for r in fuzzy.fuzzy_match_pairs(typos, canon, max_distance=1).collect()
+    }
+    for i, n in enumerate(names):
+        for p in range(len(n)):
+            assert (100 * i + p, i) in got, f"deletion at {p} of {n} missed"
+
+
 def test_pq_encode_codebook_fixed_points(spark):
     """Codebook-seed vectors must encode to themselves: vector j < ksub
     supplies codeword j in every subspace (self-distance 0), so its

@@ -58,6 +58,7 @@ _VERIFY_FIRST = (
     "dedup_survivors",
     "kmeans_step",
     "pq_codes",
+    "fuzzy_typo_repair",
     "trailing_hour_user_value",
     "weekly_cohort_retention",
     "lineitem_metric_unpivot",
