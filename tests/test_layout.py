@@ -70,3 +70,29 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
         shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def test_compact_dataset_reduces_files(spark):
+    """A 64-tiny-file dataset must compact to the byte-sized file
+    count with identical content."""
+    import glob
+    import os
+
+    src = tempfile.mkdtemp(prefix="compact_src_")
+    dst = tempfile.mkdtemp(prefix="compact_dst_")
+    try:
+        ev = table(spark, SF_DIR, "events")
+        ev.repartition(64).write.mode("overwrite").parquet(src)
+        n_src = len(glob.glob(os.path.join(src, "*.parquet")))
+        assert n_src == 64
+        total = layout.dataset_bytes(spark, src)
+        # pick a target that should yield exactly 2 files
+        n = layout.compact_dataset(spark, src, dst, target_file_bytes=(total + 1) // 2)
+        assert n == 2
+        assert len(glob.glob(os.path.join(dst, "*.parquet"))) == 2
+        a = sorted(r.event_id for r in spark.read.parquet(src).collect())
+        b = sorted(r.event_id for r in spark.read.parquet(dst).collect())
+        assert a == b
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)

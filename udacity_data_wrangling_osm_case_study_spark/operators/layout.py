@@ -52,6 +52,48 @@ def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def dataset_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes of a dataset directory, via the Hadoop
+    FileSystem API — the same call works on HDFS/S3A paths on a
+    cluster, not just local disk."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return fs.getContentSummary(p).getLength()
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite ``src`` into
+    ``ceil(total_bytes / target_file_bytes)`` files at ``dst``.
+
+    Streaming ingest and fine-grained partitioning both leave datasets
+    as thousands of KB-scale files; at 100 TB the per-file open/footer
+    cost then dominates scans and the NameNode/listing pressure is its
+    own incident. Periodic compaction to scan-sized files is the
+    standard fix (Delta OPTIMIZE / Iceberg rewrite_data_files — this is
+    the plain-parquet form).
+
+    Sizing uses the actual on-disk byte total (not a row-count guess),
+    and the rewrite is one round-robin ``repartition`` — a full
+    shuffle, but of exactly the data being rewritten, which is the
+    floor for a rewrite. Returns the file count written.
+    """
+    import math
+
+    total = dataset_bytes(spark, src)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    df.repartition(n_files).write.mode(mode).parquet(dst)
+    return n_files
+
+
 def zorder_key(cols: list[str], bits: int = 16) -> Column:
     """Morton (Z-order) key: interleave the low ``bits`` bits of each
     column — rows close in the key are close in EVERY dimension.
