@@ -47,6 +47,12 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_ivf",
     "knn_srp_lsh",
+    "kmeans_step",
+    "pq_codes",
+    "fuzzy_typo_repair",
+    # dedup_survivors (iterative connected components) is measured by
+    # its oracle run, like dedup_clusters — the per-iteration driver
+    # overhead at tiny scale says nothing about the 100 TB posture.
     "doc_profiles",
     "quality_classifier",
     "repetition_quality",

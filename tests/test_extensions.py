@@ -152,7 +152,9 @@ def test_fuzzy_blocking_complete_for_deletions(spark):
     )
     got = {
         (r.tid, r.cid)
-        for r in fuzzy.fuzzy_match_pairs(typos, canon, max_distance=1).collect()
+        for r in fuzzy.fuzzy_match_pairs(
+            typos, canon, max_distance=1, prefix_len=2  # names are 6-8 chars
+        ).collect()
     }
     for i, n in enumerate(names):
         for p in range(len(n)):

@@ -224,22 +224,28 @@ def capwords_nation_styles(spark, sf_dir):
 @register(
     "fuzzy_typo_repair",
     """
-    WITH canon AS (SELECT p_partkey AS cid, p_name AS cname FROM part),
-    typos AS (
-        SELECT p_partkey AS tid,
+    WITH canon AS (
+        SELECT MIN(p_partkey) AS cid, p_name AS cname
+        FROM part GROUP BY p_name
+    ),
+    raw_typos AS (
+        SELECT p_partkey,
                substr(p_name, 1, p_partkey % 12)
                    || substr(p_name, p_partkey % 12 + 2) AS tname
         FROM part WHERE p_partkey % 10 = 0
     ),
+    typos AS (
+        SELECT MIN(p_partkey) AS tid, tname FROM raw_typos GROUP BY tname
+    ),
     cand AS (
         SELECT tid, tname, cid, cname
         FROM typos t JOIN canon c
-          ON substr(t.tname, 1, 1) = substr(c.cname, 1, 1)
+          ON substr(t.tname, 1, 3) = substr(c.cname, 1, 3)
          AND abs(len(t.tname) - len(c.cname)) <= 1
         UNION
         SELECT tid, tname, cid, cname
         FROM typos t JOIN canon c
-          ON substr(t.tname, -1, 1) = substr(c.cname, -1, 1)
+          ON substr(t.tname, -3, 3) = substr(c.cname, -3, 3)
          AND abs(len(t.tname) - len(c.cname)) <= 1
     )
     SELECT tid, cid, CAST(levenshtein(tname, cname) AS BIGINT) AS lev
@@ -250,28 +256,36 @@ def capwords_nation_styles(spark, sf_dir):
 def fuzzy_typo_repair(spark, sf_dir):
     """Blocked edit-distance repair at scale — the generalization of
     the reference's hand-curated street-typo dict
-    (audit_bilingual_street_names.py typo map): part names corrupted by
-    a deterministic single-char deletion (every 10th part, position
-    key % 12 + 1) are re-matched to the canonical name table via the
-    two-block (first-char ∪ last-char, ±1 length) candidate join and a
-    Levenshtein ≤ 1 verify (operators.fuzzy). Every typo must recover
-    at least its own original — the blocking is provably complete for
-    deletions."""
+    (audit_bilingual_street_names.py typo map): the DISTINCT part-name
+    vocabulary is corrupted by deterministic single-char deletions
+    (every 10th part, position key % 12 + 1; variants deduped to their
+    lowest key) and re-matched to the distinct canonical names via the
+    two-block (prefix-3 ∪ suffix-3, ±1 length) candidate join and a
+    Levenshtein ≤ 1 verify (operators.fuzzy; names are ≥ 7 chars ≥ the
+    len ≥ 6 completeness bound for k=3). Every typo variant must
+    recover at least its own original — the blocking is provably
+    complete for deletions. Both sides dedupe before the join: name
+    VOCABULARIES, not row multiplicities, drive fuzzy matching cost."""
     from udacity_data_wrangling_osm_case_study_spark.operators import fuzzy
 
     part = table(spark, sf_dir, "part")
-    canon = part.select(
-        F.col("p_partkey").alias("cid"), F.col("p_name").alias("cname")
+    canon = part.groupBy(F.col("p_name").alias("cname")).agg(
+        F.min("p_partkey").alias("cid")
     )
-    typos = part.filter(F.col("p_partkey") % 10 == 0).select(
-        F.col("p_partkey").alias("tid"),
-        F.concat(
-            F.expr("substring(p_name, 1, p_partkey % 12)"),
-            F.expr("substring(p_name, p_partkey % 12 + 2)"),
-        ).alias("tname"),
+    typos = (
+        part.filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            "p_partkey",
+            F.concat(
+                F.expr("substring(p_name, 1, p_partkey % 12)"),
+                F.expr("substring(p_name, p_partkey % 12 + 2)"),
+            ).alias("tname"),
+        )
+        .groupBy("tname")
+        .agg(F.min("p_partkey").alias("tid"))
     )
     return (
-        fuzzy.fuzzy_match_pairs(typos, canon, max_distance=1)
+        fuzzy.fuzzy_match_pairs(typos, canon, max_distance=1, prefix_len=3)
         .select("tid", "cid", F.col("lev").cast("bigint").alias("lev"))
         .orderBy("tid", "cid")
     )
