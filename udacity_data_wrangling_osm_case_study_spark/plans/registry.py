@@ -59,6 +59,7 @@ _VERIFY_FIRST = (
     "kmeans_step",
     "pq_codes",
     "fuzzy_typo_repair",
+    "top_parts_per_nation",
     "trailing_hour_user_value",
     "weekly_cohort_retention",
     "lineitem_metric_unpivot",

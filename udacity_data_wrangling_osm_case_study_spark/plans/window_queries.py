@@ -40,6 +40,59 @@ def first_event_per_user(spark, sf_dir):
 
 
 @register(
+    "top_parts_per_nation",
+    """
+    WITH rev AS (
+        SELECT s.s_nationkey AS nationkey, l.l_partkey AS partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, l.l_partkey
+    ),
+    ranked AS (
+        SELECT nationkey, partkey,
+               CAST(revenue AS DOUBLE) AS revenue,
+               ROW_NUMBER() OVER (PARTITION BY nationkey
+                                  ORDER BY revenue DESC, partkey) AS rn
+        FROM rev
+    )
+    SELECT nationkey, partkey, revenue, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3 ORDER BY nationkey, rn
+    """,
+)
+def top_parts_per_nation(spark, sf_dir):
+    """Per-GROUP top-k (the grouped twin of the global
+    TakeOrderedAndProject top-k): top-3 parts by supplier-nation
+    revenue via a rank window over a pre-aggregated frame. The
+    aggregate runs BEFORE the window, so the rank sorts nation-sized
+    aggregate groups, never raw fact rows; revenue sums in exact
+    DECIMAL, the tie-break is the part key."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = F.broadcast(table(spark, sf_dir, "supplier"))
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_rev")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy(F.desc("_rev"), "partkey")
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "nationkey",
+            "partkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+        .orderBy("nationkey", "rn")
+    )
+
+
+@register(
     "unambiguous_supplier_pairs",
     """
     WITH pairs AS (SELECT DISTINCT s_name, s_nationkey FROM supplier),
