@@ -446,6 +446,26 @@ def lineitem_metric_unpivot(spark, sf_dir):
 
 
 @register(
+    "salted_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def salted_distinct_users(spark, sf_dir):
+    """Two-phase salted COUNT(DISTINCT) (operators.skew): distinct
+    within (key, salt-of-value) buckets first, then sum — a Zipfian
+    hot key never lands its whole distinct set on one reducer. Exact
+    by construction (each distinct value hashes to exactly one salt
+    bucket), which the plain-GROUP-BY oracle attests."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import skew
+
+    return skew.salted_count_distinct(
+        table(spark, sf_dir, "events"), key="event_type", value="user_id"
+    ).orderBy("event_type")
+
+
+@register(
     "approx_distinct_users",
     """
     SELECT event_type,

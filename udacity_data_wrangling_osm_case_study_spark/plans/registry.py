@@ -60,6 +60,7 @@ _VERIFY_FIRST = (
     "pq_codes",
     "fuzzy_typo_repair",
     "top_parts_per_nation",
+    "salted_distinct_users",
     "trailing_hour_user_value",
     "weekly_cohort_retention",
     "lineitem_metric_unpivot",
