@@ -292,6 +292,114 @@ def fuzzy_typo_repair(spark, sf_dir):
 
 
 @register(
+    "scd2_customer_history",
+    """
+    WITH versions AS (
+        SELECT c_custkey, CAST(v AS BIGINT) AS version,
+               ROUND(c_acctbal + 10 * v, 2) AS acctbal
+        FROM customer, range(1, 4) t(v)
+        WHERE v <= c_custkey % 3 + 1
+    )
+    SELECT c_custkey, version, acctbal,
+           CAST(version AS BIGINT) AS valid_from,
+           CAST(COALESCE(LEAD(version) OVER (PARTITION BY c_custkey
+                                             ORDER BY version),
+                         9999) AS BIGINT) AS valid_to,
+           (LEAD(version) OVER (PARTITION BY c_custkey
+                                ORDER BY version) IS NULL) AS is_current
+    FROM versions
+    ORDER BY c_custkey, version
+    """,
+)
+def scd2_customer_history(spark, sf_dir):
+    """Slowly-changing-dimension type 2: a change feed (1-3 synthetic
+    versions per customer) becomes a validity-ranged history — each
+    version valid from its own timestamp until the NEXT version's
+    (lead window), open-ended on the current row. The other half of
+    the CDC story beside MERGE (operators.upsert keeps only the latest
+    state; SCD2 keeps all of them queryable as-of any point)."""
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    versions = cust.select(
+        "c_custkey",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("c_custkey") % 3 + 1).cast("int"))
+        ).alias("version"),
+        "c_acctbal",
+    ).select(
+        "c_custkey",
+        F.col("version").cast("bigint").alias("version"),
+        F.round(F.col("c_acctbal") + 10 * F.col("version"), 2).alias("acctbal"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return versions.select(
+        "c_custkey",
+        "version",
+        "acctbal",
+        F.col("version").alias("valid_from"),
+        F.coalesce(nxt, F.lit(9999)).cast("bigint").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("c_custkey", "version")
+
+
+@register(
+    "winsorized_event_values",
+    """
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(b.p05, 4) AS p05,
+           ROUND(b.p95, 4) AS p95,
+           COUNT(*) FILTER (WHERE e.value < b.p05) AS n_low,
+           COUNT(*) FILTER (WHERE e.value > b.p95) AS n_high,
+           CAST(SUM(CAST(LEAST(GREATEST(e.value, b.p05), b.p95)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS clipped_sum
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type, b.p05, b.p95
+    ORDER BY e.event_type
+    """,
+)
+def winsorized_event_values(spark, sf_dir):
+    """Winsorization (outlier clipping, the standard guard before a
+    numeric feature feeds training): per-group exact p05/p95, values
+    clamped into the band, clip counts and the clipped sum reported.
+    The bounds frame is one row per group — broadcast back onto the
+    fact scan, so the clip pass adds no shuffle beyond the aggregate's
+    own; the clipped sum accumulates in DECIMAL (row order across
+    engines cannot perturb it)."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("p05"), 1)).alias("n_low"),
+            F.count(F.when(F.col("value") > F.col("p95"), 1)).alias("n_high"),
+            F.sum(clipped.cast("decimal(18,4)")).cast("double").alias("clipped_sum"),
+        )
+        .select(
+            "event_type",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            "n_low",
+            "n_high",
+            "clipped_sum",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "bilingual_name_split",
     """
     WITH synth AS (

@@ -61,6 +61,8 @@ _VERIFY_FIRST = (
     "fuzzy_typo_repair",
     "top_parts_per_nation",
     "salted_distinct_users",
+    "scd2_customer_history",
+    "winsorized_event_values",
     "trailing_hour_user_value",
     "weekly_cohort_retention",
     "lineitem_metric_unpivot",
