@@ -63,6 +63,7 @@ _VERIFY_FIRST = (
     "salted_distinct_users",
     "scd2_customer_history",
     "winsorized_event_values",
+    "user_conversion_funnel",
     "trailing_hour_user_value",
     "weekly_cohort_retention",
     "lineitem_metric_unpivot",

@@ -254,6 +254,73 @@ def trailing_hour_user_value(spark, sf_dir):
 
 
 @register(
+    "user_conversion_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+        SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        UNION ALL SELECT '2_click_after_view', COUNT(*) FROM c
+        UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p
+    ) ORDER BY stage
+    """,
+)
+def user_conversion_funnel(spark, sf_dir):
+    """Ordered event-sequence funnel: users whose first view precedes
+    a click precedes a purchase, IN THAT ORDER — each stage anchors on
+    the previous stage's first qualifying timestamp, so out-of-order
+    events never count (the sequential-pattern analytics a plain
+    per-type count can't express). Three key-shuffled min-aggregates,
+    each over a frame already filtered to the prior stage's survivors."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click_after_view"))
+        .unionByName(stage(p, "3_purchase_after_click"))
+        .orderBy("stage")
+    )
+
+
+@register(
     "weekly_cohort_retention",
     """
     WITH firsts AS (
