@@ -443,3 +443,75 @@ def test_media_frame_sample_and_resize(spark):
     assert multimodal.extract_features(
         multimodal.resize_media(media)
     ).columns == ["media_id", "n_bytes", "feature"]
+
+
+def test_fuzzy_blocking_property_random_words(spark):
+    """Property (batched into one job): for 60 random ≥2k-length words
+    and one random deletion each, the prefix/suffix blocking always
+    recovers the original."""
+    import random
+    import string
+
+    rng = random.Random(20260813)
+    words, typos = [], []
+    for i in range(60):
+        n = rng.randint(8, 24)  # ≥ 2k for k=4
+        w = "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+        p = rng.randrange(n)
+        words.append((i, w))
+        typos.append((i, w[:p] + w[p + 1 :]))
+    from udacity_data_wrangling_osm_case_study_spark.operators import fuzzy
+
+    canon = spark.createDataFrame(words, ["cid", "cname"])
+    t = spark.createDataFrame(typos, ["tid", "tname"])
+    got = {
+        (r.tid, r.cid)
+        for r in fuzzy.fuzzy_match_pairs(t, canon, max_distance=1).collect()
+    }
+    missing = [i for i in range(60) if (i, i) not in got]
+    assert not missing, f"deletions not recovered for ids {missing}"
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Degenerate-input sweep: the core extension operators must return
+    empty frames (not throw) on empty inputs — at 100 TB a partition,
+    source, or day of data being empty is routine, not exceptional."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ])
+    )
+    sh = dedup.word_shingles(empty_docs)
+    assert sh.count() == 0
+    assert dedup.minhash_signatures(sh).count() == 0
+    assert dedup.jaccard_pairs(sh).count() == 0
+    assert dedup.simhash64(empty_docs).count() == 0
+
+    empty_pairs = spark.createDataFrame(
+        [], StructType([
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+        ])
+    )
+    assert dedup.connected_components(empty_pairs).count() == 0
+
+    empty_vecs = spark.createDataFrame(
+        [], StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ])
+    )
+    assert similarity.brute_force_topk(empty_vecs, [1.0, 0.0]).count() == 0
+    cb = similarity.pq_codebooks(empty_vecs, m=2, ksub=2)
+    assert similarity.pq_encode(empty_vecs, cb, m=2, ksub=2).count() == 0
+    assert textstats.hashed_linear_score(empty_docs).count() == 0
