@@ -31,6 +31,8 @@ HEADLINE = [
     "event_type_tumbling_5min",
     "phone_canonicalization",
     "exact_dedup_prefix_groups",
+    "chunk_dedup_docs",
+    "source_overlap_matrix",
     "ngram_jaccard_pairs",
     "doc_fingerprints",
     "fingerprint_near_pairs",
@@ -55,12 +57,14 @@ HEADLINE = [
     # overhead at tiny scale says nothing about the 100 TB posture.
     "doc_profiles",
     "quality_classifier",
+    "unigram_surprisal",
     "repetition_quality",
     "pii_term_scrub",
     "top_words",
     "purchase_click_attribution",
     "error_followup_pairs",
     "train_val_test_split",
+    "training_order_shuffle",
     "sequence_packing",
     "per_source_cap",
     "source_temperature_mix",

@@ -515,3 +515,94 @@ def test_operators_tolerate_empty_inputs(spark):
     cb = similarity.pq_codebooks(empty_vecs, m=2, ksub=2)
     assert similarity.pq_encode(empty_vecs, cb, m=2, ksub=2).count() == 0
     assert textstats.hashed_linear_score(empty_docs).count() == 0
+
+
+# ---------------------------------------------------------------- segments
+
+
+def test_doc_segments_shapes(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    segs = dedup.doc_segments(df, segment_tokens=3).collect()
+    by_idx = {r.seg_idx: r.seg_text for r in segs}
+    assert by_idx == {0: "a b c", 1: "d e"}
+
+
+def test_segment_dedup_reassembly(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # both segments unique (first carrier)
+            (2, "a b c x y z"),   # seg0 duplicates doc1 seg0 → dropped
+            (3, "x y z"),         # sole segment duplicates doc2 seg1 → dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r for r in dedup.segment_dedup(df, segment_tokens=3).collect()
+    }
+    assert (out[1].n_segments, out[1].n_kept) == (2, 2)
+    assert (out[2].n_segments, out[2].n_kept) == (2, 1)
+    assert (out[3].n_segments, out[3].n_kept) == (1, 0)
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1].clean_hash == md5("a b c d e f")
+    assert out[2].clean_hash == md5("x y z")   # survives only its unique tail
+    assert out[3].clean_hash == md5("")        # fully deduplicated away
+
+
+def test_segment_dedup_kept_hashes_globally_unique(spark):
+    # Property: summing n_kept equals the number of distinct segment
+    # hashes in the corpus (each distinct segment survives exactly once).
+    rows = [(i, f"tok{i % 4} tok{i % 4} common common common") for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.segment_dedup(df, segment_tokens=2).collect()
+    distinct_segments = (
+        dedup.doc_segments(df, segment_tokens=2).select("seg_hash").distinct().count()
+    )
+    assert sum(r.n_kept for r in out) == distinct_segments
+
+
+# ----------------------------------------------------- unigram surprisal
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["a"] * 10)), (2, "a a b c")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in textstats.unigram_surprisal(df).collect()}
+    # corpus: a=12, b=1, c=1, T=14 → digits(T)=2; s(a)=0, s(b)=s(c)=1
+    assert (out[1].n_tokens, out[1].mean_surprisal_centi) == (10, 0)
+    # doc2: (2*0 + 1 + 1) * 100 // 4 = 50
+    assert (out[2].n_tokens, out[2].mean_surprisal_centi) == (4, 50)
+    # no token has df < T/100 in a 14-token corpus
+    assert out[1].rare_bp == 0 and out[2].rare_bp == 0
+
+
+# ------------------------------------------------- deterministic shuffle
+
+
+def test_deterministic_shuffle_is_md5_rank_and_partition_invariant(spark):
+    import hashlib
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import sampling
+
+    ids = list(range(100))
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = {
+        r.doc_id: r.pos
+        for r in sampling.deterministic_shuffle(df, "doc_id", salt="s").collect()
+    }
+    expect = {
+        i: rank
+        for rank, i in enumerate(
+            sorted(ids, key=lambda i: hashlib.md5(f"s{i}".encode()).hexdigest())
+        )
+    }
+    assert out == expect
+    repart = {
+        r.doc_id: r.pos
+        for r in sampling.deterministic_shuffle(
+            df.repartition(7), "doc_id", salt="s"
+        ).collect()
+    }
+    assert repart == expect

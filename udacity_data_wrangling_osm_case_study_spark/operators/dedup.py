@@ -754,3 +754,106 @@ def embedding_near_duplicates_arrow(
     return df.groupBy(block_col).applyInPandas(
         _pairs, schema="id_a long, id_b long, cosine_bp long"
     )
+
+
+def doc_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_tokens: int = 20,
+) -> DataFrame:
+    """Explode docs into disjoint ``segment_tokens``-token segments.
+
+    Row-local (one explode, no shuffle): the segmentation primitive
+    shared by segment-level dedup and cross-source overlap analysis.
+    Returns ``(id, seg_idx, seg_text, seg_hash)``; extra input columns
+    (e.g. ``source``) pass through.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(segment_tokens)
+    )
+    segs = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / segment_tokens).cast("long").alias("seg_idx"),
+            F.array_join(F.slice(toks, s, segment_tokens), " ").alias("seg_text"),
+        ),
+    )
+    passthrough = [c for c in df.columns if c not in (id_col, text_col)]
+    return (
+        df.select(
+            F.col(id_col).alias("id"), *passthrough, F.explode(segs).alias("s")
+        )
+        .select(
+            "id",
+            *passthrough,
+            F.col("s.seg_idx").alias("seg_idx"),
+            F.col("s.seg_text").alias("seg_text"),
+        )
+        .withColumn("seg_hash", F.md5("seg_text"))
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_tokens: int = 20,
+) -> DataFrame:
+    """Segment-level exact dedup with in-place reassembly.
+
+    The line/paragraph-granularity dedup of web-corpus pipelines
+    (CCNet / RefinedWeb / Dolma dedupe paragraphs, not whole docs):
+    repeated boilerplate — headers, footers, license blocks — is
+    removed from every document except the first one that carries it,
+    while the unique remainder of each document survives. The corpus
+    here is single-line token text, so "paragraphs" are disjoint
+    ``segment_tokens``-token windows — same operator shape, different
+    delimiter.
+
+    Per document returns ``(id, n_segments, n_kept, clean_hash)``
+    where ``clean_hash`` fingerprints the document reassembled from
+    its surviving segments in original order.
+
+    Scale shape: segmentation is row-local (one explode); the global
+    first-occurrence choice is ONE shuffle on the 16-byte segment
+    hash (map-side-combinable min); reassembly is one shuffle back on
+    the doc id with an order-restoring ``sort_array`` — no windows, no
+    driver state. A boilerplate segment shared by millions of docs is
+    a single hot reduce key carrying an 8-byte min, not a data blob —
+    skew-safe by construction.
+    """
+    exploded = doc_segments(
+        df.select(id_col, text_col), id_col, text_col, segment_tokens
+    ).withColumn(
+        # One sortable scalar (doc, segment) key: min() is then a plain
+        # map-side-combinable aggregate in both engines (struct-min is
+        # not portable to the oracle).
+        "enc",
+        F.col("id") * 1_000_000 + F.col("seg_idx"),
+    )
+    keepers = exploded.groupBy("seg_hash").agg(F.min("enc").alias("keeper_enc"))
+    flagged = exploded.join(keepers, "seg_hash").withColumn(
+        "kept", F.col("enc") == F.col("keeper_enc")
+    )
+    kept_struct = F.when(
+        F.col("kept"), F.struct(F.col("seg_idx"), F.col("seg_text"))
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(kept_struct)),
+                        lambda s: s.seg_text,
+                    ),
+                    " ",
+                )
+            ).alias("clean_hash"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -124,3 +124,34 @@ def train_val_test_split(
         .otherwise("train")
     )
     return df.withColumn("split", label)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, salt: str = "shuffle"
+) -> DataFrame:
+    """Global deterministic shuffle order for training output.
+
+    Pretraining loaders want the corpus in a pseudo-random but
+    *reproducible* global order (so a resumed or re-run job sees the
+    same stream). Adds ``pos``: the row's 0-based rank in
+    ``md5(salt || id)`` order — a content-keyed permutation, stable
+    across engines, runs, and partitionings, re-salt-able per epoch.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` funnels the corpus
+    through one partition; this reuses the packing module's two-phase
+    distributed prefix sum (range-partition by the hash, rank within
+    partitions, broadcast per-partition bases) — the same machinery a
+    distributed sort uses, no single-node bottleneck.
+    """
+    from udacity_data_wrangling_osm_case_study_spark.operators.packing import (
+        global_token_offsets,
+    )
+
+    keyed = df.withColumn(
+        "_shuffle_key", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    ).withColumn("_one", F.lit(1))
+    ranked = global_token_offsets(keyed, order_col="_shuffle_key", ntok_col="_one")
+    return (
+        ranked.withColumn("pos", F.col("start"))
+        .drop("_shuffle_key", "_one", "start")
+    )

@@ -228,3 +228,57 @@ def repetition_profile(df: DataFrame, id_col: str = "doc_id",
         F.expr("_top_num DIV _n").alias("top_token_bp"),
         F.expr("_dup_num DIV greatest(_nbg, 1)").alias("dup_bigram_bp"),
     )
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-unigram surprisal scoring (CCNet-style LM quality signal).
+
+    CCNet/Dolma score documents with a language-model perplexity and
+    filter or bin on it; the engine-portable analog is unigram
+    surprisal against the corpus itself: a token occurring ``c`` times
+    in a ``T``-token corpus carries surprisal ``-log10(c/T)``, and a
+    document's score is the token-weighted mean. Low scores = common/
+    templated text, high scores = rare-token-heavy text — the same
+    axis perplexity filters cut on.
+
+    Logs are taken on the *digit-count* scale — ``digits(T) -
+    digits(c)`` (an integer within ±1 of ``-log10(c/T)``) — so every
+    value is an exact integer in any engine: no libm, no float
+    summation order, bit-identical across Spark and the oracle.
+
+    Output per doc: ``n_tokens``, ``mean_surprisal_centi`` (mean
+    surprisal x100, floor), ``rare_bp`` (basis points of tokens with
+    document frequency under 1% of the corpus).
+
+    Scale shape: per-doc token counts first (one shuffle, map-side
+    combinable, output bounded by doc-distinct vocab), vocabulary
+    rollup from those counts (second tiny shuffle), then a join on the
+    token — at web scale the vocab frame is millions of rows, so it
+    stays a plain shuffle join (AQE broadcasts it when small). The
+    corpus total is a one-row broadcast. No token-level fact ever
+    joins a token-level fact.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    doc_tok = tok.groupBy("id", "tok").agg(F.count("*").alias("k"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("k").alias("c"))
+    total = vocab.agg(F.sum("c").alias("T"))
+    digits = lambda col: F.length(col.cast("string"))
+    scored = (
+        doc_tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("s", digits(F.col("T")) - digits(F.col("c")))
+        .withColumn("rare", (F.col("c") * 100 < F.col("T")).cast("long"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.expr("sum(k * s) * 100 DIV sum(k)").alias("mean_surprisal_centi"),
+            F.expr("sum(k * rare) * 10000 DIV sum(k)").alias("rare_bp"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

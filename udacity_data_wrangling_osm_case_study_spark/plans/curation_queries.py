@@ -165,3 +165,28 @@ def corpus_curation_funnel(spark, sf_dir):
         .unionByName(_stage_agg(s6, "05_source_cap"))
     )
     return funnel.orderBy("stage")
+
+
+@register(
+    "training_order_shuffle",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)))
+                - 1 AS BIGINT) AS pos
+    FROM documents ORDER BY doc_id
+    """,
+)
+def training_order_shuffle(spark, sf_dir):
+    """Reproducible global shuffle for training output: each doc's
+    0-based position in md5('epoch0'||id) order. The oracle states the
+    semantics as one ORDER BY; the engine computes the same permutation
+    with the two-phase distributed prefix sum (range partition by hash,
+    rank within partitions, broadcast bases) — no single-partition
+    window at any scale. Re-salting the key gives independent epoch
+    orders."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        sampling.deterministic_shuffle(docs, "doc_id", salt="epoch0")
+        .select("doc_id", "pos")
+        .orderBy("doc_id")
+    )

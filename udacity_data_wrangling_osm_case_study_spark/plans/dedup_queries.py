@@ -509,3 +509,89 @@ def embedding_near_dupes_arrow(spark, sf_dir):
         dedup.embedding_near_duplicates_arrow(table(spark, sf_dir, "embeddings"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "chunk_dedup_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    chunks AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(toks), 1) + 1, 20),
+            s -> struct_pack(
+                idx := (s - 1) // 20,
+                txt := array_to_string(toks[s:least(s + 19, len(toks))], ' ')
+            ))) AS c
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id, c.idx AS idx, c.txt AS txt, md5(c.txt) AS h,
+               doc_id * 1000000 + c.idx AS enc
+        FROM chunks
+    ),
+    k AS (SELECT h, MIN(enc) AS keeper FROM e GROUP BY h),
+    f AS (SELECT e.*, (e.enc = k.keeper) AS kept FROM e JOIN k USING (h))
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           md5(coalesce(
+               string_agg(CASE WHEN kept THEN txt END, ' ' ORDER BY idx),
+               '')) AS clean_hash
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def chunk_dedup_docs(spark, sf_dir):
+    """Segment-level exact dedup with reassembly (the line/paragraph
+    dedup of CCNet/RefinedWeb-style web pipelines, on 20-token disjoint
+    segments): repeated boilerplate survives only in its first carrier
+    doc; each doc is re-fingerprinted from its surviving segments in
+    order. Two shuffles total (segment hash, then doc id)."""
+    return dedup.segment_dedup(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    seg AS (
+        SELECT source, unnest(list_transform(
+            range(1, greatest(len(toks), 1) + 1, 20),
+            s -> md5(array_to_string(toks[s:least(s + 19, len(toks))], ' '))
+        )) AS h
+        FROM t
+    ),
+    d AS (SELECT DISTINCT source, h FROM seg)
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS shared_segments
+    FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_matrix(spark, sf_dir):
+    """Cross-source content overlap: for each source pair, how many
+    distinct 20-token segments both carry — the curation diagnostic
+    that decides which sources must be deduped against each other
+    (whole-doc hashes miss partial boilerplate reuse; segments catch
+    it). Scale: segmentation is row-local; distinct (source, hash)
+    bounds the join input by content volume, and a hash's fan-out is
+    bounded by the number of sources, so the self-join on the 16-byte
+    key never goes quadratic in docs."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    seg = (
+        dedup.doc_segments(docs, "doc_id", "text")
+        .select("source", "seg_hash")
+        .distinct()
+    )
+    a, b = seg.alias("a"), seg.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seg_hash") == F.col("b.seg_hash"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("shared_segments"))
+        .orderBy("src_a", "src_b")
+    )

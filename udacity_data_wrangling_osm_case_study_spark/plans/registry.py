@@ -53,6 +53,10 @@ _loaded = False
 # kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
+    "chunk_dedup_docs",
+    "source_overlap_matrix",
+    "unigram_surprisal",
+    "training_order_shuffle",
     "incremental_dedup",
     "quality_classifier",
     "dedup_survivors",

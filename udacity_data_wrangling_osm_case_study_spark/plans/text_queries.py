@@ -449,3 +449,32 @@ def repetition_quality(spark, sf_dir):
     return textstats.repetition_profile(
         table(spark, sf_dir, "documents")
     ).orderBy("doc_id")
+
+
+@register(
+    "unigram_surprisal",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    dt AS (SELECT doc_id, tok, COUNT(*) AS k FROM tok GROUP BY doc_id, tok),
+    v AS (SELECT tok, CAST(SUM(k) AS BIGINT) AS c FROM dt GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS T FROM v)
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_tokens,
+           CAST(SUM(k * (strlen(CAST(T AS VARCHAR))
+                         - strlen(CAST(c AS VARCHAR)))) * 100
+                // SUM(k) AS BIGINT) AS mean_surprisal_centi,
+           CAST(SUM(CASE WHEN c * 100 < T THEN k ELSE 0 END) * 10000
+                // SUM(k) AS BIGINT) AS rare_bp
+    FROM dt JOIN v USING (tok) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def unigram_surprisal(spark, sf_dir):
+    """CCNet-style LM quality signal, engine-portable: per-doc mean
+    unigram surprisal against the corpus itself on the digit-count
+    (integer log10) scale, plus the share of rare (<1% df) tokens.
+    All-integer arithmetic — no libm, no float summation order."""
+    return textstats.unigram_surprisal(
+        table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
