@@ -33,6 +33,7 @@ HEADLINE = [
     "exact_dedup_prefix_groups",
     "chunk_dedup_docs",
     "source_overlap_matrix",
+    "duplicated_span_share",
     "ngram_jaccard_pairs",
     "doc_fingerprints",
     "fingerprint_near_pairs",
@@ -58,6 +59,7 @@ HEADLINE = [
     "doc_profiles",
     "quality_classifier",
     "unigram_surprisal",
+    "subword_vocab",
     "repetition_quality",
     "pii_term_scrub",
     "top_words",

@@ -606,3 +606,42 @@ def test_deterministic_shuffle_is_md5_rank_and_partition_invariant(spark):
         ).collect()
     }
     assert repart == expect
+
+
+def test_duplicated_span_share_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),        # grams abc..efg
+            (2, "z z a b c d e y"),      # shares abc, bcd, cde with doc 1
+            (3, "p q r s t u v"),        # nothing shared
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup.duplicated_span_share(df, n=3).collect()}
+    # doc1: dup starts {1,2,3} → covers tokens 1..5 → 5/7
+    assert (out[1].n_tokens, out[1].dup_span_bp) == (7, 5 * 10000 // 7)
+    # doc2: dup starts {3,4,5} → covers tokens 3..7 → 5/8
+    assert (out[2].n_tokens, out[2].dup_span_bp) == (8, 6250)
+    assert (out[3].n_tokens, out[3].dup_span_bp) == (7, 0)
+
+
+def test_duplicated_span_share_short_and_full_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x y z"), (3, "x y z")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in dedup.duplicated_span_share(df, n=3).collect()}
+    assert out[1].dup_span_bp == 0          # too short for any gram
+    assert out[2].dup_span_bp == 10000      # fully duplicated
+    assert out[3].dup_span_bp == 10000
+
+
+def test_subword_vocab_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "abc abc ab x"), (2, "abc")], ["doc_id", "text"]
+    )
+    out = {r.gram: r.total_count for r in textstats.subword_vocab(df).collect()}
+    # 'abc' appears 3 times, 'ab' word once; 'x' too short to gram
+    assert out["ab"] == 4      # 3 from 'abc' + 1 from word 'ab'
+    assert out["bc"] == 3
+    assert out["abc"] == 3
+    assert "x" not in out

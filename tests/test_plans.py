@@ -157,6 +157,7 @@ def test_no_cartesian_products_anywhere(spark):
         "knn_srp_lsh",        # 1-row query vector
         "tfidf_top_terms",    # 1-row corpus doc-count frame
         "source_temperature_mix",  # 1-row total-weight frame
+        "unigram_surprisal",  # 1-row corpus token-total frame
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

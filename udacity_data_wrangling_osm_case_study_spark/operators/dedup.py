@@ -857,3 +857,88 @@ def segment_dedup(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def duplicated_span_share(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Inter-document duplicated-span mass per document.
+
+    The measurement behind substring-level dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token is *duplicated* if it sits inside any word ``n``-gram that
+    also appears in at least one other document. Reports per doc the
+    share of duplicated tokens — the signal that decides whether a
+    corpus needs substring dedup at all, and which docs are mostly
+    recycled text. (``repetition_profile`` is the intra-doc cousin;
+    this one is cross-corpus.)
+
+    Output: ``(id, n_tokens, dup_span_bp)`` — basis points of tokens
+    covered by some cross-document n-gram.
+
+    Scale shape: gram explode is row-local; the cross-doc test is one
+    groupBy on the 16-byte gram hash over *doc-distinct* grams (map-
+    side combinable) and one semi-join back; coverage is an exact
+    union-of-intervals fold over each doc's sorted duplicate starts —
+    row-local arithmetic, no window. A boilerplate gram in millions of
+    docs is a hot groupBy key carrying only a count, and the semi-join
+    fans out one flag per occurrence — skew-safe.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0)))
+    grams = (
+        base.filter(F.size("toks") >= n)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        s.alias("start"),
+                        F.md5(F.array_join(F.slice("toks", s, n), " ")).alias("gh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("id", F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
+    )
+    dup_grams = (
+        grams.select("id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("gh")
+    )
+    dup_starts = grams.join(dup_grams, "gh", "left_semi").select("id", "start").distinct()
+    covered = (
+        dup_starts.groupBy("id")
+        .agg(F.sort_array(F.collect_set("start")).alias("S"))
+        .select(
+            "id",
+            F.when(F.size("S") == 1, F.lit(n))
+            .otherwise(
+                F.expr(
+                    f"aggregate(sequence(1, size(S) - 1), 0L,"
+                    f" (acc, i) -> acc + least({n},"
+                    f" element_at(S, i + 1) - element_at(S, i))) + {n}"
+                )
+            )
+            .alias("covered"),
+        )
+    )
+    return (
+        base.select("id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.expr("coalesce(covered, 0) * 10000 DIV n_tokens").alias(
+                "dup_span_bp"
+            ),
+        )
+    )

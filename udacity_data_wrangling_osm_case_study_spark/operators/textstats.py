@@ -282,3 +282,52 @@ def unigram_surprisal(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def subword_vocab(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 2,
+    max_len: int = 4,
+    top_k: int = 50,
+) -> DataFrame:
+    """Subword vocabulary induction: top-k character n-grams by
+    corpus frequency — the candidate-mining pass a BPE/WordPiece
+    trainer starts from (frequency-ranked substrings of the weighted
+    word vocabulary).
+
+    Scale shape: the corpus collapses to the *distinct-word* vocabulary
+    first (one map-side-combinable shuffle; vocab « corpus at web
+    scale), substring generation then explodes words × O(max_len²)
+    grams over that vocab frame only, and the final top-k is a
+    count-desc orderBy+limit (TakeOrderedAndProject — never a full
+    sort). Ties break on the gram string so the cut is deterministic.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    grams = F.flatten(
+        F.transform(
+            F.sequence(F.lit(min_len), F.lit(max_len)),
+            # Guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]) —
+            # a word shorter than l must yield an empty start list.
+            lambda l: F.when(
+                F.length("tok") >= l,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - l + 1),
+                    lambda s: F.col("tok").substr(s, l),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    return (
+        words.filter(F.length("tok") >= min_len)
+        .select(F.explode(grams).alias("gram"), "cnt")
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("total_count"))
+        .orderBy(F.desc("total_count"), "gram")
+        .limit(top_k)
+    )

@@ -595,3 +595,45 @@ def source_overlap_matrix(spark, sf_dir):
         .agg(F.count("*").alias("shared_segments"))
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "duplicated_span_share",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(toks) - 4, 0) + 1),
+            s -> struct_pack(
+                start := s,
+                gh := md5(array_to_string(toks[s:s + 4], ' '))
+            ))) AS c
+        FROM t
+    ),
+    e AS (SELECT doc_id, c.start AS start, c.gh AS gh FROM g),
+    dg AS (SELECT DISTINCT doc_id, gh FROM e),
+    dup AS (SELECT gh FROM dg GROUP BY gh HAVING COUNT(*) >= 2),
+    ds AS (SELECT DISTINCT doc_id, start FROM e JOIN dup USING (gh)),
+    s AS (SELECT doc_id, list_sort(list(start)) AS spans FROM ds GROUP BY doc_id),
+    cov AS (
+        SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(
+                   range(1, len(spans)),
+                   i -> least(5, spans[i + 1] - spans[i]))), 0) + 5 AS BIGINT)
+                   AS covered
+        FROM s
+    ),
+    nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+    SELECT nt.doc_id AS doc_id, n_tokens,
+           CAST(coalesce(covered, 0) * 10000 // n_tokens AS BIGINT) AS dup_span_bp
+    FROM nt LEFT JOIN cov USING (doc_id) ORDER BY doc_id
+    """,
+)
+def duplicated_span_share(spark, sf_dir):
+    """Substring-dedup decision signal (Lee et al.): per doc, basis
+    points of tokens covered by a word 5-gram that also appears in
+    another document — exact union-of-intervals arithmetic over the
+    duplicate gram starts, all integers."""
+    return dedup.duplicated_span_share(
+        table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")

@@ -53,6 +53,8 @@ _loaded = False
 # kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
+    "duplicated_span_share",
+    "subword_vocab",
     "chunk_dedup_docs",
     "source_overlap_matrix",
     "unigram_surprisal",
@@ -133,6 +135,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # These tables ship as ONE small parquet file (one row group →
+        # one input split), so every row-local heavy stage downstream
+        # (shingle explode, per-token md5, vector math) would run on a
+        # single core until the first shuffle. Fan the scan out when it
+        # yields fewer splits than cores — the exact repartition a
+        # cluster job does after a skinny-file scan. At real scale the
+        # scan produces thousands of splits and this branch is a no-op.
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(par // 2, 2):
+            df = df.repartition(par)
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -478,3 +478,31 @@ def unigram_surprisal(spark, sf_dir):
     return textstats.unigram_surprisal(
         table(spark, sf_dir, "documents")
     ).orderBy("doc_id")
+
+
+@register(
+    "subword_vocab",
+    f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    w AS (SELECT unnest(toks) AS tok FROM t),
+    v AS (SELECT tok, COUNT(*) AS cnt FROM w GROUP BY tok),
+    g AS (
+        SELECT unnest(flatten(list_transform(range(2, 5),
+                   l -> list_transform(
+                       range(1, greatest(strlen(tok) - l + 1, 0) + 1),
+                       s -> substr(tok, CAST(s AS INT), CAST(l AS INT))))))
+                   AS gram,
+               cnt
+        FROM v WHERE strlen(tok) >= 2
+    )
+    SELECT gram, CAST(SUM(cnt) AS BIGINT) AS total_count
+    FROM g GROUP BY gram
+    ORDER BY total_count DESC, gram LIMIT 50
+    """,
+)
+def subword_vocab(spark, sf_dir):
+    """Subword vocab induction (the BPE/WordPiece candidate-mining
+    pass): top-50 character 2-4-grams by corpus frequency, counted
+    over the distinct-word vocabulary weighted by word counts — the
+    corpus collapses to the vocab before any substring explode."""
+    return textstats.subword_vocab(table(spark, sf_dir, "documents"))
