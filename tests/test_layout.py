@@ -96,3 +96,32 @@ def test_compact_dataset_reduces_files(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_dynamic_partition_pruning_fires_on_dim_join(spark):
+    """Join-driven pruning: filtering a dimension must prune the
+    partitioned fact's directories at RUNTIME (Catalyst injects a
+    dynamicpruning subquery into the scan's partition filters) — the
+    mechanism that keeps a 100 TB date-partitioned fact scan bounded
+    by the dimension predicate, not the calendar."""
+    d = tempfile.mkdtemp(prefix="layout_dpp_")
+    try:
+        orders = table(spark, SF_DIR, "orders").withColumn(
+            "yr", F.year("o_orderdate")
+        )
+        layout.write_partitioned(orders, d, ["yr"])
+        fact = spark.read.parquet(d)
+        dim = spark.createDataFrame(
+            [(y, y % 3) for y in range(1992, 2000)], ["yr", "flag"]
+        )
+        # The dim predicate must be a comparison (a bare boolean column
+        # is not "likely selective" to the PartitionPruning rule, which
+        # then skips DPP insertion entirely).
+        joined = fact.join(dim.filter(F.col("flag") == 0), "yr")
+        plan = _explain(joined)
+        assert "dynamicpruning" in plan.lower(), plan
+        keep_years = [y for y in range(1992, 2000) if y % 3 == 0]
+        expect = orders.filter(F.col("yr").isin(keep_years)).count()
+        assert joined.count() == expect
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

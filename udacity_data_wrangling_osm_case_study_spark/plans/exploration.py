@@ -502,3 +502,39 @@ def approx_distinct_users(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_column_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS priority_distinct,
+           COUNT(*) - COUNT(o_totalprice) AS totalprice_nulls,
+           CAST(MIN(o_orderkey) AS BIGINT) AS orderkey_min,
+           CAST(MAX(o_orderkey) AS BIGINT) AS orderkey_max,
+           CAST(strftime(MIN(o_orderdate), '%Y-%m-%d') AS VARCHAR) AS orderdate_min,
+           CAST(strftime(MAX(o_orderdate), '%Y-%m-%d') AS VARCHAR) AS orderdate_max
+    FROM orders
+    """,
+)
+def orders_column_profile(spark, sf_dir):
+    """Dataset profiling in ONE aggregation pass: row count, per-column
+    exact distinct counts, null counts, min/max ranges — the schema-
+    discovery / data-contract check that precedes any pipeline onboarding.
+    Multiple COUNT(DISTINCT) columns in one agg: Catalyst rewrites them
+    into a single Expand + two-stage aggregate (one shuffle per distinct
+    set, partial aggregation map-side) — no per-column scans."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.countDistinct("o_orderpriority").alias("priority_distinct"),
+        (F.count("*") - F.count("o_totalprice")).alias("totalprice_nulls"),
+        F.min("o_orderkey").alias("orderkey_min"),
+        F.max("o_orderkey").alias("orderkey_max"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("orderdate_min"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("orderdate_max"),
+    )

@@ -55,6 +55,7 @@ _loaded = False
 _VERIFY_FIRST = (
     "duplicated_span_share",
     "subword_vocab",
+    "orders_column_profile",
     "chunk_dedup_docs",
     "source_overlap_matrix",
     "unigram_surprisal",
