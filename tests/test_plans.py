@@ -185,3 +185,40 @@ def test_ivf_index_scan_partition_pruned(spark):
     m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)\]", p)
     assert m, f"no partition IN-filter on the index scan:\n{p}"
     assert len(m.group(1).split(",")) == 3  # n_probe cells exactly
+
+
+def test_segment_dedup_shuffle_budget(spark):
+    """Segment dedup is TWO data shuffles (segment hash, then doc id)
+    plus the loader's scan fan-out — a third data shuffle would mean
+    the reassembly regressed to a window or an extra exchange."""
+    import re
+
+    p = _plan(spark, "chunk_dedup_docs")
+    # Distinct exchange NODES (formatted explain lists each node twice:
+    # tree + details): the segment frame feeds two branches off the
+    # loader repartition (2× fan-out exchange), one keeper aggregation
+    # shuffle, one reassembly shuffle, the final orderBy range exchange,
+    # and the keepers' broadcast. More than that means a regression.
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 5, p
+
+
+def test_unigram_surprisal_single_token_fact_shuffle(spark):
+    """Token facts shuffle once (doc,token rollup); vocab and the
+    corpus total ride broadcasts/small shuffles — the token-level
+    frame must never join another token-level frame."""
+    p = _plan(spark, "unigram_surprisal")
+    assert "SortMergeJoin" not in p, p
+
+
+def test_training_order_shuffle_no_single_partition_window(spark):
+    """The global rank must come from the two-phase prefix sum: every
+    window in the plan is partitioned (no 'Window [... ORDER BY' over
+    an unpartitioned frame funneling the corpus through one task)."""
+    p = _plan(spark, "training_order_shuffle")
+    # The corpus-sized cumsum window must be PARTITIONED by the physical
+    # partition id; the only unpartitioned window allowed is the cumsum
+    # over the #partitions-row totals frame (identified by _tot).
+    specs = [s.split(")")[0] for s in p.split("windowspecdefinition(")[1:]]
+    assert specs, p
+    for spec in specs:
+        assert "_part" in spec or "_tot" in p, spec
