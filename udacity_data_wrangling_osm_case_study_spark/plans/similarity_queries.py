@@ -279,11 +279,25 @@ def media_metadata(spark, sf_dir):
     )
 
 
-@register("media_features")  # mapInPandas — not SQL-expressible; rows-only check
+@register(
+    "media_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           ROUND(CAST(octet_length(encode(text)) AS DOUBLE), 4) AS f0,
+           ROUND(CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                      ELSE CAST(ascii(substr(text, 1, 1)) AS DOUBLE) END,
+                 4) AS f1
+    FROM documents ORDER BY media_id
+    """,
+)
 def media_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads
     (deterministic stub decode; see operators.multimodal). Exposes the
-    first two feature components so the batch plumbing is observable."""
+    first two feature components so the batch plumbing is observable —
+    and value-checkable: the stub features are pure byte arithmetic
+    (payload length, first byte), which the oracle recomputes from the
+    utf-8 text without any BLOB functions."""
     docs = table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
     feats = multimodal.extract_features(media, decode_stub=True)
