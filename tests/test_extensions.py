@@ -645,3 +645,40 @@ def test_subword_vocab_hand_computed(spark):
     assert out["bc"] == 3
     assert out["abc"] == 3
     assert "x" not in out
+
+
+def test_segment_dedup_properties_randomized(spark):
+    """Randomized invariants: (1) kept segments across the corpus are
+    exactly the distinct segment hashes; (2) a doc with fully unique
+    text keeps everything and its clean_hash matches the normalized
+    original; (3) replicating the corpus (new ids, same text) adds
+    ZERO newly-kept segments — every replica deduplicates away."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 17))))
+        for i in range(40)
+    ]
+    rows.append((100, " ".join(f"unique{i}" for i in range(9))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = {r.doc_id: r for r in dedup.segment_dedup(df, segment_tokens=4).collect()}
+    distinct = (
+        dedup.doc_segments(df, segment_tokens=4).select("seg_hash").distinct().count()
+    )
+    assert sum(r.n_kept for r in out.values()) == distinct
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    u = out[100]
+    assert u.n_kept == u.n_segments
+    assert u.clean_hash == md5(" ".join(f"unique{i}" for i in range(9)))
+
+    replicated = df.unionByName(
+        df.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    out2 = dedup.segment_dedup(replicated, segment_tokens=4).collect()
+    assert sum(r.n_kept for r in out2) == distinct  # replicas add nothing
+    assert all(r.n_kept == 0 for r in out2 if r.doc_id >= 1000)
