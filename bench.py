@@ -72,6 +72,7 @@ HEADLINE = [
     "per_source_cap",
     "source_temperature_mix",
     "corpus_curation_funnel",
+    "training_batch_manifest",
 ]
 
 

@@ -155,3 +155,25 @@ def test_per_key_cap(spark):
     assert ids(kept) != ids(sampling.per_key_cap(df, "source", "doc_id", cap=10, salt="other"))
     # A key under the cap keeps everything.
     assert sampling.per_key_cap(df, "source", "doc_id", cap=50).count() == 100
+
+
+def test_pack_sequences_order_col(spark):
+    """Packing by a separate order column must lay the stream in that
+    order while reporting the id: repacking with a reversing order key
+    reverses placement, and per-doc token sums are unchanged."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, 10 + i) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"]).withColumn(
+        "rev", 100 - F.col("doc_id")
+    )
+    fwd = packing.pack_sequences(df, seq_len=16, id_col="doc_id")
+    rev = packing.pack_sequences(
+        df, seq_len=16, id_col="doc_id", order_col="rev"
+    )
+    fwd_first = [r.doc_id for r in fwd.filter("seq_id = 0").orderBy("seq_offset").collect()]
+    rev_first = [r.doc_id for r in rev.filter("seq_id = 0").orderBy("seq_offset").collect()]
+    assert fwd_first[0] == 1 and rev_first[0] == 5
+    per_doc = {r.doc_id: r.total for r in rev.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("total")).collect()}
+    assert per_doc == {i: 10 + i for i in range(1, 6)}

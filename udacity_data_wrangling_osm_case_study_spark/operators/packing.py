@@ -86,6 +86,7 @@ def pack_sequences(
     seq_len: int,
     id_col: str = "doc_id",
     ntok_col: str = "n_tokens",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Doc -> training-sequence placement map.
 
@@ -100,8 +101,14 @@ def pack_sequences(
     sequence ``seq_id``. Invariants (property-tested): per-sequence
     contributions sum to exactly ``seq_len`` (except the final
     sequence) and per-doc contributions sum to the doc's token count.
+
+    ``order_col`` lays the stream in a different order than the id
+    (e.g. a deterministic epoch-shuffle hash) while the placement map
+    still reports ``id_col`` — no join-back needed.
     """
-    offs = global_token_offsets(df, order_col=id_col, ntok_col=ntok_col)
+    offs = global_token_offsets(
+        df, order_col=order_col or id_col, ntok_col=ntok_col
+    )
     start, n = F.col("start"), F.col(ntok_col)
     end = start + n  # exclusive
     first_seq = F.floor(start / seq_len).cast("long")

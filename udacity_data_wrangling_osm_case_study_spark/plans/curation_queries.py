@@ -23,7 +23,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from udacity_data_wrangling_osm_case_study_spark.operators import dedup, sampling
+from udacity_data_wrangling_osm_case_study_spark.operators import (
+    dedup,
+    packing,
+    sampling,
+)
 from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -189,4 +193,114 @@ def training_order_shuffle(spark, sf_dir):
         sampling.deterministic_shuffle(docs, "doc_id", salt="epoch0")
         .select("doc_id", "pos")
         .orderBy("doc_id")
+    )
+
+
+_MANIFEST_SEQ_LEN = 256
+
+_MANIFEST_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id AS id, source, {_NORM} AS norm,
+               len(string_split({_NORM}, ' ')) AS n_tokens
+        FROM documents
+    ),
+    k AS (SELECT MIN(id) AS id FROM base GROUP BY md5(norm)),
+    s1 AS (SELECT b.* FROM base b JOIN k USING (id)),
+    s2 AS (SELECT * FROM s1 WHERE n_tokens >= {_MIN_TOKENS}),
+    ranked AS (
+        SELECT id, source, n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap' || CAST(id AS VARCHAR)), id
+               ) AS rn
+        FROM s2
+    ),
+    s3 AS (SELECT id, n_tokens FROM ranked WHERE rn <= {_CAP}),
+    ordered AS (
+        SELECT id, n_tokens,
+               md5('epoch0' || CAST(id AS VARCHAR)) AS hk
+        FROM s3
+    ),
+    offs AS (
+        SELECT id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY hk, id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS start
+        FROM ordered
+    ),
+    spans AS (
+        SELECT id, start, n_tokens,
+               unnest(range(start // {_MANIFEST_SEQ_LEN},
+                            (start + n_tokens - 1) // {_MANIFEST_SEQ_LEN} + 1))
+                   AS seq_id
+        FROM offs WHERE n_tokens > 0
+    ),
+    cut AS (
+        SELECT seq_id, id,
+               greatest(start, seq_id * {_MANIFEST_SEQ_LEN})
+                   - seq_id * {_MANIFEST_SEQ_LEN} AS seq_offset,
+               least(start + n_tokens, (seq_id + 1) * {_MANIFEST_SEQ_LEN})
+                   - greatest(start, seq_id * {_MANIFEST_SEQ_LEN}) AS ntok
+        FROM spans
+    )
+    SELECT seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS seq_tokens,
+           CAST(SUM(id * (seq_offset + 1)) AS BIGINT) AS doc_checksum
+    FROM cut GROUP BY seq_id ORDER BY seq_id
+    """
+
+
+@register("training_batch_manifest", _MANIFEST_ORACLE)
+def training_batch_manifest(spark, sf_dir):
+    """The OUTPUT side of the pipeline, end-to-end and value-checked:
+    curation survivors (exact dedup -> token floor -> per-source cap)
+    are laid out in a reproducible epoch shuffle order
+    (md5('epoch0'||id)) and packed into 256-token training sequences;
+    the manifest reports, per sequence, the doc count, token fill, and
+    an (id x offset) checksum proving WHICH docs landed WHERE matches
+    the oracle exactly.
+
+    Scale shape: each curation stage is the library operator (one
+    bounded shuffle each); the epoch order costs no separate pass —
+    packing's distributed prefix sum simply runs ordered by the
+    shuffle key; the manifest is one final groupBy on seq_id."""
+    docs = table(spark, sf_dir, "documents")
+    norm = dedup.normalize_text(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        norm.alias("norm"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_tokens"),
+    )
+    keepers = (
+        base.select("doc_id", F.md5("norm").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = base.join(keepers, "doc_id", "left_semi").filter(
+        F.col("n_tokens") >= _MIN_TOKENS
+    )
+    s3 = sampling.per_key_cap(s2, "source", "doc_id", cap=_CAP)
+    keyed = s3.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat(F.lit("epoch0"), F.col("doc_id").cast("string"))).alias(
+            "_hk"
+        ),
+    )
+    packed = packing.pack_sequences(
+        keyed, seq_len=_MANIFEST_SEQ_LEN,
+        id_col="doc_id", ntok_col="n_tokens", order_col="_hk",
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+            F.sum(F.col("doc_id") * (F.col("seq_offset") + 1))
+            .cast("long")
+            .alias("doc_checksum"),
+        )
+        .orderBy("seq_id")
     )

@@ -56,6 +56,7 @@ _VERIFY_FIRST = (
     "duplicated_span_share",
     "subword_vocab",
     "orders_column_profile",
+    "training_batch_manifest",
     "chunk_dedup_docs",
     "source_overlap_matrix",
     "unigram_surprisal",
