@@ -682,3 +682,37 @@ def test_segment_dedup_properties_randomized(spark):
     out2 = dedup.segment_dedup(replicated, segment_tokens=4).collect()
     assert sum(r.n_kept for r in out2) == distinct  # replicas add nothing
     assert all(r.n_kept == 0 for r in out2 if r.doc_id >= 1000)
+
+
+def test_ivf_append_routes_new_vectors(spark, tmp_path):
+    """Index maintenance: appending new vectors to a persisted IVF
+    index must (1) place each in its nearest existing cell, (2) leave
+    old cells' contents untouched, and (3) make the new vector
+    immediately reachable by the partition-pruned query path."""
+    import math
+
+    dim = 8
+    base = [
+        (i, [1.0 if d == (i % 4) else 0.0 for d in range(dim)], i % 4)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(base, ["vec_id", "embedding", "label"])
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(df, idx)
+    before = spark.read.parquet(f"{idx}/vectors").count()
+
+    # a new vector almost parallel to cell 2's axis
+    newv = [(1000, [0.1 if d < 2 else (0.99 if d == 2 else 0.0) for d in range(dim)], -1)]
+    similarity.ivf_append(
+        spark, spark.createDataFrame(newv, ["vec_id", "embedding", "label"]), idx
+    )
+    after = spark.read.parquet(f"{idx}/vectors")
+    assert after.count() == before + 1
+    placed = after.filter("id = 1000").collect()
+    assert len(placed) == 1 and placed[0].cell == 2
+
+    # reachable via the pruned query path, top hit for its own direction
+    top = similarity.ivf_topk_indexed(
+        spark, idx, newv[0][1], k=3, n_probe=1
+    ).collect()
+    assert top[0].id == 1000

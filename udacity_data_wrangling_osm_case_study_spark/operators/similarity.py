@@ -511,3 +511,37 @@ def srp_lsh_topk(
         .orderBy(F.desc("cosine"), "id")
         .limit(k)
     )
+
+
+def ivf_append(
+    spark,
+    df_new: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Index MAINTENANCE: route new vectors into an existing IVF index
+    without rebuilding it.
+
+    New arrivals are assigned to their nearest EXISTING centroid
+    (broadcast quantizer + deterministic quantized-cosine argmax — the
+    same rule queries use to pick probe cells) and appended into the
+    cell-partitioned vector store (dynamic-partition parquet append:
+    only the touched cells gain files). Queries see the new vectors
+    immediately through the same partition-pruned scan; no full-corpus
+    shuffle, no centroid retrain. Retrain (``build_ivf_index``) is the
+    periodic compaction step once drift accumulates — the same
+    build/maintain split every production ANN index uses.
+    """
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = kmeans_assign(df_new, cents, id_col, vec_col)
+    vecs = df_new.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    (
+        vecs.join(assigned.select("id", "cell"), "id")
+        .select("cell", "id", "v")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/vectors")
+    )
