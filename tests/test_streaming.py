@@ -327,3 +327,79 @@ def test_sliding_window_counts_match_batch(spark, events_dir):
     closed_rows = sorted(map(tuple, closed.select(key).collect()))
     assert len(got_rows) > 0
     assert got_rows == closed_rows
+
+
+def test_corpus_intake_stream(spark, tmp_path):
+    """Streaming corpus intake: (1) later batches dedup against
+    everything accepted earlier (no cross-batch near-dup pair survives
+    in the accepted corpus); (2) a doc rejected as a near-dup of the
+    seed corpus never lands; (3) replaying a batch with the same
+    batch_id is byte-idempotent (dynamic partition overwrite)."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+    from udacity_data_wrangling_osm_case_study_spark.streaming import corpus_intake
+
+    src = tmp_path / "src"
+    accepted_dir = str(tmp_path / "accepted")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    seed = [(i, f"seed doc number {i} with unique words w{i}a w{i}b w{i}c w{i}d") for i in range(10)]
+    seed_df = spark.createDataFrame(seed, ["doc_id", "text"])
+    dedup.build_dedup_index(seed_df, index_dir)
+
+    # drop 1: a near-copy of seed doc 3, an exact in-batch dup pair, a fresh doc
+    drop1 = [
+        (100, "seed doc number 3 with unique words w3a w3b w3c w3x"),  # ~seed dup
+        (101, "totally fresh alpha beta gamma delta epsilon zeta"),
+        (102, "totally fresh alpha beta gamma delta epsilon zeta"),    # exact dup of 101
+        (103, "short"),                                                # quality-gated
+    ]
+    # drop 2: a near-copy of drop 1's survivor, plus a fresh doc
+    drop2 = [
+        (200, "totally fresh alpha beta gamma delta epsilon eta"),     # ~101 dup
+        (201, "another genuinely new document about spark engines and scale"),
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    for i, rows in enumerate([drop1, drop2]):
+        (
+            spark.createDataFrame(
+                [(d, t, "en", "s", len(t)) for d, t in rows], cols
+            ).coalesce(1).write.mode("overwrite").parquet(str(src / f"drop{i}"))
+        )
+
+    q = corpus_intake.start_corpus_intake(
+        spark, str(src) + "/*", accepted_dir, index_dir, ckpt
+    )
+    q.awaitTermination(180)
+
+    acc = spark.read.parquet(accepted_dir)
+    got = {r.doc_id for r in acc.select("doc_id").collect()}
+    assert 100 not in got          # near-dup of the seed corpus
+    assert 103 not in got          # under the token floor
+    assert len({101, 102} & got) == 1   # exact in-batch dup collapsed
+    assert 200 not in got          # near-dup of an earlier ACCEPTED batch
+    assert 201 in got
+
+    # no cross-batch near-dup pair survives in the accepted corpus
+    sh = dedup.word_shingles(acc.select("doc_id", "text"))
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5)
+    batches = acc.select(F.col("doc_id").alias("id"), "batch_id")
+    cross = (
+        pairs.join(batches.withColumnRenamed("id", "id_a").withColumnRenamed("batch_id", "ba"), "id_a")
+        .join(batches.withColumnRenamed("id", "id_b").withColumnRenamed("batch_id", "bb"), "id_b")
+        .filter("ba <> bb")
+    )
+    assert cross.count() == 0
+
+    # idempotence: re-running a batch with its original id changes nothing
+    before_acc = sorted(map(tuple, spark.read.parquet(accepted_dir).collect()))
+    before_sz = spark.read.parquet(f"{index_dir}/sizes").count()
+    drop2_df = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in drop2], cols
+    )
+    corpus_intake.intake_batch(drop2_df, 1, accepted_dir, index_dir)
+    assert sorted(map(tuple, spark.read.parquet(accepted_dir).collect())) == before_acc
+    assert spark.read.parquet(f"{index_dir}/sizes").count() == before_sz

@@ -293,20 +293,67 @@ def build_dedup_index(
     All three are plain parquet: on a cluster they'd be written
     bucketed by their join key so the probe joins are shuffle-free on
     the index side (see operators.layout for the bucketed writer).
+
+    Each relation is partitioned by ``batch_id`` (the full build writes
+    partition ``base``): :func:`dedup_index_append` adds an ingest
+    batch as its own partition, and a RETRIED batch dynamically
+    overwrites only its own partition — exactly-once index maintenance
+    under at-least-once stream semantics.
     """
     sh = word_shingles(docs, n=n, max_shingle_df=max_shingle_df)
     sh = sh.persist()
     try:
-        sigs = minhash_signatures(sh, num_hashes)
-        lsh_bands(sigs, rows_per_band).write.mode("overwrite").parquet(
-            f"{index_dir}/bands"
+        _write_index_batch(sh, index_dir, "base", num_hashes, rows_per_band,
+                           overwrite_mode="static")
+    finally:
+        sh.unpersist()
+
+
+def _write_index_batch(
+    sh: DataFrame,
+    index_dir: str,
+    batch_id: str,
+    num_hashes: int,
+    rows_per_band: int,
+    overwrite_mode: str,
+) -> None:
+    """Write one batch's bands/postings/sizes partitions. ``static``
+    overwrite wipes the whole relation (full rebuild); ``dynamic``
+    replaces ONLY this batch's partition — the idempotence mechanism
+    for retried micro-batches."""
+    tag = F.lit(batch_id).alias("batch_id")
+
+    def write(df, rel):
+        (
+            df.select("*", tag)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", overwrite_mode)
+            .partitionBy("batch_id")
+            .parquet(f"{index_dir}/{rel}")
         )
-        sh.select("id", shingle_hash().alias("g")).write.mode("overwrite").parquet(
-            f"{index_dir}/postings"
-        )
-        sh.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/sizes")
+
+    sigs = minhash_signatures(sh, num_hashes)
+    write(lsh_bands(sigs, rows_per_band), "bands")
+    write(sh.select("id", shingle_hash().alias("g")), "postings")
+    write(sh.groupBy("id").agg(F.count("*").alias("sz")), "sizes")
+
+
+def dedup_index_append(
+    docs: DataFrame,
+    index_dir: str,
+    batch_id: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> None:
+    """Index MAINTENANCE: add an accepted ingest batch to an existing
+    :func:`build_dedup_index` artifact so later batches dedup against
+    it too — the growing-corpus half of streaming ingestion. The batch
+    lands as partition ``batch_id``; a retry overwrites only itself."""
+    sh = word_shingles(docs, n=n).persist()
+    try:
+        _write_index_batch(sh, index_dir, batch_id, num_hashes, rows_per_band,
+                           overwrite_mode="dynamic")
     finally:
         sh.unpersist()
 
