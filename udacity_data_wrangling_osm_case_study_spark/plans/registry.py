@@ -57,6 +57,7 @@ _VERIFY_FIRST = (
     "subword_vocab",
     "orders_column_profile",
     "training_batch_manifest",
+    "trending_event_types",
     "chunk_dedup_docs",
     "source_overlap_matrix",
     "unigram_surprisal",

@@ -526,3 +526,54 @@ def approx_event_value_p95(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "trending_event_types",
+    """
+    WITH w AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch
+        FROM events
+    ),
+    counts AS (
+        SELECT window_start_epoch, event_type, COUNT(*) AS n
+        FROM w GROUP BY window_start_epoch, event_type
+    ),
+    ranked AS (
+        SELECT window_start_epoch, event_type, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY window_start_epoch
+                   ORDER BY n DESC, event_type
+               ) AS rank
+        FROM counts
+    )
+    SELECT window_start_epoch, rank, event_type, n
+    FROM ranked WHERE rank <= 3
+    ORDER BY window_start_epoch, rank
+    """,
+)
+def trending_event_types(spark, sf_dir):
+    """Trending dashboard: the top-3 event types of every 10-minute
+    window — windowed aggregation feeding a per-window rank. The rank
+    window rides the SAME partitioning the aggregation produced
+    (window start), so the second stage adds no extra shuffle of the
+    event stream; ties break on the type name for a deterministic
+    cut. The streaming twin is the same aggregation with a watermark
+    and the rank in a foreachBatch."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    rank_w = Window.partitionBy("w").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "rank",
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start_epoch", "rank")
+    )
