@@ -6,6 +6,7 @@ reference's three scripts (parse_clean_and_csv.py, the two audits).
     python -m udacity_data_wrangling_osm_case_study_spark audit-names --osm ... --psi ...
     python -m udacity_data_wrangling_osm_case_study_spark audit-phones --osm ...
     python -m udacity_data_wrangling_osm_case_study_spark explore --osm ... --psi ...
+    python -m udacity_data_wrangling_osm_case_study_spark corpus [--sf-dir DIR] [--query name ...]
 """
 
 from __future__ import annotations
@@ -62,6 +63,22 @@ def _explore(args) -> None:
         spark.sql(sql).show(20, truncate=False)
 
 
+def _corpus(args) -> None:
+    """Training-data side: run the curation funnel and, optionally, any
+    registered query by name against a testdata directory."""
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+    spark = get_spark(app_name="osmspark-corpus")
+    queries, _ = registry.load_all()
+    names = args.query or ["corpus_curation_funnel", "training_batch_manifest"]
+    for name in names:
+        if name not in queries:
+            print(f"unknown query: {name} (see COVERAGE.md for the registry)")
+            continue
+        print(f"\n-- {name}")
+        queries[name](spark, args.sf_dir).show(args.limit, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="osmspark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -88,6 +105,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--osm", required=True)
     p.add_argument("--psi", required=True)
     p.set_defaults(fn=_explore)
+
+    p = sub.add_parser(
+        "corpus", help="run training-data queries (default: curation funnel)"
+    )
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--query", nargs="*", help="registered query names")
+    p.add_argument("--limit", type=int, default=25)
+    p.set_defaults(fn=_corpus)
 
     args = parser.parse_args(argv)
     args.fn(args)
