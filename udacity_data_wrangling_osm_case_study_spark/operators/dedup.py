@@ -263,9 +263,6 @@ def jaccard_pairs(
     )
 
 
-_SHINGLE_HASH = "conv(substring(md5(shingle), 1, 15), 16, 10)"
-
-
 def shingle_hash(col_name: str = "shingle"):
     """60-bit integer surrogate of a shingle string (join-key form)."""
     return F.conv(F.substring(F.md5(col_name), 1, 15), 16, 10).cast("long")
@@ -307,6 +304,37 @@ def build_dedup_index(
                            overwrite_mode="static")
     finally:
         sh.unpersist()
+    # Persist the build configuration beside the relations: appends and
+    # probes MUST use the same shingling/banding parameters or the
+    # index partitions become mutually inconsistent (asymmetric
+    # postings corrupt Jaccard; mismatched bands miss candidates).
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "num_hashes": num_hashes,
+                "rows_per_band": rows_per_band,
+                "n": n,
+                "max_shingle_df": max_shingle_df,
+            },
+            f,
+        )
+
+
+def read_index_meta(index_dir: str) -> dict:
+    """Load the build configuration persisted by :func:`build_dedup_index`
+    (empty dict for pre-manifest indexes — callers fall back to their
+    own defaults, matching the old behavior)."""
+    import json
+    import os
+
+    path = os.path.join(index_dir, "meta.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
 
 
 def _write_index_batch(
@@ -342,18 +370,32 @@ def dedup_index_append(
     docs: DataFrame,
     index_dir: str,
     batch_id: str,
-    num_hashes: int = 8,
-    rows_per_band: int = 2,
-    n: int = 3,
 ) -> None:
     """Index MAINTENANCE: add an accepted ingest batch to an existing
     :func:`build_dedup_index` artifact so later batches dedup against
     it too — the growing-corpus half of streaming ingestion. The batch
-    lands as partition ``batch_id``; a retry overwrites only itself."""
-    sh = word_shingles(docs, n=n).persist()
+    lands as partition ``batch_id``; a retry overwrites only itself.
+
+    Shingling/banding parameters (incl. the ``max_shingle_df`` skew
+    cap) come from the index's own persisted manifest — an append can
+    never drift from the base build's configuration, which would make
+    partitions mutually inconsistent (asymmetric postings corrupt the
+    probe's Jaccard; mismatched bands silently miss candidates)."""
+    meta = read_index_meta(index_dir)
+    sh = word_shingles(
+        docs,
+        n=meta.get("n", 3),
+        max_shingle_df=meta.get("max_shingle_df"),
+    ).persist()
     try:
-        _write_index_batch(sh, index_dir, batch_id, num_hashes, rows_per_band,
-                           overwrite_mode="dynamic")
+        _write_index_batch(
+            sh,
+            index_dir,
+            batch_id,
+            meta.get("num_hashes", 8),
+            meta.get("rows_per_band", 2),
+            overwrite_mode="dynamic",
+        )
     finally:
         sh.unpersist()
 
@@ -361,10 +403,11 @@ def dedup_index_append(
 def incremental_near_dupes(
     new_docs: DataFrame,
     index_dir: str,
-    num_hashes: int = 8,
-    rows_per_band: int = 2,
-    n: int = 3,
+    num_hashes: int | None = None,
+    rows_per_band: int | None = None,
+    n: int | None = None,
     min_jaccard: float = 0.5,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (new_id, index_id, jaccard) between an ingest
     batch and a :func:`build_dedup_index` artifact.
@@ -375,8 +418,24 @@ def incremental_near_dupes(
     of candidate docs (semi-join restriction before the posting join) —
     so probe cost scales with the batch and its bucket overlap, never
     with the corpus.
+
+    ``materialize=True`` eagerly localCheckpoints the result and drops
+    the two internal caches before returning — REQUIRED for callers
+    that probe repeatedly in one session (the intake stream calls this
+    every micro-batch; leaked caches would accumulate in executor
+    storage for the stream's lifetime). The default keeps the plan
+    lazy/inspectable; its caches live until the next catalog clear.
     """
     spark = new_docs.sparkSession
+    # Probe parameters default to the index's persisted build config —
+    # shingling the batch differently than the corpus was shingled
+    # would silently miss candidates / skew Jaccard.
+    meta = read_index_meta(index_dir)
+    num_hashes = num_hashes if num_hashes is not None else meta.get("num_hashes", 8)
+    rows_per_band = (
+        rows_per_band if rows_per_band is not None else meta.get("rows_per_band", 2)
+    )
+    n = n if n is not None else meta.get("n", 3)
     sh_new = word_shingles(new_docs, n=n).persist()
     sigs = minhash_signatures(sh_new, num_hashes)
     bands_new = lsh_bands(sigs, rows_per_band)
@@ -427,6 +486,11 @@ def incremental_near_dupes(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("new_id", "index_id", "jaccard")
     )
+    if materialize:
+        out = scored.localCheckpoint(eager=True)
+        sh_new.unpersist()
+        cand.unpersist()
+        return out
     return scored
 
 
@@ -861,7 +925,9 @@ def segment_dedup(
 
     Per document returns ``(id, n_segments, n_kept, clean_hash)``
     where ``clean_hash`` fingerprints the document reassembled from
-    its surviving segments in original order.
+    its surviving segments in original order. Ids must be
+    non-negative (the first-occurrence key is a zero-padded decimal
+    encoding).
 
     Scale shape: segmentation is row-local (one explode); the global
     first-occurrence choice is ONE shuffle on the 16-byte segment
@@ -876,9 +942,17 @@ def segment_dedup(
     ).withColumn(
         # One sortable scalar (doc, segment) key: min() is then a plain
         # map-side-combinable aggregate in both engines (struct-min is
-        # not portable to the oracle).
+        # not portable to the oracle). Zero-padded decimal, so string
+        # order == (id, seg_idx) order with NO overflow or collision
+        # for any non-negative int64 id / any segment count — an
+        # arithmetic id*K+idx encoding silently wraps for large ids
+        # and collides for docs with >= K segments.
         "enc",
-        F.col("id") * 1_000_000 + F.col("seg_idx"),
+        F.concat(
+            F.lpad(F.col("id").cast("string"), 19, "0"),
+            F.lit(":"),
+            F.lpad(F.col("seg_idx").cast("string"), 10, "0"),
+        ),
     )
     keepers = exploded.groupBy("seg_hash").agg(F.min("enc").alias("keeper_enc"))
     flagged = exploded.join(keepers, "seg_hash").withColumn(

@@ -264,10 +264,20 @@ def lloyd_step(
     per_dim = comps.groupBy("cell", "pos").agg(
         F.round(F.sum("x") / F.count("*"), round_dp).alias("m")
     )
-    return per_dim.groupBy("cell").agg(
+    updated = per_dim.groupBy("cell").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
         ).alias("centroid")
+    )
+    # A cell that captured zero vectors has no group above and would
+    # silently VANISH — every later iteration (and the final quantizer)
+    # would run with k-1 cells. Keep the empty cell's previous centroid
+    # instead (standard empty-cluster handling; both frames are k rows,
+    # so the outer join is broadcast-sized).
+    return (
+        centroids.select("cell", F.col("centroid").alias("_prev"))
+        .join(updated, "cell", "left")
+        .select("cell", F.coalesce("centroid", "_prev").alias("centroid"))
     )
 
 
@@ -308,7 +318,12 @@ def pq_subvectors(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, s, sv): each vector split into ``m`` equal subvectors —
-    one explode, row-local."""
+    one explode, row-local.
+
+    PRECONDITION (as in Faiss PQ): the vector dimension must be
+    divisible by ``m`` — the slice width is ``size(v) DIV m``, so a
+    remainder would silently leave the trailing ``size(v) % m``
+    dimensions out of every codeword and distance."""
     v = as_double_vec(F.col(vec_col))
     base = df.select(F.col(id_col).alias("id"), v.alias("v"))
     subs = F.array(
@@ -337,12 +352,21 @@ def pq_codebooks(
     """Deterministic PQ codebooks: subspace ``s``'s codewords are the
     subvectors of the ``ksub`` lowest-id vectors (reproducible seeding,
     as in :func:`train_quantizer` — a production build runs Lloyd
-    iterations per subspace on these seeds). Output (s, cw, csv),
-    ksub × m rows — always broadcast-sized."""
+    iterations per subspace on these seeds). Codewords are densely
+    numbered 0..ksub-1 by id rank, NOT by raw id — seeding works for
+    any id space (1-based, offset, sparse), not just ids 0..ksub-1.
+    Output (s, cw, csv), ksub × m rows — always broadcast-sized."""
+    seeds = (
+        df.select(F.col(id_col).alias("id"))
+        .orderBy("id")
+        .limit(ksub)
+        # ksub rows: the rank window is bounded, never corpus-sized.
+        .withColumn("cw", F.row_number().over(Window.orderBy("id")) - 1)
+    )
     return (
         pq_subvectors(df, m, id_col, vec_col)
-        .filter(F.col("id") < ksub)
-        .select(F.col("s"), F.col("id").alias("cw"), F.col("sv").alias("csv"))
+        .join(F.broadcast(seeds), "id")
+        .select(F.col("s"), F.col("cw"), F.col("sv").alias("csv"))
     )
 
 

@@ -526,7 +526,8 @@ def embedding_near_dupes_arrow(spark, sf_dir):
     ),
     e AS (
         SELECT doc_id, c.idx AS idx, c.txt AS txt, md5(c.txt) AS h,
-               doc_id * 1000000 + c.idx AS enc
+               lpad(CAST(doc_id AS VARCHAR), 19, '0') || ':'
+                   || lpad(CAST(c.idx AS VARCHAR), 10, '0') AS enc
         FROM chunks
     ),
     k AS (SELECT h, MIN(enc) AS keeper FROM e GROUP BY h),

@@ -479,17 +479,17 @@ def approx_distinct_users(spark, sf_dir):
     the constant-memory cardinality path for 100 TB groupBys. HLL
     sketch values differ across engines by construction, so the hashed
     output carries the exact count plus a deterministic ``within_2pct``
-    verdict on the estimate (rsd=0.02: measured relative error is 0%
-    at sf0.01 — sparse/exact HLL mode — and 0.40% at sf0.1, a 5×
-    margin inside the band; rsd=0.01 doubled the register file for
-    precision the band never uses, and HLL cost scales with register
-    count — measured 2.3× slower); the oracle asserts the verdict
-    must be TRUE."""
+    verdict on the estimate; the oracle asserts the verdict must be
+    TRUE. rsd=0.01 keeps the estimator's standard error at HALF the
+    asserted band — rsd=0.02 was ~2.3× faster but its 1-sigma error
+    EQUALS the band, so a regenerated testdata set could land outside
+    it and fail the attestation (error is deterministic per dataset
+    but varies across datasets)."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
         .select(

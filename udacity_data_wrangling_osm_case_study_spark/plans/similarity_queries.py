@@ -123,7 +123,11 @@ def kmeans_step(spark, sf_dir):
                v[CAST(t.s AS INT) * 16 + 1 : CAST(t.s AS INT) * 16 + 16] AS sv
         FROM v, range(0, 4) t(s)
     ),
-    cb AS (SELECT s, id AS cw, sv AS csv FROM sub WHERE id < 8),
+    seeds AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cw
+        FROM (SELECT DISTINCT vec_id AS id FROM embeddings ORDER BY id LIMIT 8)
+    ),
+    cb AS (SELECT sub.s, seeds.cw, sub.sv AS csv FROM sub JOIN seeds USING (id)),
     scored AS (
         SELECT sub.id, sub.s, cb.cw,
                CAST(ROUND(list_reduce(

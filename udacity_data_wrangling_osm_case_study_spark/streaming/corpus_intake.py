@@ -86,7 +86,10 @@ def intake_batch(
         .cache()
     )
     matches = dedup.incremental_near_dupes(
-        gated.select("doc_id", "text"), index_dir, min_jaccard=min_jaccard
+        gated.select("doc_id", "text"), index_dir, min_jaccard=min_jaccard,
+        # one probe per micro-batch for the stream's lifetime: drop the
+        # probe's internal caches as soon as the result is materialized
+        materialize=True,
     )
     accepted = gated.join(
         matches.select(F.col("new_id").alias("doc_id")).distinct(),
