@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted only for genuinely
-    non-SQL-expressible ops, e.g. the mapInPandas feature extractor)."""
+    """DuckDB-equivalent SQL per query — every registered query has
+    one (binary/approximate pipelines are value-checked via hex
+    arithmetic / tolerance-verdict columns)."""
     return dict(_registry()[1])
