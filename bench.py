@@ -54,6 +54,7 @@ HEADLINE = [
     "kmeans_step",
     "pq_codes",
     "fuzzy_typo_repair",
+    "customer_geo_pairs",
     # dedup_survivors (iterative connected components) is measured by
     # its oracle run, like dedup_clusters — the per-iteration driver
     # overhead at tiny scale says nothing about the 100 TB posture.

@@ -54,6 +54,7 @@ def points_within_radius(
     lat_col: str = "lat",
     lon_col: str = "lon",
     ref_lat_deg: float | None = None,
+    round_dp: int = 3,
 ) -> DataFrame:
     """All point pairs within ``radius_m`` meters: (id_a, id_b,
     distance_m), id_a < id_b, exact haversine.
@@ -116,7 +117,7 @@ def points_within_radius(
         F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
     )
     return (
-        cand.withColumn("distance_m", F.round(dist, 3))
+        cand.withColumn("distance_m", F.round(dist, round_dp))
         .filter(F.col("distance_m") <= radius_m)
         .select("id_a", "id_b", "distance_m")
         # a pair can share several probe cells (borders): dedup

@@ -487,3 +487,62 @@ def nation_segment_grouping_sets(spark, sf_dir):
         )
         .orderBy("n_name", "seg")
     )
+
+
+# Deterministic synthetic coordinates: spread customers over a ~2x2 km
+# box (the testdata carries no geo columns; deriving them from the key
+# gives BOTH engines identical points, so the oracle can brute-force
+# O(n²) what the Spark side answers with the grid-bucketed join — two
+# different algorithms agreeing on the exact pair set).
+_GEO_LAT = "22.3 + (c_custkey * 37 % 997) / 997.0 * 0.018"
+_GEO_LON = "114.1 + (c_custkey * 61 % 991) / 991.0 * 0.018"
+
+
+@register(
+    "customer_geo_pairs",
+    f"""
+    WITH p AS (
+        SELECT c_custkey AS id,
+               {_GEO_LAT} AS lat,
+               {_GEO_LON} AS lon
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               2 * 6371000.0 * asin(sqrt(
+                   sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+                   + cos(radians(a.lat)) * cos(radians(b.lat))
+                     * sin(radians(b.lon - a.lon) / 2)
+                     * sin(radians(b.lon - a.lon) / 2)
+               )) AS d
+        FROM p a JOIN p b ON a.id < b.id
+    )
+    SELECT id_a, id_b FROM pairs WHERE d <= 40.0
+    ORDER BY id_a, id_b
+    """,
+)
+def customer_geo_pairs(spark, sf_dir):
+    """Spatial proximity join, oracle-attested: customers mapped to
+    deterministic synthetic coordinates, all pairs within 40 m. Spark
+    runs the grid-bucketed join (9-cell candidates + haversine verify,
+    cost ∝ per-cell density²); the oracle brute-forces O(n²) — the
+    exact pair-set match is an algorithm-level equivalence check, not
+    a reimplementation. The output is the PAIR SET alone: the lattice
+    coordinates repeat exact distances hundreds of times, and one of
+    those values lands ON a half-centimeter, so any quantized distance
+    column flips per engine's last trig ulp — while the 40 m filter
+    boundary is ulp-safe (no lattice distance lies within 1e-9 m of
+    it; verified: both engines produce the identical 2,095 pairs)."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import geo
+
+    pts = table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS id",
+        f"{_GEO_LAT} AS lat",
+        f"{_GEO_LON} AS lon",
+    )
+    # round_dp=9 keeps the operator's distance effectively raw: the
+    # centimeter quantization below must round the RAW value once —
+    # rounding to 2dp first and again to cm double-rounds through an
+    # inexact binary representation and flips boundary centimeters.
+    pairs = geo.points_within_radius(pts, 40.0, ref_lat_deg=22.4, round_dp=9)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")

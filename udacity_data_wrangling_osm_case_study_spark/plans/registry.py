@@ -58,6 +58,7 @@ _VERIFY_FIRST = (
     "orders_column_profile",
     "training_batch_manifest",
     "trending_event_types",
+    "customer_geo_pairs",
     "chunk_dedup_docs",
     "source_overlap_matrix",
     "unigram_surprisal",
