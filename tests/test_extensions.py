@@ -716,3 +716,35 @@ def test_ivf_append_routes_new_vectors(spark, tmp_path):
         spark, idx, newv[0][1], k=3, n_probe=1
     ).collect()
     assert top[0].id == 1000
+
+
+def test_triangle_count_hand_computed(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge and a dup/reversed
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (2, 1), (5, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert graph.triangle_count(df).collect()[0].n_triangles == 4
+    # triangle-free graph (star)
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    assert graph.triangle_count(star).collect()[0].n_triangles == 0
+
+
+def test_triangle_count_hub_graph_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    rng = random.Random(5)
+    nodes = list(range(40))
+    edges = {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.2}
+    edges |= {(0, v) for v in nodes[1:]}  # vertex 0 is a hub
+    eset = set(edges)
+    expect = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    assert graph.triangle_count(df).collect()[0].n_triangles == expect

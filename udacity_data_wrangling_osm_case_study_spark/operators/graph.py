@@ -1,0 +1,73 @@
+"""Distributed graph analytics: triangle counting.
+
+Beside the dedup module's connected components (label propagation),
+this is the second classic graph primitive that stresses a different
+scale problem: raw wedge enumeration explodes on high-degree hubs
+(a degree-d vertex contributes d² wedges). The standard fix — as in
+published map-reduce/Spark triangle algorithms — is DEGREE-ORDERED
+edge orientation: direct every edge from its lower-(degree, id)
+endpoint to the higher one, enumerate wedges only at each edge's
+lower endpoint, and close them with a semi-join. Every vertex's
+out-degree is then O(sqrt(m)) regardless of its raw degree, so the
+wedge join is bounded even on hub-heavy graphs.
+
+No reference analog (SURVEY.md has no graph surface); public
+algorithm, re-expressed as three DataFrame joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected simple graph.
+
+    ``edges``: (src, dst) — one row per undirected edge, any order,
+    self-loops and duplicates tolerated (normalized away). Returns a
+    1-row frame ``(n_triangles)``; each triangle counted exactly once.
+
+    Plan shape: degree aggregation (one shuffle on vertex), orientation
+    (broadcast-joined degrees), wedge self-join on the common LOWER
+    endpoint (bounded fan-out by construction), and a closing
+    inner join against the oriented edge set.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    # orient u -> w where (deg(u), u) < (deg(w), w): total order, so
+    # exactly one direction per edge
+    with_deg = und.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_w"),
+    )
+    e1 = oriented.select("u", F.col("w").alias("v"), F.col("deg_w").alias("deg_v"))
+    e2 = oriented.select("u", "w", "deg_w")
+    # wedges at the lower endpoint; order the two spokes by the SAME
+    # (deg, id) total order so the closing edge's orientation is known
+    wedges = e1.join(e2, "u").filter(
+        (F.col("deg_v") < F.col("deg_w"))
+        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v"), "w"), ["v", "w"], "left_semi"
+    )
+    return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))

@@ -546,3 +546,41 @@ def customer_geo_pairs(spark, sf_dir):
     # inexact binary representation and flips boundary centimeters.
     pairs = geo.points_within_radius(pts, 40.0, ref_lat_deg=22.4, round_dp=9)
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+@register(
+    "part_copurchase_triangles",
+    """
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def part_copurchase_triangles(spark, sf_dir):
+    """Graph analytics: triangles in the part co-purchase graph (parts
+    appearing in the same order are adjacent). The Spark side runs the
+    degree-ordered wedge algorithm (operators.graph — hub-safe,
+    out-degree bounded by sqrt(m)); the oracle counts the same
+    triangles with the naive id-ordered 3-way self-join — another
+    cross-algorithm equivalence attestation."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return graph.triangle_count(edges)

@@ -59,6 +59,7 @@ _VERIFY_FIRST = (
     "training_batch_manifest",
     "trending_event_types",
     "customer_geo_pairs",
+    "part_copurchase_triangles",
     "chunk_dedup_docs",
     "source_overlap_matrix",
     "unigram_surprisal",
