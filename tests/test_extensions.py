@@ -748,3 +748,29 @@ def test_triangle_count_hub_graph_matches_bruteforce(spark):
     )
     df = spark.createDataFrame(sorted(edges), ["src", "dst"])
     assert graph.triangle_count(df).collect()[0].n_triangles == expect
+
+
+def test_ivf_append_retry_idempotent(spark, tmp_path):
+    """Replaying an ivf_append with the same batch_id must leave the
+    vector store byte-identical (dynamic overwrite of own partitions)."""
+    dim = 8
+    base = [
+        (i, [1.0 if d == (i % 4) else 0.0 for d in range(dim)], i % 4)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(base, ["vec_id", "embedding", "label"])
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(df, idx)
+    newv = spark.createDataFrame(
+        [(500, [0.0, 0.0, 1.0] + [0.0] * (dim - 3), -1)],
+        ["vec_id", "embedding", "label"],
+    )
+    similarity.ivf_append(spark, newv, idx, batch_id="b1")
+    first = sorted(
+        (r.id, r.cell) for r in spark.read.parquet(f"{idx}/vectors").collect()
+    )
+    similarity.ivf_append(spark, newv, idx, batch_id="b1")  # retry
+    again = sorted(
+        (r.id, r.cell) for r in spark.read.parquet(f"{idx}/vectors").collect()
+    )
+    assert again == first and (500, 2) in {(i, c) for i, c in first}

@@ -125,9 +125,14 @@ def build_ivf_index(
             F.col(cell_col).alias("cell"),
             F.col(id_col).alias("id"),
             as_double_vec(F.col(vec_col)).alias("v"),
+            F.lit("base").alias("batch_id"),
         )
         .write.mode("overwrite")
-        .partitionBy("cell")
+        # cell first: probes prune on the leading partition level;
+        # batch_id nesting gives ivf_append retry idempotence (a
+        # retried batch dynamically overwrites only its own
+        # (cell, batch) partitions).
+        .partitionBy("cell", "batch_id")
         .parquet(f"{index_dir}/vectors")
     )
 
@@ -543,6 +548,7 @@ def ivf_append(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: str = "append",
 ) -> None:
     """Index MAINTENANCE: route new vectors into an existing IVF index
     without rebuilding it.
@@ -550,8 +556,11 @@ def ivf_append(
     New arrivals are assigned to their nearest EXISTING centroid
     (broadcast quantizer + deterministic quantized-cosine argmax — the
     same rule queries use to pick probe cells) and appended into the
-    cell-partitioned vector store (dynamic-partition parquet append:
-    only the touched cells gain files). Queries see the new vectors
+    cell-partitioned vector store as its own ``batch_id`` partitions
+    nested under each cell (only the touched cells gain files, and a
+    RETRIED batch dynamically overwrites exactly its own partitions —
+    idempotent under at-least-once drivers, mirroring
+    ``dedup.dedup_index_append``). Queries see the new vectors
     immediately through the same partition-pruned scan; no full-corpus
     shuffle, no centroid retrain. Retrain (``build_ivf_index``) is the
     periodic compaction step once drift accumulates — the same
@@ -564,8 +573,9 @@ def ivf_append(
     )
     (
         vecs.join(assigned.select("id", "cell"), "id")
-        .select("cell", "id", "v")
-        .write.mode("append")
-        .partitionBy("cell")
+        .select("cell", "id", "v", F.lit(batch_id).alias("batch_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "batch_id")
         .parquet(f"{index_dir}/vectors")
     )
