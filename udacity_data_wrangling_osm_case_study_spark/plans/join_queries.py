@@ -584,3 +584,40 @@ def part_copurchase_triangles(spark, sf_dir):
         )
     )
     return graph.triangle_count(edges)
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,2))
+          * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+          > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FROM orders i WHERE i.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+)
+def orders_above_customer_avg(spark, sf_dir):
+    """Correlated scalar subqueries: orders strictly above their own
+    customer's average order value — written as TWO correlated
+    subqueries (count and sum) that Catalyst decorrelates into
+    aggregate+join (no per-row re-execution; the optimized plan has no
+    subquery nodes). The predicate is ``price × count > sum`` on exact
+    decimals, so the comparison is integer-exact in both engines —
+    dividing to a float average would put boundary rows at the mercy
+    of rounding."""
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_corr_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders_corr_v o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM orders_corr_v i
+                 WHERE i.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FROM orders_corr_v i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )

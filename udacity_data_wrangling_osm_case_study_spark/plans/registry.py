@@ -60,6 +60,7 @@ _VERIFY_FIRST = (
     "trending_event_types",
     "customer_geo_pairs",
     "part_copurchase_triangles",
+    "orders_above_customer_avg",
     "chunk_dedup_docs",
     "source_overlap_matrix",
     "unigram_surprisal",
