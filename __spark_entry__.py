@@ -26,9 +26,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return queries["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _fresh_cache(fn: Callable[[SparkSession, str], DataFrame]):
+    """Start each driver query from a clean cache.
+
+    Several registered queries cache shared intermediate frames
+    (shingles, candidate pairs, canonical tag unions) that stay
+    referenced for the life of the session; a harness that runs all
+    ~100 queries in one session would otherwise accumulate every dead
+    cache and trade executor memory for GC pressure. bench.py clears
+    between queries itself (keeping its intentional warm second run);
+    this wrapper gives the correctness harness the same hygiene.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_registry()[0])
+    return {name: _fresh_cache(fn) for name, fn in _registry()[0].items()}
 
 
 def oracle_sql() -> dict[str, str]:
