@@ -774,3 +774,74 @@ def test_ivf_append_retry_idempotent(spark, tmp_path):
         (r.id, r.cell) for r in spark.read.parquet(f"{idx}/vectors").collect()
     )
     assert again == first and (500, 2) in {(i, c) for i, c in first}
+
+
+def test_semantic_dedup_drops_within_cell_neighbor(spark):
+    # Two orthogonal cells; ids 10/11 are near-identical in cell 0's
+    # direction, 20 sits alone in cell 1's. Keeper = lowest id.
+    # Seeds are corpus members too (cos(seed, member) ≈ .98 < thresh);
+    # only the planted 10/11 pair clears the 0.995 bar.
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),    # seed / centroid for cell 0
+        (1, [0.0, 1.0, 0.0]),    # seed / centroid for cell 1
+        (10, [10.0, 2.0, 0.0]),
+        (11, [10.0, 2.01, 0.0]),  # cos to 10 ≈ 1 → dropped
+        (20, [2.0, 8.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    seeds = df.filter("vec_id < 2").selectExpr(
+        "vec_id AS cell", "transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid"
+    )
+    out = {r.id: (r.cell, r.kept) for r in dedup.semantic_dedup(df, seeds, threshold_bp=9950).collect()}
+    assert out[10] == (0, 1)
+    assert out[11] == (0, 0)   # near-dup of a smaller id in the same cell
+    assert out[20][1] == 1     # alone in its cell
+    # seeds assign to themselves and survive
+    assert out[0] == (0, 1) and out[1] == (1, 1)
+
+
+def test_semantic_dedup_never_crosses_cells(spark):
+    # Identical vectors that quantize into DIFFERENT cells must both
+    # survive — SemDeDup prunes within cells only.
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (10, [1.0, 0.9]),   # cell 0 (cos .743 vs .669)
+        (11, [0.9, 1.0]),   # cell 1 — same direction-ish, other cell
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    seeds = df.filter("vec_id < 2").selectExpr(
+        "vec_id AS cell", "transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid"
+    )
+    out = {r.id: r.kept for r in dedup.semantic_dedup(df, seeds, threshold_bp=9000).collect()}
+    assert out[10] == 1 and out[11] == 1
+
+
+def test_sq_encode_grid_endpoints(spark):
+    # min maps to 0, max to 255, midpoint to 128 (round-half-up);
+    # a constant dimension maps to 0.
+    vecs = [
+        (1, [0.0, 5.0, 7.0]),
+        (2, [10.0, 5.0, 3.0]),
+        (3, [5.0, 5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    stats = similarity.sq_minmax(df)
+    codes = {r.id: r.codes for r in similarity.sq_encode(df, stats).collect()}
+    assert codes[1] == [0, 0, 255]    # dim0 min, dim1 constant, dim2 max
+    assert codes[2] == [255, 0, 0]
+    assert codes[3] == [128, 0, 128]  # (5-0)/10*255 = 127.5 → 128
+
+
+def test_cms_estimate_dominates_exact(spark):
+    # CMS never underestimates; with w << distinct keys some key must
+    # collide and strictly overestimate.
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["cms_heavy_hitters"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "top-k of a non-empty events table cannot be empty"
+    assert all(r.est_n >= r.exact_n for r in rows)
+    assert all(r.overcount == r.est_n - r.exact_n for r in rows)

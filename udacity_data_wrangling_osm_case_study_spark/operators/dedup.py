@@ -1063,3 +1063,58 @@ def duplicated_span_share(
             ),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold_bp: int = 4000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-quantize the embedding space with
+    k-means cells, then prune cosine-near-duplicate pairs WITHIN each
+    cell only — the all-pairs O(n²) problem becomes k independent
+    per-cell problems sized by the quantizer.
+
+    ``centroids`` is a (cell, centroid) frame (train with
+    :func:`similarity.train_quantizer`, or pass deterministic seeds);
+    it broadcasts, so assignment is a map-only scored pass + one
+    argmax shuffle. Within-cell pairs run through the blockwise-matmul
+    Arrow path (:func:`embedding_near_duplicates_arrow`) — one BLAS
+    ``U @ U.T`` per cell. Keeper policy is lowest-id-wins: a vector is
+    dropped iff some same-cell neighbor with a smaller id clears the
+    threshold (pairs are emitted id_a < id_b, so dropped == appears as
+    id_b).
+
+    Output: ``(id, cell, kept)`` with kept ∈ {0, 1} — the per-item
+    prune verdict a curation pipeline filters on.
+
+    Scale shape: at 100 TB the quantizer's k is chosen so each cell's
+    vectors fit one executor's memory (the paper uses ~0.1% of corpus
+    size); assignment shuffles ids+cells only, and the pair stage
+    never crosses cells.
+    """
+    from udacity_data_wrangling_osm_case_study_spark.operators import similarity
+
+    assign = similarity.kmeans_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        similarity.as_double_vec(F.col(vec_col)).alias("v"),
+    ).join(assign.select("id", "cell"), "id")
+    pairs = embedding_near_duplicates_arrow(
+        vecs, threshold_bp=threshold_bp, id_col="id", vec_col="v", block_col="cell"
+    )
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct().withColumn(
+        "_dropped", F.lit(1)
+    )
+    return (
+        assign.select("id", "cell")
+        .join(dropped, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.when(F.col("_dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
+    )

@@ -579,3 +579,57 @@ def ivf_append(
         .partitionBy("cell", "batch_id")
         .parquet(f"{index_dir}/vectors")
     )
+
+
+def sq_minmax(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension global (min, max) as two aligned arrays, one row.
+
+    The training pass of scalar (int8-style) quantization. min/max are
+    order-independent aggregates — no float-association rounding is
+    needed for engine portability. Output broadcasts (2 x dim doubles).
+    """
+    comps = df.select(F.posexplode(as_double_vec(F.col(vec_col))).alias("pos", "x"))
+    per_dim = comps.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return per_dim.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("maxs"),
+    )
+
+
+def sq_encode(
+    df: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Scalar-quantize each vector to per-dimension integer codes in
+    [0, levels]: ``code_j = round((x_j - min_j) * levels / (max_j -
+    min_j))`` (a constant dimension maps to 0).
+
+    The uniform-affine compression arm beside product quantization
+    (:func:`pq_encode`): 64 float32 components shrink to 64 bytes with
+    no codebook training. The stats frame broadcasts; encoding is one
+    row-local codegen pass — at 100 TB this is a map-only rewrite of
+    the vector column. Output: ``(id, codes array<int>)``.
+    """
+    wide = df.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).crossJoin(F.broadcast(stats))
+    code = F.transform(
+        F.col("v"),
+        lambda x, i: F.when(
+            F.get(F.col("maxs"), i) == F.get(F.col("mins"), i), F.lit(0)
+        ).otherwise(
+            F.round(
+                (x - F.get(F.col("mins"), i))
+                * levels
+                / (F.get(F.col("maxs"), i) - F.get(F.col("mins"), i))
+            ).cast("int")
+        ),
+    )
+    return wide.select("id", code.alias("codes"))

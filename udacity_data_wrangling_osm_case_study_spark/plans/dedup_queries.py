@@ -638,3 +638,54 @@ def duplicated_span_share(spark, sf_dir):
     return dedup.duplicated_span_share(
         table(spark, sf_dir, "documents")
     ).orderBy("doc_id")
+
+
+@register(
+    "semantic_dedup",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell, v AS centroid FROM v WHERE vec_id < 8),
+    scored AS (
+        SELECT v.vec_id AS id, c.cell,
+               CAST(ROUND(list_dot_product(v.v, c.centroid) /
+                    (sqrt(list_dot_product(v.v, v.v))
+                     * sqrt(list_dot_product(c.centroid, c.centroid)))
+                    * 10000) AS BIGINT) AS cos_bp
+        FROM v, c
+    ),
+    best AS (
+        SELECT id, cell,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY cos_bp DESC, cell) AS rn
+        FROM scored
+    ),
+    assign AS (SELECT id, cell FROM best WHERE rn = 1),
+    e AS (SELECT a.id, a.cell, v.v FROM assign a JOIN v ON v.vec_id = a.id),
+    dropped AS (
+        SELECT DISTINCT y.id
+        FROM e x JOIN e y ON x.cell = y.cell AND x.id < y.id
+        WHERE CAST(ROUND(list_dot_product(x.v, y.v) /
+                   (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v)))
+                   * 10000) AS BIGINT) >= 4000
+    )
+    SELECT id, cell,
+           CASE WHEN id IN (SELECT id FROM dropped) THEN 0 ELSE 1 END AS kept
+    FROM assign ORDER BY id
+    """,
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cell–blocked cosine
+    near-dup pruning over embeddings — cluster with the 8 lowest-id
+    seed centroids (deterministic, same quantizer as kmeans_step),
+    then within each cell drop every vector with a smaller-id
+    neighbor at >= 0.4 cosine. The all-pairs problem shrinks to k
+    per-cell BLAS matmuls (operators.dedup.semantic_dedup)."""
+    emb = table(spark, sf_dir, "embeddings")
+    from udacity_data_wrangling_osm_case_study_spark.operators import similarity
+
+    v = similarity.as_double_vec(F.col("embedding"))
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), v.alias("centroid")
+    )
+    return dedup.semantic_dedup(emb, seeds, threshold_bp=4000).orderBy("id")

@@ -538,3 +538,77 @@ def orders_column_profile(spark, sf_dir):
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("orderdate_min"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("orderdate_max"),
     )
+
+
+@register(
+    "cms_heavy_hitters",
+    """
+    WITH h AS (
+        SELECT user_id, t.d,
+               CAST(('0x' || substr(md5('cms' || CAST(t.d AS VARCHAR) || ':'
+                                        || CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 32 AS bucket
+        FROM events, range(0, 4) t(d)
+    ),
+    counters AS (SELECT d, bucket, COUNT(*) AS c FROM h GROUP BY d, bucket),
+    exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id),
+    probes AS (SELECT DISTINCT user_id, d, bucket FROM h),
+    est AS (
+        SELECT p.user_id, MIN(c.c) AS est_n
+        FROM probes p JOIN counters c USING (d, bucket)
+        GROUP BY p.user_id
+    )
+    SELECT e.user_id AS user_id, exact_n, est_n, est_n - exact_n AS overcount
+    FROM exact e JOIN est USING (user_id)
+    ORDER BY est_n DESC, user_id LIMIT 10
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the event stream's user
+    dimension — the bounded-memory frequency sketch (Cormode &
+    Muthukrishnan 2005) with d=4 deterministic md5 hash rows x w=32
+    counters. Unlike the HLL/percentile sketches, CMS is exactly
+    reproducible from its hash functions, so the oracle recomputes the
+    identical sketch and the estimate value-matches bit-for-bit —
+    including the collision overestimates the output exposes
+    (``overcount``; est >= exact always).
+
+    Scale shape: the counter build is one groupBy over (d, bucket)
+    with map-side combine — shuffle is d*w*partitions rows no matter
+    the corpus size; the probe side joins the tiny broadcast counter
+    table. At 100 TB the sketch replaces an exact groupBy whose
+    distinct-key state would not fit."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+    D, W = 4, 32
+
+    def bucket(d_col, key):
+        h = F.md5(
+            F.concat(
+                F.lit("cms"), d_col.cast("string"), F.lit(":"), key.cast("string")
+            )
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % W
+
+    rows = F.explode(F.array(*[F.lit(i) for i in range(D)])).alias("d")
+    hashed = ev.select("user_id", rows).select(
+        "user_id", "d", bucket(F.col("d"), F.col("user_id")).alias("bucket")
+    )
+    counters = hashed.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    probes = hashed.select("user_id", "d", "bucket").distinct()
+    est = (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_n"), "user_id")
+        .limit(10)
+    )

@@ -53,6 +53,9 @@ _loaded = False
 # kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
+    "semantic_dedup",
+    "cms_heavy_hitters",
+    "sq_codes",
     "duplicated_span_share",
     "subword_vocab",
     "orders_column_profile",

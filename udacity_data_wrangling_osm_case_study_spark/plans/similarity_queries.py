@@ -429,3 +429,52 @@ def media_frame_sample(spark, sf_dir):
         F.length("frame").cast("int").alias("frame_len"),
         F.hex("frame").alias("frame_hex"),
     ).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "sq_codes",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    comps AS (
+        SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM v
+    ),
+    stats AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM comps GROUP BY pos),
+    codes AS (
+        SELECT vec_id, pos,
+               CASE WHEN mx = mn THEN 0
+                    ELSE CAST(ROUND((x - mn) * 255 / (mx - mn)) AS INT) END AS code
+        FROM comps JOIN stats USING (pos)
+    )
+    SELECT vec_id AS id,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           CAST(COUNT(CASE WHEN code = 255 THEN 1 END) AS BIGINT) AS n_saturated,
+           CAST(MAX(CASE WHEN pos = 1 THEN code END) AS INT) AS code0
+    FROM codes GROUP BY vec_id ORDER BY id
+    """,
+)
+def sq_codes(spark, sf_dir):
+    """Scalar (int8-style) quantization of the embedding column:
+    per-dimension global min/max train the affine grid
+    (operators.similarity.sq_minmax — order-independent aggregates,
+    no rounding games), then a map-only codegen pass rewrites every
+    vector to 0..255 integer codes (sq_encode). Exposed per vector:
+    code sum, saturated-code count, and the first code — all integers,
+    value-checked against DuckDB recomputing the identical grid."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    stats = similarity.sq_minmax(emb)
+    codes = similarity.sq_encode(emb, stats)
+    return (
+        codes.select(
+            "id",
+            F.aggregate(
+                "codes", F.lit(0).cast("long"), lambda a, c: a + c
+            ).alias("code_sum"),
+            F.size(F.filter("codes", lambda c: c == 255)).cast("long").alias(
+                "n_saturated"
+            ),
+            F.element_at("codes", 1).alias("code0"),
+        )
+        .orderBy("id")
+    )
