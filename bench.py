@@ -46,6 +46,7 @@ HEADLINE = [
     # blockwise-matmul path below is the production shape at scale and
     # is what the headline measures.
     "embedding_near_dupes_arrow",
+    "semantic_dedup",
     "benchmark_contamination",
     "incremental_dedup",
     "knn_bruteforce",
@@ -53,6 +54,8 @@ HEADLINE = [
     "knn_srp_lsh",
     "kmeans_step",
     "pq_codes",
+    "sq_codes",
+    "cms_heavy_hitters",
     "fuzzy_typo_repair",
     "customer_geo_pairs",
     # dedup_survivors (iterative connected components) is measured by
