@@ -64,6 +64,8 @@ HEADLINE = [
     "doc_profiles",
     "quality_classifier",
     "unigram_surprisal",
+    "bigram_surprisal",
+    "hot_ngrams",
     "subword_vocab",
     "repetition_quality",
     "pii_term_scrub",

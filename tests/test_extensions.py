@@ -845,3 +845,63 @@ def test_cms_estimate_dominates_exact(spark):
     assert rows, "top-k of a non-empty events table cannot be empty"
     assert all(r.est_n >= r.exact_n for r in rows)
     assert all(r.overcount == r.est_n - r.exact_n for r in rows)
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    # corpus bigram counts: "a b"=3, "b a"=1, "b c"=1, "m n"=9, "m o"=1
+    # prefixes: p(a)=3, p(b)=2, p(m)=10
+    docs = [(1, "a b a b"), (2, "a b c"), (3, "solo")] + [
+        (10 + i, "m n") for i in range(9)
+    ] + [(30, "m o")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textstats.bigram_surprisal(df).collect()}
+    assert 3 not in out                      # <2 tokens → no bigram
+    r1 = out[1]                              # bigrams: a b, b a, a b
+    assert r1.n_bigrams == 3
+    # s("a b") = digits(3)-digits(3) = 0; s("b a") = digits(2)-digits(1) = 0
+    assert r1.mean_cond_surprisal_centi == 0
+    assert r1.novel_bp == 1 * 10000 // 3     # only "b a" is corpus-unique
+    r10 = out[10]                            # "m n": c=9, p(m)=10
+    assert (r10.n_bigrams, r10.mean_cond_surprisal_centi, r10.novel_bp) == (
+        1, 100, 0
+    )
+    r30 = out[30]                            # "m o": c=1, p(m)=10 → s=1, novel
+    assert (r30.mean_cond_surprisal_centi, r30.novel_bp) == (100, 10000)
+
+
+def test_hot_ngrams_cross_doc_only(spark):
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+    shared = "one two three four five"
+    docs = [
+        (1, f"{shared} and some tail words"),
+        (2, f"prefix words then {shared}"),
+        (3, "entirely different text with no shared gram at all"),
+        # intra-doc repetition only — must NOT count as hot (n_docs=1)
+        (4, "rep gram here now yes rep gram here now yes"),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).createOrReplaceTempView("_hot")
+    registry.load_all()
+    # drive the operator logic directly on the frame
+    from pyspark.sql import functions as F
+
+    base = spark.table("_hot").select(
+        F.col("doc_id").alias("id"),
+        F.split(dedup.normalize_text(F.col("text")), " ").alias("toks"),
+    )
+    grams = base.filter(F.size("toks") >= 5).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda s: F.array_join(F.slice("toks", s, 5), " "),
+            )
+        ).alias("gram"),
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .collect()
+    )
+    assert {r.gram for r in hot} == {shared}

@@ -331,3 +331,62 @@ def subword_vocab(
         .orderBy(F.desc("total_count"), "gram")
         .limit(top_k)
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Conditional bigram surprisal (the next step up from
+    :func:`unigram_surprisal` toward the KenLM scoring CCNet uses):
+    each bigram ``w1 w2`` carries ``-log10(c(w1 w2) / c(w1 ·))`` — how
+    surprising the next word is given the previous one — and a
+    document's score is the bigram-weighted mean. Templated/recycled
+    text scores near zero; incoherent token soup scores high.
+
+    Same digit-count log10 scale as the unigram scorer (``digits(p) -
+    digits(c)``, exact integers in any engine). Docs with fewer than 2
+    tokens carry no bigram and are excluded (both engines).
+
+    Output per doc: ``n_bigrams``, ``mean_cond_surprisal_centi``
+    (×100, floor), ``novel_bp`` (basis points of bigram occurrences
+    whose corpus count is 1 — text seen nowhere else).
+
+    Scale shape: per-doc bigram counts first (one map-side-combinable
+    shuffle bounded by doc-distinct bigrams), corpus bigram rollup from
+    those counts, prefix rollup from the bigram rollup (both tiny
+    relative to the fact), then fact→vocab joins on the bigram and
+    prefix keys — AQE broadcasts them when small, shuffle-joins
+    otherwise. No token-level fact joins a token-level fact.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg_list = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat(
+            F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+        ),
+    )
+    bgl = base.select("id", F.explode(bg_list).alias("bg"))
+    doc_bg = bgl.groupBy("id", "bg").agg(F.count("*").alias("k"))
+    bgc = doc_bg.groupBy("bg").agg(F.sum("k").alias("c"))
+    pre = bgc.select(
+        F.split("bg", " ").getItem(0).alias("w1"), "c"
+    ).groupBy("w1").agg(F.sum("c").alias("p"))
+    digits = lambda col: F.length(col.cast("string"))  # noqa: E731
+    scored = (
+        doc_bg.join(bgc, "bg")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(pre, "w1")
+        .withColumn("s", digits(F.col("p")) - digits(F.col("c")))
+        .withColumn("novel", (F.col("c") == 1).cast("long"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.expr("sum(k * s) * 100 DIV sum(k)").alias("mean_cond_surprisal_centi"),
+            F.expr("sum(k * novel) * 10000 DIV sum(k)").alias("novel_bp"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -689,3 +689,82 @@ def semantic_dedup(spark, sf_dir):
         F.col("vec_id").alias("cell"), v.alias("centroid")
     )
     return dedup.semantic_dedup(emb, seeds, threshold_bp=4000).orderBy("id")
+
+
+@register(
+    "lsh_tuning_report",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT id, s.seed AS seed,
+               MIN(md5(CAST(s.seed AS VARCHAR) || '#' || shingle)) AS minhash
+        FROM sh, range(0, 8) s(seed) GROUP BY id, s.seed
+    ),
+    bands AS (
+        SELECT id, CAST(seed // 2 AS INT) AS band,
+               string_agg(minhash, '|' ORDER BY minhash) AS band_key
+        FROM sigs GROUP BY id, CAST(seed // 2 AS INT)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    truth AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    ),
+    m AS (
+        SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM cand) AS n_candidates,
+               (SELECT COUNT(*) FROM cand JOIN truth USING (id_a, id_b))
+                   AS n_common
+    )
+    SELECT n_truth, n_candidates, n_common,
+           CAST(n_common * 10000 // greatest(n_candidates, 1) AS BIGINT)
+               AS precision_bp,
+           CAST(n_common * 10000 // greatest(n_truth, 1) AS BIGINT)
+               AS recall_bp
+    FROM m
+    """,
+)
+def lsh_tuning_report(spark, sf_dir):
+    """The band/row tuning audit every LSH deployment runs: MinHash(8)
+    4x2 candidate pairs vs the exact-Jaccard(>=0.5) truth set —
+    candidate volume, precision (how much the verifier must discard),
+    recall (what banding missed). Elevates the test-suite recall probe
+    into a driver-attested query. Only three single-row aggregates
+    cross the plan (broadcast), never the pair sets themselves."""
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs).cache()
+    truth = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(
+        dedup.lsh_bands(sigs, rows_per_band=2)
+    ).select("id_a", "id_b")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_common = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_common")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_common",
+            F.expr("n_common * 10000 DIV greatest(n_candidates, 1)").alias(
+                "precision_bp"
+            ),
+            F.expr("n_common * 10000 DIV greatest(n_truth, 1)").alias("recall_bp"),
+        )
+    )

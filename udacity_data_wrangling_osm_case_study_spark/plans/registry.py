@@ -56,6 +56,9 @@ _VERIFY_FIRST = (
     "semantic_dedup",
     "cms_heavy_hitters",
     "sq_codes",
+    "bigram_surprisal",
+    "hot_ngrams",
+    "lsh_tuning_report",
     "duplicated_span_share",
     "subword_vocab",
     "orders_column_profile",

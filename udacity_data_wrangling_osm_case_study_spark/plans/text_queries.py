@@ -506,3 +506,95 @@ def subword_vocab(spark, sf_dir):
     over the distinct-word vocabulary weighted by word counts — the
     corpus collapses to the vocab before any substring explode."""
     return textstats.subword_vocab(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bigram_surprisal",
+    f"""
+    WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+    bgl AS (
+        SELECT id, unnest(list_transform(
+            range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM t WHERE len(toks) >= 2
+    ),
+    doc_bg AS (SELECT id, bg, COUNT(*) AS k FROM bgl GROUP BY id, bg),
+    bgc AS (SELECT bg, SUM(k) AS c FROM doc_bg GROUP BY bg),
+    pre AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c) AS p
+            FROM bgc GROUP BY 1),
+    scored AS (
+        SELECT id, k, c, p,
+               length(CAST(p AS VARCHAR)) - length(CAST(c AS VARCHAR)) AS s,
+               CASE WHEN c = 1 THEN 1 ELSE 0 END AS novel
+        FROM doc_bg
+        JOIN bgc USING (bg)
+        JOIN pre ON string_split(bg, ' ')[1] = pre.w1
+    )
+    SELECT id AS doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(k * s) * 100 // SUM(k) AS BIGINT)
+               AS mean_cond_surprisal_centi,
+           CAST(SUM(k * novel) * 10000 // SUM(k) AS BIGINT) AS novel_bp
+    FROM scored GROUP BY id ORDER BY doc_id
+    """,
+)
+def bigram_surprisal(spark, sf_dir):
+    """Conditional bigram surprisal per doc (the KenLM-direction LM
+    quality signal beside the unigram scorer): digit-count
+    -log10(c(w1 w2)/c(w1 ·)) averaged over the doc's bigrams, plus the
+    share of corpus-unique bigrams — all exact integers
+    (operators.textstats.bigram_surprisal)."""
+    return textstats.bigram_surprisal(
+        table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+@register(
+    "hot_ngrams",
+    f"""
+    WITH t AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT id, unnest(list_transform(
+            range(1, greatest(len(toks) - 4, 0) + 1),
+            i -> array_to_string(toks[i:i+4], ' '))) AS gram
+        FROM t
+    ),
+    occ AS (
+        SELECT gram, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT id) AS n_docs, MIN(id) AS first_doc
+        FROM g GROUP BY gram HAVING COUNT(DISTINCT id) >= 2
+    )
+    SELECT gram, n_occurrences, n_docs, first_doc
+    FROM occ ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 20
+    """,
+)
+def hot_ngrams(spark, sf_dir):
+    """Most-duplicated word 5-grams across the corpus (the analysis
+    table of Lee et al.'s substring-dedup paper): occurrence count,
+    document frequency, earliest doc. The boilerplate-phrase detector
+    that decides what substring dedup should target. One gram explode
+    (row-local) + one map-side-combinable groupBy + top-20; at web
+    scale the group key becomes the gram's md5 with the text kept via
+    any-value, same plan shape."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(textstats.normalize_text(F.col("text")), " ")
+    base = docs.select(F.col("doc_id").alias("id"), toks.alias("toks"))
+    grams = base.filter(F.size("toks") >= 5).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda s: F.array_join(F.slice("toks", s, 5), " "),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
+        .limit(20)
+    )
