@@ -58,6 +58,8 @@ HEADLINE = [
     "cms_heavy_hitters",
     "fuzzy_typo_repair",
     "customer_geo_pairs",
+    "part_pagerank",
+    "classifier_auc",
     # dedup_survivors (iterative connected components) is measured by
     # its oracle run, like dedup_clusters — the per-iteration driver
     # overhead at tiny scale says nothing about the 100 TB posture.

@@ -905,3 +905,49 @@ def test_hot_ngrams_cross_doc_only(spark):
         .collect()
     )
     assert {r.gram for r in hot} == {shared}
+
+
+def test_pagerank_path_graph_hand_computed(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    r1 = {r.v: r.rank_micro for r in graph.pagerank(edges, n_iter=1).collect()}
+    # degrees: 1,2 / r0 = 1e6 each
+    # r1(end) = 150000 + 85% of (1e6 div 2) = 575000
+    # r1(mid) = 150000 + 85% of (1e6 + 1e6)  = 1850000
+    assert r1 == {1: 575000, 2: 1850000, 3: 575000}
+    # more iterations keep the center on top and roughly conserve mass
+    r3 = {r.v: r.rank_micro for r in graph.pagerank(edges, n_iter=3).collect()}
+    assert r3[2] > r3[1] == r3[3]
+    assert 0.97 * 3_000_000 <= sum(r3.values()) <= 3_000_000
+
+
+def test_pagerank_star_hub_dominates(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["src", "dst"]
+    )
+    r = {x.v: x.rank_micro for x in graph.pagerank(edges, n_iter=3).collect()}
+    assert all(r[0] > r[i] for i in range(1, 6))
+    assert len({r[i] for i in range(1, 6)}) == 1  # leaves symmetric
+
+
+def test_classifier_auc_matches_bruteforce_pairs(spark):
+    """The windowed rank-sum AUC must equal the O(n²) pair count."""
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    row = registry.QUERIES["classifier_auc"](spark, sf).collect()[0]
+    scores = registry.QUERIES["quality_classifier"](spark, sf).toPandas()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").toPandas()
+    m = scores.merge(docs[["doc_id", "lang"]], on="doc_id")
+    pos = m[m.lang == "en"].score_milli.to_numpy()
+    neg = m[m.lang != "en"].score_milli.to_numpy()
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    u2 = 2 * (pos[:, None] > neg[None, :]).sum() + (
+        pos[:, None] == neg[None, :]
+    ).sum()
+    assert row.auc_bp == 10000 * int(u2) // (2 * len(pos) * len(neg))
+    assert 0 <= row.auc_bp <= 10000

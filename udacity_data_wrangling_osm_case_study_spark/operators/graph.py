@@ -71,3 +71,61 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         oriented.select(F.col("u").alias("v"), "w"), ["v", "w"], "left_semi"
     )
     return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame, n_iter: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Integer-exact PageRank over an undirected simple graph.
+
+    ``edges``: (src, dst) in any order; normalized to a symmetric
+    directed graph (so every vertex has out-degree ≥ 1 — no dangling
+    mass). Ranks are micro-units starting at 1,000,000 per vertex;
+    each iteration is
+
+        r'(v) = (1 - d)·1e6  +  (d_pct · Σ_{u→v} r(u) div outdeg(u)) div 100
+
+    — all BIGINT arithmetic (div = integer division), so the result is
+    bit-identical in any engine: no float summation order, no libm.
+    The standard float formulation differs only by sub-micro rounding.
+
+    Plan shape per iteration: one broadcast-or-shuffle join of the
+    edge list with the (vertex, rank) frame and one groupBy(dst) with
+    map-side combine — the classic Pregel superstep as two relational
+    ops. ``n_iter`` is small and fixed (ranks stabilize geometrically;
+    3-5 suffices for ordering), so the lineage stays shallow — for
+    long chains, localCheckpoint per round like
+    ``dedup.connected_components``.
+
+    Returns (v, rank_micro).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    outdeg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = F.lit((100 - damping_pct) * 10_000).cast("long")
+    ranks = outdeg.select(
+        F.col("src").alias("v"), F.lit(1_000_000).cast("long").alias("r")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("v", "src"), "src")
+            .select("dst", F.expr("r DIV outdeg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("v"),
+                (base + F.expr(f"{damping_pct} * s DIV 100")).alias("r"),
+            )
+        )
+    return ranks.select("v", F.col("r").alias("rank_micro"))

@@ -621,3 +621,49 @@ def orders_above_customer_avg(spark, sf_dir):
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "part_pagerank",
+    """
+    WITH und AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    e AS (SELECT a AS src, b AS dst FROM und
+          UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
+    r1 AS (SELECT e.dst AS v, 150000 + 85 * SUM(r0.r // deg.outdeg) // 100 AS r
+           FROM e JOIN deg USING (src) JOIN r0 ON r0.v = e.src GROUP BY e.dst),
+    r2 AS (SELECT e.dst AS v, 150000 + 85 * SUM(r1.r // deg.outdeg) // 100 AS r
+           FROM e JOIN deg USING (src) JOIN r1 ON r1.v = e.src GROUP BY e.dst),
+    r3 AS (SELECT e.dst AS v, 150000 + 85 * SUM(r2.r // deg.outdeg) // 100 AS r
+           FROM e JOIN deg USING (src) JOIN r2 ON r2.v = e.src GROUP BY e.dst)
+    SELECT v AS part, CAST(r AS BIGINT) AS rank_micro
+    FROM r3 ORDER BY rank_micro DESC, part LIMIT 20
+    """,
+)
+def part_pagerank(spark, sf_dir):
+    """Iterative graph centrality: 3 integer-exact PageRank supersteps
+    over the part co-purchase graph (operators.graph.pagerank — each
+    superstep is one edge→rank join + one map-side-combinable groupBy;
+    micro-unit integer arithmetic makes the iteration engine-portable,
+    which float PageRank is not). Top-20 hub parts with id
+    tie-break."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return (
+        graph.pagerank(edges, n_iter=3)
+        .select(F.col("v").alias("part"), "rank_micro")
+        .orderBy(F.desc("rank_micro"), "part")
+        .limit(20)
+    )

@@ -59,6 +59,8 @@ _VERIFY_FIRST = (
     "bigram_surprisal",
     "hot_ngrams",
     "lsh_tuning_report",
+    "part_pagerank",
+    "classifier_auc",
     "duplicated_span_share",
     "subword_vocab",
     "orders_column_profile",

@@ -598,3 +598,86 @@ def hot_ngrams(spark, sf_dir):
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
         .limit(20)
     )
+
+
+@register(
+    "classifier_auc",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    hx AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    w AS (
+        SELECT doc_id,
+               (((CASE WHEN ascii(substr(h, 1, 1)) >= 97
+                       THEN ascii(substr(h, 1, 1)) - 87
+                       ELSE ascii(substr(h, 1, 1)) - 48 END) * 4096
+                + (CASE WHEN ascii(substr(h, 2, 1)) >= 97
+                        THEN ascii(substr(h, 2, 1)) - 87
+                        ELSE ascii(substr(h, 2, 1)) - 48 END) * 256
+                + (CASE WHEN ascii(substr(h, 3, 1)) >= 97
+                        THEN ascii(substr(h, 3, 1)) - 87
+                        ELSE ascii(substr(h, 3, 1)) - 48 END) * 16
+                + (CASE WHEN ascii(substr(h, 4, 1)) >= 97
+                        THEN ascii(substr(h, 4, 1)) - 87
+                        ELSE ascii(substr(h, 4, 1)) - 48 END)) % 2001) AS w
+        FROM hx
+    ),
+    s AS (SELECT doc_id, SUM(w) // COUNT(*) AS score FROM w GROUP BY doc_id),
+    lab AS (
+        SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y, s.score
+        FROM documents d JOIN s USING (doc_id)
+    ),
+    g AS (SELECT score, SUM(y) AS p, SUM(1 - y) AS q FROM lab GROUP BY score),
+    c AS (
+        SELECT score, p, q,
+               COALESCE(SUM(q) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cq
+        FROM g
+    ),
+    m AS (SELECT SUM(p * cq) * 2 + SUM(p * q) AS u2,
+                 SUM(p) AS n_pos, SUM(q) AS n_neg
+          FROM c)
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(10000 * u2 // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+    FROM m
+    """,
+)
+def classifier_auc(spark, sf_dir):
+    """Distributed AUC for the quality classifier against the 'is
+    English' label — the evaluation metric a filtering-model training
+    loop computes at corpus scale. Mann-Whitney rank-sum form with
+    exact tie handling, all-integer: 2U = 2·#(pos>neg) + #(ties),
+    auc_bp = 10000·2U div (2·n_pos·n_neg).
+
+    Scale shape: scores reduce to per-score (pos, neg) counts first
+    (one map-side-combinable shuffle, output bounded by the score
+    cardinality — ≤2001 milli-unit buckets by construction), so the
+    cumulative window runs over a tiny frame, never the corpus; the
+    O(n_pos·n_neg) pair space is never materialized."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scores = textstats.hashed_linear_score(docs).select("doc_id", "score_milli")
+    labeled = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+    ).join(scores, "doc_id")
+    g = labeled.groupBy("score_milli").agg(
+        F.sum("y").alias("p"), F.sum(F.lit(1) - F.col("y")).alias("q")
+    )
+    win = Window.orderBy("score_milli").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.select(
+        "p", "q", F.coalesce(F.sum("q").over(win), F.lit(0)).alias("cq")
+    )
+    return c.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("q").cast("long").alias("n_neg"),
+        (F.sum(F.col("p") * F.col("cq")) * 2 + F.sum(F.col("p") * F.col("q"))).alias(
+            "_u2"
+        ),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr("10000 * _u2 DIV (2 * n_pos * n_neg)").alias("auc_bp"),
+    )
