@@ -158,6 +158,9 @@ def test_no_cartesian_products_anywhere(spark):
         "tfidf_top_terms",    # 1-row corpus doc-count frame
         "source_temperature_mix",  # 1-row total-weight frame
         "unigram_surprisal",  # 1-row corpus token-total frame
+        "semantic_dedup",     # k-row centroid bank (kmeans_assign)
+        "sq_codes",           # 1-row per-dimension min/max grid
+        "lsh_tuning_report",  # 1-row truth/candidate/common count frames
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []
