@@ -220,29 +220,37 @@ def kmeans_assign(
     """Assign every vector to its nearest centroid by cosine:
     (id, cell, cos_bp).
 
-    The centroid frame (cell, centroid) is broadcast — k rows — so the
-    corpus side streams map-only through a k-way scored crossJoin; the
-    only shuffle is the per-vector argmax groupBy. Cosines are
-    quantized to basis points BEFORE the argmax (ties → smallest cell)
-    so the assignment is deterministic and engine-portable — a last-ulp
-    float difference can never flip it.
+    The centroid frame collapses to a ONE-ROW broadcast bank
+    (collect_list of (cell, centroid) structs) and assignment is a
+    row-local ``array_max`` argmax over the bank — ZERO shuffle. The
+    obvious alternative (k-way scored crossJoin + per-vector argmax
+    groupBy) shuffles k×n skinny rows, which at 10⁹ vectors is the
+    dominant cost of every quantizer pass; this form touches only the
+    scan. Cosines are quantized to basis points BEFORE the argmax
+    (ties → smallest cell) so the assignment is deterministic and
+    engine-portable — a last-ulp float difference can never flip it.
     """
-    v = as_double_vec(F.col(vec_col))
-    scored = df.select(
-        F.col(id_col).alias("id"), v.alias("v")
-    ).crossJoin(F.broadcast(centroids))
-    cos_bp = F.round(cosine(F.col("v"), F.col("centroid")) * 10000).cast("long")
-    best = (
-        scored.select("id", "cell", cos_bp.alias("cos_bp"))
-        .groupBy("id")
-        .agg(F.max(F.struct(F.col("cos_bp"), (-F.col("cell")).alias("nc"))).alias("m"))
-        .select(
-            "id",
-            (-F.col("m.nc")).alias("cell"),
-            F.col("m.cos_bp").alias("cos_bp"),
-        )
+    bank = centroids.groupBy().agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("bank")
     )
-    return best
+    v = as_double_vec(F.col(vec_col))
+    wide = df.select(F.col(id_col).alias("id"), v.alias("v")).crossJoin(
+        F.broadcast(bank)
+    )
+    scored = F.transform(
+        F.col("bank"),
+        lambda c: F.struct(
+            F.round(cosine(F.col("v"), c["centroid"]) * 10000)
+            .cast("long")
+            .alias("cos_bp"),
+            (-c["cell"]).alias("nc"),
+        ),
+    )
+    return wide.select("id", F.array_max(scored).alias("m")).select(
+        "id",
+        (-F.col("m.nc")).alias("cell"),
+        F.col("m.cos_bp").alias("cos_bp"),
+    )
 
 
 def lloyd_step(
