@@ -951,3 +951,53 @@ def test_classifier_auc_matches_bruteforce_pairs(spark):
     ).sum()
     assert row.auc_bp == 10000 * int(u2) // (2 * len(pos) * len(neg))
     assert 0 <= row.auc_bp <= 10000
+
+
+def test_sq_encode_random_roundtrip_property(spark):
+    """Randomized invariants (fixed seed): every code in [0, 255];
+    dequantizing a code lands within half a grid step of the input;
+    each dimension's min/max vectors hit code 0/255 exactly."""
+    import random
+
+    rng = random.Random(13)
+    dim, n = 8, 40
+    rows = [(i, [rng.uniform(-5, 5) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    stats = similarity.sq_minmax(df)
+    codes = {r.id: r.codes for r in similarity.sq_encode(df, stats).collect()}
+    mins = [min(r[1][j] for r in rows) for j in range(dim)]
+    maxs = [max(r[1][j] for r in rows) for j in range(dim)]
+    seen0 = [False] * dim
+    seen255 = [False] * dim
+    for i, vec in rows:
+        for j, (x, c) in enumerate(zip(vec, codes[i])):
+            assert 0 <= c <= 255
+            step = (maxs[j] - mins[j]) / 255
+            dequant = mins[j] + c * step
+            assert abs(dequant - x) <= step / 2 + 1e-9
+            seen0[j] |= c == 0
+            seen255[j] |= c == 255
+    assert all(seen0) and all(seen255)
+
+
+def test_pagerank_random_graph_invariants(spark):
+    """Randomized invariants (fixed seed): rank mass is conserved up
+    to integer-floor leakage; every vertex keeps at least the base
+    (1-d) mass; result is partitioning-invariant."""
+    import random
+
+    rng = random.Random(29)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(30)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    r = {x.v: x.rank_micro for x in graph.pagerank(df, n_iter=4).collect()}
+    n = len(r)
+    assert all(v >= 150000 for v in r.values())
+    assert 0.95 * n * 1_000_000 <= sum(r.values()) <= n * 1_000_000
+    r2 = {
+        x.v: x.rank_micro
+        for x in graph.pagerank(df.repartition(7), n_iter=4).collect()
+    }
+    assert r == r2
