@@ -30,6 +30,8 @@ HEADLINE = [
     "orders_column_profile",
     "user_sessions",
     "event_type_tumbling_5min",
+    "event_spikes",
+    "pmi_collocations",
     "phone_canonicalization",
     "exact_dedup_prefix_groups",
     "chunk_dedup_docs",

@@ -61,6 +61,8 @@ _VERIFY_FIRST = (
     "lsh_tuning_report",
     "part_pagerank",
     "classifier_auc",
+    "event_spikes",
+    "pmi_collocations",
     "duplicated_span_share",
     "subword_vocab",
     "orders_column_profile",

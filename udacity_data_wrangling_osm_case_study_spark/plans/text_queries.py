@@ -681,3 +681,80 @@ def classifier_auc(spark, sf_dir):
         "n_neg",
         F.expr("10000 * _u2 DIV (2 * n_pos * n_neg)").alias("auc_bp"),
     )
+
+
+@register(
+    "pmi_collocations",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT unnest(toks) AS w FROM t),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT COUNT(*) AS T FROM tok),
+    bgl AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM t WHERE len(toks) >= 2
+    ),
+    bgc AS (SELECT bg, COUNT(*) AS c12 FROM bgl GROUP BY bg
+            HAVING COUNT(*) >= 5),
+    scored AS (
+        SELECT bg AS bigram, c12,
+               length(CAST(c12 AS VARCHAR)) + length(CAST(T AS VARCHAR))
+               - length(CAST(u1.c AS VARCHAR)) - length(CAST(u2.c AS VARCHAR))
+                   AS pmi_digits
+        FROM bgc, tot
+        JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+        JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
+    )
+    SELECT bigram, c12, CAST(pmi_digits AS BIGINT) AS pmi_digits
+    FROM scored ORDER BY pmi_digits DESC, c12 DESC, bigram LIMIT 20
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """Collocation mining: top-20 bigrams by pointwise mutual
+    information on the digit-count log10 scale — digits(c12) +
+    digits(T) - digits(c1) - digits(c2), an exact integer within ±2 of
+    PMI/log10 — with a min-count floor of 5. The phrase detector
+    (word2vec-style) that decides which token pairs merge into one
+    unit. Unigram and bigram vocabularies reduce before any join; the
+    corpus total is a one-row broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(textstats.normalize_text(F.col("text")), " ")
+    base = docs.select(toks.alias("toks"))
+    tok = base.select(F.explode("toks").alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("T"))
+    bgl = base.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bg")
+    )
+    bgc = (
+        bgl.groupBy("bg").agg(F.count("*").alias("c12")).filter(F.col("c12") >= 5)
+    )
+    digits = lambda col: F.length(col.cast("string"))  # noqa: E731
+    u1 = uni.select(F.col("w").alias("_w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("_w2"), F.col("c").alias("c2"))
+    scored = (
+        bgc.withColumn("_w1", F.split("bg", " ").getItem(0))
+        .withColumn("_w2", F.split("bg", " ").getItem(1))
+        .join(u1, "_w1")
+        .join(u2, "_w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bg").alias("bigram"),
+            "c12",
+            (
+                digits(F.col("c12"))
+                + digits(F.col("T"))
+                - digits(F.col("c1"))
+                - digits(F.col("c2"))
+            ).cast("bigint").alias("pmi_digits"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_digits"), F.desc("c12"), "bigram").limit(20)

@@ -577,3 +577,65 @@ def trending_event_types(spark, sf_dir):
         )
         .orderBy("window_start_epoch", "rank")
     )
+
+
+@register(
+    "event_spikes",
+    """
+    WITH w AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS window_start_epoch_5min,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+        SELECT event_type, window_start_epoch_5min, n,
+               SUM(n) OVER (PARTITION BY event_type
+                            ORDER BY window_start_epoch_5min
+                            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+                   AS trailing4,
+               COUNT(*) OVER (PARTITION BY event_type
+                              ORDER BY window_start_epoch_5min
+                              ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+                   AS n_prev
+        FROM w
+    )
+    SELECT event_type, window_start_epoch_5min, n,
+           CAST(trailing4 AS BIGINT) AS trailing4
+    FROM tr
+    WHERE n_prev = 4 AND 4 * n >= 3 * trailing4
+    ORDER BY event_type, window_start_epoch_5min
+    """,
+)
+def event_spikes(spark, sf_dir):
+    """Rate-anomaly detection: 5-min tumbling windows whose event count
+    reaches 3x the mean of the previous 4 observed windows (integer
+    cross-multiplication — no float mean ever computed, engine-exact).
+    The monitoring query behind a streaming alert: the same windowed
+    counts come from the watermarked streaming DAG, with the trailing
+    comparison in the sink. One shuffle for the window counts; the
+    trailing frame runs per event_type over already-reduced rows."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("ts").cast("long") / 300).cast("bigint")
+    w = ev.groupBy(
+        "event_type", bucket.alias("window_start_epoch_5min")
+    ).agg(F.count("*").alias("n"))
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start_epoch_5min")
+        .rowsBetween(-4, -1)
+    )
+    tr = w.select(
+        "event_type",
+        "window_start_epoch_5min",
+        "n",
+        F.sum("n").over(frame).alias("trailing4"),
+        F.count("*").over(frame).alias("n_prev"),
+    )
+    return (
+        tr.filter((F.col("n_prev") == 4) & (4 * F.col("n") >= 3 * F.col("trailing4")))
+        .select("event_type", "window_start_epoch_5min", "n", "trailing4")
+        .orderBy("event_type", "window_start_epoch_5min")
+    )
