@@ -161,6 +161,7 @@ def test_no_cartesian_products_anywhere(spark):
         "semantic_dedup",     # k-row centroid bank (kmeans_assign)
         "sq_codes",           # 1-row per-dimension min/max grid
         "lsh_tuning_report",  # 1-row truth/candidate/common count frames
+        "pmi_collocations",   # 1-row corpus token-total frame
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []
