@@ -111,21 +111,24 @@ def pagerank(
     )
     outdeg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = F.lit((100 - damping_pct) * 10_000).cast("long")
+    # Carry outdeg INSIDE the rank frame: each superstep then needs one
+    # edge-sized join (edges ⋈ ranks) + one map-side-combinable groupBy
+    # + one vertex-sized join to re-attach degrees — instead of two
+    # edge-sized joins. The vertex frame is orders of magnitude smaller
+    # than the edge list on any real graph.
     ranks = outdeg.select(
-        F.col("src").alias("v"), F.lit(1_000_000).cast("long").alias("r")
+        F.col("src").alias("v"), "outdeg", F.lit(1_000_000).cast("long").alias("r")
     )
     for _ in range(n_iter):
-        contrib = (
-            sym.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("v", "src"), "src")
-            .select("dst", F.expr("r DIV outdeg").alias("c"))
-        )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                F.col("dst").alias("v"),
-                (base + F.expr(f"{damping_pct} * s DIV 100")).alias("r"),
-            )
+        contrib = sym.join(
+            ranks.withColumnRenamed("v", "src"), "src"
+        ).select("dst", F.expr("r DIV outdeg").alias("c"))
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = sums.join(
+            outdeg.withColumnRenamed("src", "dst"), "dst"
+        ).select(
+            F.col("dst").alias("v"),
+            "outdeg",
+            (base + F.expr(f"{damping_pct} * s DIV 100")).alias("r"),
         )
     return ranks.select("v", F.col("r").alias("rank_micro"))
