@@ -162,6 +162,7 @@ def test_no_cartesian_products_anywhere(spark):
         "sq_codes",           # 1-row per-dimension min/max grid
         "lsh_tuning_report",  # 1-row truth/candidate/common count frames
         "pmi_collocations",   # 1-row corpus token-total frame
+        "ann_recall_report",  # 1-row query vector + count frames
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

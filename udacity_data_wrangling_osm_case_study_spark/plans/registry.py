@@ -63,6 +63,8 @@ _VERIFY_FIRST = (
     "classifier_auc",
     "event_spikes",
     "pmi_collocations",
+    "ann_recall_report",
+    "source_quality_calibration",
     "duplicated_span_share",
     "subword_vocab",
     "orders_column_profile",

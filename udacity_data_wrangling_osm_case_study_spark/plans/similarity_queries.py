@@ -478,3 +478,50 @@ def sq_codes(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+@register(
+    "ann_recall_report",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+               WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id <> 0),
+    bf AS (
+        SELECT e.vec_id AS id FROM e, q
+        ORDER BY {_COS_BP} DESC, id LIMIT 10
+    ),
+    qsig AS ({_SRP_QSIG}),
+    csig AS ({_SRP_CSIG}),
+    cand AS (SELECT DISTINCT vec_id FROM csig JOIN qsig USING (t, sig)),
+    ann AS (
+        SELECT e.vec_id AS id FROM e JOIN cand USING (vec_id), q
+        ORDER BY {_COS_BP} DESC, id LIMIT 10
+    ),
+    m AS (SELECT (SELECT COUNT(*) FROM ann) AS n_ann,
+                 (SELECT COUNT(*) FROM bf JOIN ann USING (id)) AS n_common)
+    SELECT 10 AS k, CAST(n_ann AS BIGINT) AS n_ann,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common * 1000 // 10 AS BIGINT) AS recall_pm
+    FROM m
+    """,
+)
+def ann_recall_report(spark, sf_dir):
+    """ANN quality audit, driver-attested: recall@10 of the SRP-LSH
+    index path against the exact brute-force top-10 for the same query
+    vector — the number an ANN deployment tracks before trading scan
+    cost for recall. Reuses both registered pipelines and joins their
+    id sets; only single-row counts cross the plan."""
+    bf = knn_bruteforce(spark, sf_dir).select("id")
+    ann = knn_srp_lsh(spark, sf_dir).select("id")
+    n_ann = ann.agg(F.count("*").alias("n_ann"))
+    n_common = bf.join(ann, "id").agg(F.count("*").alias("n_common"))
+    return (
+        n_ann.crossJoin(F.broadcast(n_common))
+        .select(
+            F.lit(10).alias("k"),
+            "n_ann",
+            "n_common",
+            F.expr("n_common * 1000 DIV 10").alias("recall_pm"),
+        )
+    )

@@ -758,3 +758,60 @@ def pmi_collocations(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("pmi_digits"), F.desc("c12"), "bigram").limit(20)
+
+
+@register(
+    "source_quality_calibration",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    hx AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    w AS (
+        SELECT doc_id,
+               (((CASE WHEN ascii(substr(h, 1, 1)) >= 97
+                       THEN ascii(substr(h, 1, 1)) - 87
+                       ELSE ascii(substr(h, 1, 1)) - 48 END) * 4096
+                + (CASE WHEN ascii(substr(h, 2, 1)) >= 97
+                        THEN ascii(substr(h, 2, 1)) - 87
+                        ELSE ascii(substr(h, 2, 1)) - 48 END) * 256
+                + (CASE WHEN ascii(substr(h, 3, 1)) >= 97
+                        THEN ascii(substr(h, 3, 1)) - 87
+                        ELSE ascii(substr(h, 3, 1)) - 48 END) * 16
+                + (CASE WHEN ascii(substr(h, 4, 1)) >= 97
+                        THEN ascii(substr(h, 4, 1)) - 87
+                        ELSE ascii(substr(h, 4, 1)) - 48 END)) % 2001) AS w
+        FROM hx
+    ),
+    s AS (SELECT doc_id, SUM(w) // COUNT(*) AS score FROM w GROUP BY doc_id)
+    SELECT d.source AS source, COUNT(*) AS n,
+           ROUND(quantile_cont(s.score, 0.5), 4) AS p50,
+           ROUND(quantile_cont(s.score, 0.9), 4) AS p90,
+           CAST(COUNT(CASE WHEN s.score < 1000 THEN 1 END) AS BIGINT)
+               AS n_below_floor
+    FROM documents d JOIN s USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def source_quality_calibration(spark, sf_dir):
+    """Per-source calibration of the quality classifier: median and
+    p90 score plus how many docs each source loses at the global
+    keep-floor (1000 milli-units). The audit a curation pipeline runs
+    before applying one threshold across heterogeneous sources — a
+    source whose whole distribution sits below the floor needs its own
+    cutoff, not deletion. Scores reduce per doc first; the percentile
+    state is per (source, doc), never token-level."""
+    docs = table(spark, sf_dir, "documents")
+    scores = textstats.hashed_linear_score(docs).select("doc_id", "score_milli")
+    j = docs.select("doc_id", "source").join(scores, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(score_milli, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(score_milli, 0.9)"), 4).alias("p90"),
+            F.sum((F.col("score_milli") < 1000).cast("long")).alias(
+                "n_below_floor"
+            ),
+        )
+        .orderBy("source")
+    )
