@@ -1118,3 +1118,29 @@ def semantic_dedup(
             F.when(F.col("_dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
         )
     )
+
+
+def dedup_index_compact(spark, index_dir: str) -> None:
+    """Index lifecycle step 3 for the LSH dedup index (build → append*
+    → COMPACT): fold every streamed ``batch_id`` partition of the
+    bands / postings / sizes relations back into one ``base``
+    partition with a bounded file count.
+
+    Without this, a long-running ingest stream leaves one file set per
+    micro-batch in each relation and probes go file-open bound. The
+    rewrite is atomic per relation (``layout.rewrite_partitioned_inplace``)
+    and probe-invariant: the same postings land in the same relations,
+    only the physical layout changes. The persisted ``meta.json``
+    (shingling/banding config) is untouched — compaction never changes
+    the index's logical content.
+    """
+    from udacity_data_wrangling_osm_case_study_spark.operators import layout
+
+    for rel in ("bands", "postings", "sizes"):
+        layout.rewrite_partitioned_inplace(
+            spark,
+            f"{index_dir}/{rel}",
+            ["batch_id"],
+            transform=lambda df: df.withColumn("batch_id", F.lit("base")),
+            n_files=4,
+        )

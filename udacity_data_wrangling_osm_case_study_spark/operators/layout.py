@@ -140,3 +140,51 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def rewrite_partitioned_inplace(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    transform=None,
+    repartition_cols: list[str] | None = None,
+    n_files: int | None = None,
+) -> None:
+    """Atomically rewrite a partitioned parquet relation IN PLACE.
+
+    The rewrite lands in a sibling ``__compacting`` directory first
+    (the parquet commit protocol guarantees it is complete before we
+    touch the live path), then two directory renames swap it in —
+    readers see either the old relation or the new one, never a
+    partial write. This is the plain-parquet form of the atomic-swap
+    step inside Delta OPTIMIZE / Iceberg rewrite_data_files; on an
+    object store the renames become a manifest pointer flip (see
+    ``streaming/cdc_apply.py`` for the pointer-file variant).
+
+    ``transform`` edits the frame before the write (e.g. folding all
+    append batches into one ``base`` partition); ``repartition_cols``
+    aligns output files with the partition layout (one file per
+    partition value instead of one per shuffle task); ``n_files``
+    round-robins to a fixed file count for unpartitioned-ish tails.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
+    if repartition_cols:
+        df = df.repartition(*repartition_cols)
+    elif n_files:
+        df = df.repartition(n_files)
+    base = path.rstrip("/")
+    tmp, old = base + "__compacting", base + "__old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)

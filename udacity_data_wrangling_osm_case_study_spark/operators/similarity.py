@@ -641,3 +641,29 @@ def sq_encode(
         ),
     )
     return wide.select("id", code.alias("codes"))
+
+
+def ivf_compact(spark, index_dir: str) -> None:
+    """Index lifecycle step 3 (build → append* → COMPACT): fold every
+    appended ``(cell, batch)`` partition back into one ``base`` batch
+    per cell, one scan-sized file per cell.
+
+    Append-heavy indexes accumulate a parquet file per touched
+    (cell, batch); probe latency then becomes file-open bound (the
+    100 TB failure mode is thousands of KB files per cell). The
+    rewrite is atomic (sibling-dir + rename swap — see
+    ``layout.rewrite_partitioned_inplace``), costs one shuffle of
+    exactly the index bytes, and changes no probe results: the same
+    vectors land in the same cells. Centroid retrain is the separate,
+    heavier ``build_ivf_index`` rebuild once assignment drift
+    accumulates.
+    """
+    from udacity_data_wrangling_osm_case_study_spark.operators import layout
+
+    layout.rewrite_partitioned_inplace(
+        spark,
+        f"{index_dir}/vectors",
+        ["cell", "batch_id"],
+        transform=lambda df: df.withColumn("batch_id", F.lit("base")),
+        repartition_cols=["cell"],
+    )
