@@ -125,3 +125,80 @@ def test_dynamic_partition_pruning_fires_on_dim_join(spark):
         assert joined.count() == expect
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_compact_folds_batches_probe_invariant(spark, tmp_path):
+    """build → append → append → COMPACT: batch partitions fold into
+    'base', files per cell drop to one, and the probe returns exactly
+    the same top-k before and after."""
+    import glob
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import similarity
+
+    base = [(i, [float(i % 4), float(1 - i % 4), 0.5], i % 4) for i in range(24)]
+    df = spark.createDataFrame(base, ["vec_id", "embedding", "label"])
+    index_dir = str(tmp_path / "ivf")
+    similarity.build_ivf_index(df, index_dir)
+    for b in ("b1", "b2"):
+        extra = spark.createDataFrame(
+            [(100 + ord(b[-1]) * 10 + i, [1.0, 0.1 * i, 0.5]) for i in range(3)],
+            ["vec_id", "embedding"],
+        )
+        similarity.ivf_append(spark, extra, index_dir, batch_id=b)
+    before = similarity.ivf_topk_indexed(
+        spark, index_dir, [1.0, 0.0, 0.5], k=8
+    ).collect()
+    assert len(glob.glob(f"{index_dir}/vectors/cell=*/batch_id=b1")) > 0
+    similarity.ivf_compact(spark, index_dir)
+    batches = {
+        p.rsplit("batch_id=", 1)[-1]
+        for p in glob.glob(f"{index_dir}/vectors/cell=*/batch_id=*")
+    }
+    assert batches == {"base"}
+    for cell_dir in glob.glob(f"{index_dir}/vectors/cell=*/batch_id=base"):
+        assert len(glob.glob(f"{cell_dir}/*.parquet")) == 1
+    after = similarity.ivf_topk_indexed(
+        spark, index_dir, [1.0, 0.0, 0.5], k=8
+    ).collect()
+    assert [(r.id, r.cosine) for r in before] == [(r.id, r.cosine) for r in after]
+
+
+def test_dedup_index_compact_probe_invariant(spark, tmp_path):
+    """LSH dedup index compaction folds streamed batches into 'base'
+    without changing probe results."""
+    import glob
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different words appear here today"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    index_dir = str(tmp_path / "dedup_index")
+    dedup.build_dedup_index(df, index_dir)
+    appended = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy cat")],
+        ["doc_id", "text"],
+    )
+    dedup.dedup_index_append(appended, index_dir, batch_id="b1")
+    probe = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    before = {
+        (r.new_id, r.index_id, r.jaccard)
+        for r in dedup.incremental_near_dupes(probe, index_dir, min_jaccard=0.5).collect()
+    }
+    assert (9, 1, 1.0) in before and any(t[1] == 3 for t in before)
+    dedup.dedup_index_compact(spark, index_dir)
+    for rel in ("bands", "postings", "sizes"):
+        batches = {
+            p.rsplit("batch_id=", 1)[-1]
+            for p in glob.glob(f"{index_dir}/{rel}/batch_id=*")
+        }
+        assert batches == {"base"}, rel
+    after = {
+        (r.new_id, r.index_id, r.jaccard)
+        for r in dedup.incremental_near_dupes(probe, index_dir, min_jaccard=0.5).collect()
+    }
+    assert before == after
