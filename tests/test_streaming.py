@@ -403,3 +403,55 @@ def test_corpus_intake_stream(spark, tmp_path):
     corpus_intake.intake_batch(drop2_df, 1, accepted_dir, index_dir)
     assert sorted(map(tuple, spark.read.parquet(accepted_dir).collect())) == before_acc
     assert spark.read.parquet(f"{index_dir}/sizes").count() == before_sz
+
+
+def test_spike_alerts_stream_matches_batch(spark, events_dir, tmp_path):
+    """The streaming alert sink must flag exactly the windows the batch
+    trailing_spikes logic flags over the same (watermark-closed) window
+    set; replaying the stream into the same store (fresh checkpoint =
+    full retry) must leave the alert table unchanged."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import temporal
+    from udacity_data_wrangling_osm_case_study_spark.streaming import spike_alerts
+
+    state = str(tmp_path / "spike_state")
+    spike_alerts.spike_alerts_stream(
+        events_stream.read_events_stream(spark, events_dir),
+        state,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        num=2,  # 2x trailing mean: the tiny sf0.001 stream has no 3x spikes
+    )
+    got = {
+        (r.event_type, r.window_start, r.n, r.trailing)
+        for r in spike_alerts.read_alerts(spark, state).collect()
+    }
+
+    batch_windows = (
+        table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    max_ts = table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    closed = batch_windows.filter(
+        F.col("window_start") + F.expr("INTERVAL 5 MINUTES")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    )
+    want = {
+        (r.event_type, r.window_start, r.n, r.trailing)
+        for r in temporal.trailing_spikes(closed, order_col="window_start", num=2).collect()
+    }
+    assert got == want
+    assert got, "the sf0.001 events stream must produce at least one alert"
+
+    # full-retry idempotence: fresh checkpoint, same store
+    spike_alerts.spike_alerts_stream(
+        events_stream.read_events_stream(spark, events_dir),
+        state,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        num=2,
+    )
+    again = {
+        (r.event_type, r.window_start, r.n, r.trailing)
+        for r in spike_alerts.read_alerts(spark, state).collect()
+    }
+    assert again == got

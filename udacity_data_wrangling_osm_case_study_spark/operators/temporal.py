@@ -114,3 +114,40 @@ def range_join(
         )
         .drop("b", "l_ep", "r_ep")
     )
+
+
+def trailing_spikes(
+    windows: DataFrame,
+    order_col: str,
+    key_col: str = "event_type",
+    n_col: str = "n",
+    lookback: int = 4,
+    num: int = 3,
+    den: int = 1,
+) -> DataFrame:
+    """Time-series anomaly filter shared by the batch ``event_spikes``
+    query and the streaming alert sink: keep windows whose count
+    reaches ``num/den`` times the mean of the previous ``lookback``
+    observed windows of the same key. The comparison is integer
+    cross-multiplied (``den·lookback·n ≥ num·Σprev``) — no float mean,
+    engine-exact. Requires a full lookback (early windows never
+    alert).
+
+    Input is already one row per (key, window) — the trailing frame
+    runs over reduced rows, never raw events. Output adds
+    ``trailing`` (the lookback sum).
+    """
+    frame = (
+        Window.partitionBy(key_col).orderBy(order_col).rowsBetween(-lookback, -1)
+    )
+    tr = windows.select(
+        key_col,
+        order_col,
+        n_col,
+        F.sum(n_col).over(frame).alias("trailing"),
+        F.count("*").over(frame).alias("_n_prev"),
+    )
+    return tr.filter(
+        (F.col("_n_prev") == lookback)
+        & (den * lookback * F.col(n_col) >= num * F.col("trailing"))
+    ).drop("_n_prev")

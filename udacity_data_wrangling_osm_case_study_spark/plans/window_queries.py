@@ -630,30 +630,25 @@ def event_spikes(spark, sf_dir):
     reaches 3x the mean of the previous 4 observed windows (integer
     cross-multiplication — no float mean ever computed, engine-exact).
     The monitoring query behind a streaming alert: the same windowed
-    counts come from the watermarked streaming DAG, with the trailing
-    comparison in the sink. One shuffle for the window counts; the
-    trailing frame runs per event_type over already-reduced rows."""
-    from pyspark.sql import Window
+    counts come from the watermarked streaming DAG
+    (streaming/spike_alerts.py runs the SAME
+    operators.temporal.trailing_spikes over its window store — one
+    implementation, two runtimes). One shuffle for the window counts;
+    the trailing frame runs per event_type over already-reduced rows."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import temporal
 
     ev = table(spark, sf_dir, "events")
     bucket = F.floor(F.col("ts").cast("long") / 300).cast("bigint")
     w = ev.groupBy(
         "event_type", bucket.alias("window_start_epoch_5min")
     ).agg(F.count("*").alias("n"))
-    frame = (
-        Window.partitionBy("event_type")
-        .orderBy("window_start_epoch_5min")
-        .rowsBetween(-4, -1)
-    )
-    tr = w.select(
-        "event_type",
-        "window_start_epoch_5min",
-        "n",
-        F.sum("n").over(frame).alias("trailing4"),
-        F.count("*").over(frame).alias("n_prev"),
-    )
     return (
-        tr.filter((F.col("n_prev") == 4) & (4 * F.col("n") >= 3 * F.col("trailing4")))
-        .select("event_type", "window_start_epoch_5min", "n", "trailing4")
+        temporal.trailing_spikes(w, order_col="window_start_epoch_5min")
+        .select(
+            "event_type",
+            "window_start_epoch_5min",
+            "n",
+            F.col("trailing").alias("trailing4"),
+        )
         .orderBy("event_type", "window_start_epoch_5min")
     )
