@@ -1001,3 +1001,54 @@ def test_pagerank_random_graph_invariants(spark):
         for x in graph.pagerank(df.repartition(7), n_iter=4).collect()
     }
     assert r == r2
+
+
+def _bpe_reference(word_counts, n_merges, min_pair_count=2):
+    """Pure-Python BPE mirror (greedy left-to-right merge application,
+    lexicographic tie-break) for cross-checking the distributed trainer."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(n_merges):
+        counts = {}
+        for w, s in syms.items():
+            for x, y in zip(s, s[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + word_counts[w]
+        if not counts:
+            break
+        # lexicographic ASC tie-break on (a, b) at equal count
+        top_c = max(counts.values())
+        cands = sorted([p for p, c in counts.items() if c == top_c])
+        a, b = cands[0]
+        if top_c < min_pair_count:
+            break
+        merges.append((step, a, b, a + b, top_c))
+        for w, s in syms.items():
+            out = []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_train_matches_reference(spark):
+    docs = [
+        (1, "low low low low low lower lower"),
+        (2, "newest newest newest newest newest newest"),
+        (3, "widest widest widest"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    merges_df, sym_df = textstats.bpe_train(df, n_merges=6)
+    got_merges = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in merges_df.orderBy("step").collect()
+    ]
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    want_merges, want_syms = _bpe_reference(counts, 6)
+    assert got_merges == want_merges
+    got_syms = {r.w: list(r.syms) for r in sym_df.collect()}
+    assert got_syms == want_syms
+    # merged symbols must reconstruct their words exactly
+    assert all("".join(s) == w for w, s in got_syms.items())

@@ -390,3 +390,88 @@ def bigram_surprisal(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = 2,
+):
+    """Distributed BPE merge training (Sennrich et al. 2016) — the
+    iterative half of subword tokenization (``subword_vocab`` is the
+    frequency-mining half).
+
+    Classic BPE over the frequency-weighted word vocabulary: words
+    start as character sequences; each round counts adjacent symbol
+    pairs (weighted by word count), merges the most frequent pair
+    everywhere (greedy left-to-right within a word, ties broken
+    lexicographically so the result is engine- and run-deterministic),
+    and repeats for ``n_merges`` rounds or until no pair reaches
+    ``min_pair_count``.
+
+    Scale shape: the corpus collapses to the distinct-word vocabulary
+    up front (vocab « corpus at web scale) and every round after that
+    touches only the vocab frame: one pair-explode + map-side-combined
+    groupBy for the counts, ONE argmax row collected to the driver
+    (bounded metadata, the same posture as IVF probe-cell selection),
+    and a row-local fold applying the merge. The symbol frame is
+    ``localCheckpoint``ed per round — ten rounds of nested array folds
+    would otherwise stack into one enormous expression tree (same
+    lineage-cut rule as ``similarity.train_quantizer``).
+
+    Returns ``(merges_df, symbols_df)``: the ordered merge table
+    (step, left, right, merged, pair_count) and the final per-word
+    symbol arrays.
+    """
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sym = words.select("w", "cnt", chars.alias("syms")).localCheckpoint()
+    merges = []
+    spark = df.sparkSession
+    for step in range(n_merges):
+        pair_structs = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("a"),
+                F.element_at("syms", i + 1).alias("b"),
+            ),
+        )
+        pairs = (
+            sym.filter(F.size("syms") >= 2)
+            .select("cnt", F.explode(pair_structs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not top or top[0].c < min_pair_count:
+            break
+        a, b, c = top[0].a, top[0].b, top[0].c
+        merged = a + b
+        merges.append((step, a, b, merged, int(c)))
+        apply_merge = F.aggregate(
+            "syms",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        sym = sym.select("w", "cnt", apply_merge.alias("syms")).localCheckpoint()
+    merges_df = spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )
+    return merges_df, sym
