@@ -65,6 +65,7 @@ _VERIFY_FIRST = (
     "pmi_collocations",
     "ann_recall_report",
     "source_quality_calibration",
+    "bpe_pair_counts",
     "duplicated_span_share",
     "subword_vocab",
     "orders_column_profile",

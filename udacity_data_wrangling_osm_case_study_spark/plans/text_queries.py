@@ -815,3 +815,54 @@ def source_quality_calibration(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    w AS (
+        SELECT tok AS w, COUNT(*) AS cnt
+        FROM (SELECT unnest(toks) AS tok FROM t)
+        WHERE strlen(tok) > 0 GROUP BY tok
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 1) AS a,
+               substr(w, CAST(i AS INT) + 1, 1) AS b, cnt
+        FROM w, unnest(range(1, strlen(w))) t(i)
+        WHERE strlen(w) >= 2
+    )
+    SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY a, b
+    ORDER BY pair_count DESC, a, b LIMIT 10
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """One BPE trainer round, exactly SQL-expressible (the kmeans_step
+    pattern: the full iterative trainer is operators.textstats.bpe_train,
+    cross-checked against a pure-Python reference in tests; the
+    per-round pair-counting core is registered for the driver oracle):
+    top-10 adjacent character pairs over the frequency-weighted word
+    vocabulary — the argmax feed of the first merge."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(textstats.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pair_structs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.struct(
+            F.col("w").substr(i, F.lit(1)).alias("a"),
+            F.col("w").substr(i + 1, F.lit(1)).alias("b"),
+        ),
+    )
+    return (
+        words.filter(F.length("w") >= 2)
+        .select("cnt", F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(10)
+    )
