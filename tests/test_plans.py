@@ -163,6 +163,7 @@ def test_no_cartesian_products_anywhere(spark):
         "lsh_tuning_report",  # 1-row truth/candidate/common count frames
         "pmi_collocations",   # 1-row corpus token-total frame
         "ann_recall_report",  # 1-row query vector + count frames
+        "knn_pq_adc",         # 1-row LUT bank + query vector
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

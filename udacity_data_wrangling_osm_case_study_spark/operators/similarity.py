@@ -667,3 +667,86 @@ def ivf_compact(spark, index_dir: str) -> None:
         transform=lambda df: df.withColumn("batch_id", F.lit("base")),
         repartition_cols=["cell"],
     )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: DataFrame,
+    query_df: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    k: int = 10,
+    shortlist: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search via asymmetric distance computation (ADC — Jégou,
+    Douze & Schmid 2011): the query stays a full-precision vector, the
+    corpus stays ``m``-digit codes, and each candidate's approximate
+    distance is a SUM OF TABLE LOOKUPS — one m·ksub lookup table (the
+    query's distance to every codeword, built per query) replaces all
+    vector arithmetic over the corpus.
+
+    This is the search half of an IVF-PQ index: the scan touches only
+    integer codes (no float vectors decoded), the LUT rides as a
+    one-row broadcast bank, and the top-``shortlist`` by quantized
+    approximate distance (id tie-break — deterministic cut) is
+    re-ranked exactly against the original vectors, so only
+    ``shortlist`` rows ever touch full-precision data.
+
+    ``query_df``: one row, column ``q`` (array<double>). Output:
+    (id, cosine_bp) top-``k`` by exact re-rank.
+    """
+    sub_w = f"(size(q) DIV {m})"
+    qsubs = query_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.expr(
+                            f"slice(q, {s} * {sub_w} + 1, {sub_w})"
+                        ).alias("qs"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x")
+    ).select(F.col("x.s").alias("s"), F.col("x.qs").alias("qs"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("csv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = codebooks.join(F.broadcast(qsubs), "s").select(
+        (F.col("s") * ksub + F.col("cw")).alias("pos"),
+        F.round(d2 * 1_000_000).cast("long").alias("d2_micro"),
+    )
+    bank = lut.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "d2_micro"))),
+            lambda x: x["d2_micro"],
+        ).alias("lut")
+    )
+    codes = pq_encode(df, codebooks, m, ksub, id_col, vec_col)
+    adc = " + ".join(
+        f"element_at(lut, CAST({s * ksub} + ((code div {ksub ** s}) % {ksub}) + 1 AS INT))"
+        for s in range(m)
+    )
+    approx = (
+        codes.crossJoin(F.broadcast(bank))
+        .select("id", F.expr(adc).alias("approx_d2"))
+        .orderBy("approx_d2", "id")
+        .limit(shortlist)
+        .select("id")
+    )
+    vecs = df.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).join(approx, "id", "left_semi")
+    bp = F.round(cosine(F.col("v"), F.col("q")) * 10000).cast("bigint")
+    return (
+        vecs.crossJoin(F.broadcast(query_df))
+        .select("id", bp.alias("cosine_bp"))
+        .orderBy(F.desc("cosine_bp"), "id")
+        .limit(k)
+    )

@@ -66,6 +66,7 @@ _VERIFY_FIRST = (
     "ann_recall_report",
     "source_quality_calibration",
     "bpe_pair_counts",
+    "knn_pq_adc",
     "duplicated_span_share",
     "subword_vocab",
     "orders_column_profile",

@@ -525,3 +525,76 @@ def ann_recall_report(spark, sf_dir):
             F.expr("n_common * 1000 DIV 10").alias("recall_pm"),
         )
     )
+
+
+@register(
+    "knn_pq_adc",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+        SELECT vec_id AS id, CAST(t.s AS INT) AS s,
+               v[CAST(t.s AS INT) * 16 + 1 : CAST(t.s AS INT) * 16 + 16] AS sv
+        FROM v, range(0, 4) t(s)
+    ),
+    seeds AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cw
+        FROM (SELECT DISTINCT vec_id AS id FROM embeddings ORDER BY id LIMIT 8)
+    ),
+    cb AS (SELECT sub.s, seeds.cw, sub.sv AS csv FROM sub JOIN seeds USING (id)),
+    scored AS (
+        SELECT sub.id, sub.s, cb.cw,
+               CAST(ROUND(list_reduce(
+                   list_transform(range(1, 17),
+                       i -> (sub.sv[CAST(i AS INT)] - cb.csv[CAST(i AS INT)])
+                            * (sub.sv[CAST(i AS INT)] - cb.csv[CAST(i AS INT)])),
+                   (a, b) -> a + b) * 1000000) AS BIGINT) AS d2_micro
+        FROM sub JOIN cb USING (s)
+    ),
+    best AS (
+        SELECT id, s, cw,
+               ROW_NUMBER() OVER (PARTITION BY id, s
+                                  ORDER BY d2_micro, cw) AS rn
+        FROM scored
+    ),
+    codes AS (SELECT id, s, cw FROM best WHERE rn = 1),
+    qs AS (SELECT s, sv AS qsv FROM sub WHERE id = 0),
+    lut AS (
+        SELECT cb.s, cb.cw,
+               CAST(ROUND(list_reduce(
+                   list_transform(range(1, 17),
+                       i -> (qs.qsv[CAST(i AS INT)] - cb.csv[CAST(i AS INT)])
+                            * (qs.qsv[CAST(i AS INT)] - cb.csv[CAST(i AS INT)])),
+                   (a, b) -> a + b) * 1000000) AS BIGINT) AS d2
+        FROM cb JOIN qs USING (s)
+    ),
+    approx AS (
+        SELECT codes.id, SUM(lut.d2) AS ad
+        FROM codes JOIN lut USING (s, cw)
+        WHERE codes.id <> 0 GROUP BY codes.id
+    ),
+    short AS (SELECT id FROM approx ORDER BY ad, id LIMIT 30),
+    q AS (SELECT v AS q FROM v WHERE vec_id = 0),
+    e AS (SELECT vec_id, v FROM v WHERE vec_id <> 0)
+    SELECT e.vec_id AS id,
+           CAST(ROUND(list_dot_product(e.v, q.q) /
+                (sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.q, q.q)))
+                * 10000) AS BIGINT) AS cosine_bp
+    FROM e JOIN short ON short.id = e.vec_id, q
+    ORDER BY cosine_bp DESC, id LIMIT 10
+    """,
+)
+def knn_pq_adc(spark, sf_dir):
+    """IVF-PQ's SEARCH half: asymmetric distance computation over the
+    compressed codes (operators.similarity.pq_adc_topk — per query one
+    m x ksub lookup table replaces all corpus vector arithmetic; the
+    scan touches integer codes only), deterministic micro-quantized
+    shortlist of 30, exact cosine re-rank to top-10. Completes the
+    quantization family: pq_codes is the encoder, this is the query
+    path an IVF-PQ deployment serves with."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_vec(F.col("embedding"))
+    cb = similarity.pq_codebooks(emb, m=4, ksub=8)
+    q = emb.filter(F.col("vec_id") == 0).select(v.alias("q"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return similarity.pq_adc_topk(corpus, cb, q, m=4, ksub=8, k=10, shortlist=30)
