@@ -54,6 +54,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_ivf",
     "knn_srp_lsh",
+    "knn_pq_adc",
     "kmeans_step",
     "pq_codes",
     "sq_codes",

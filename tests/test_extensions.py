@@ -1052,3 +1052,57 @@ def test_bpe_train_matches_reference(spark):
     assert got_syms == want_syms
     # merged symbols must reconstruct their words exactly
     assert all("".join(s) == w for w, s in got_syms.items())
+
+
+def test_new_operators_tolerate_empty_inputs(spark):
+    """Degenerate-input sweep for this round's operators: empty in,
+    empty (or empty-merge) out — never a throw."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph, temporal
+
+    empty_docs = spark.createDataFrame(
+        [], StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ])
+    )
+    empty_vecs = spark.createDataFrame(
+        [], StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ])
+    )
+    empty_edges = spark.createDataFrame(
+        [], StructType([
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+        ])
+    )
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0])], ["cell", "centroid"]
+    ).selectExpr("cell", "transform(centroid, x -> CAST(x AS DOUBLE)) AS centroid")
+
+    assert dedup.semantic_dedup(empty_vecs, seeds).count() == 0
+    stats = similarity.sq_minmax(empty_vecs)
+    assert similarity.sq_encode(empty_vecs, stats).count() == 0
+    assert graph.pagerank(empty_edges).count() == 0
+    assert graph.triangle_count(empty_edges).collect()[0].n_triangles == 0
+    assert textstats.bigram_surprisal(empty_docs).count() == 0
+    merges, syms = textstats.bpe_train(empty_docs, n_merges=3)
+    assert merges.count() == 0 and syms.count() == 0
+    empty_windows = spark.createDataFrame(
+        [], StructType([
+            StructField("event_type", StringType()),
+            StructField("ws", LongType()),
+            StructField("n", LongType()),
+        ])
+    )
+    assert temporal.trailing_spikes(empty_windows, order_col="ws").count() == 0
