@@ -1106,3 +1106,24 @@ def test_new_operators_tolerate_empty_inputs(spark):
         ])
     )
     assert temporal.trailing_spikes(empty_windows, order_col="ws").count() == 0
+
+
+def test_snapshot_diff_classifies_ops(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import upsert
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        ["k", "name", "val"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged → no row
+         (2, "b", 21.0),        # value update
+         (3, "c", 30.0),        # NULL → value is an update too
+         (5, "e", 50.0)],       # insert; 4 missing → delete
+        ["k", "name", "val"],
+    )
+    got = {
+        (r.k, r.op)
+        for r in upsert.snapshot_diff(old, new, "k", ["name", "val"]).collect()
+    }
+    assert got == {(2, "U"), (3, "U"), (4, "D"), (5, "I")}

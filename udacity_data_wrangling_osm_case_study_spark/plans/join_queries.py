@@ -667,3 +667,67 @@ def part_pagerank(spark, sf_dir):
         .orderBy(F.desc("rank_micro"), "part")
         .limit(20)
     )
+
+
+@register(
+    "customer_snapshot_diff",
+    """
+    WITH v1 AS (SELECT c_custkey AS k, c_name,
+                       CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+                FROM customer),
+    v2 AS (
+        SELECT k, c_name,
+               CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal
+        FROM v1 WHERE k % 13 <> 0
+        UNION ALL
+        SELECT k + 10000000, c_name, bal FROM v1 WHERE k % 17 = 0
+    ),
+    d AS (
+        SELECT COALESCE(v2.k, v1.k) AS k,
+               CASE WHEN v1.k IS NULL THEN 'I'
+                    WHEN v2.k IS NULL THEN 'D'
+                    WHEN v1.c_name IS DISTINCT FROM v2.c_name
+                         OR v1.bal IS DISTINCT FROM v2.bal THEN 'U'
+               END AS op
+        FROM v1 FULL JOIN v2 ON v1.k = v2.k
+    )
+    SELECT op, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM d WHERE op IS NOT NULL GROUP BY op ORDER BY op
+    """,
+)
+def customer_snapshot_diff(spark, sf_dir):
+    """Snapshot diffing — the change-feed GENERATOR closing the CDC
+    triangle (operators.upsert.snapshot_diff → merge_upsert → SCD2
+    history): v2 is a derived snapshot with deterministic updates
+    (k%10), deletes (k%13) and inserts (k%17, shifted keys); the diff
+    classifies every key as I/U/D via one null-safe full-outer join.
+    Output: per-op row count + key checksum."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import upsert
+
+    cust = table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    v2 = v1.filter(F.col("k") % 13 != 0).select(
+        "k",
+        "c_name",
+        F.when(F.col("k") % 10 == 0, F.col("bal") + 100)
+        .otherwise(F.col("bal"))
+        .cast("decimal(18,2)")
+        .alias("bal"),
+    ).unionAll(
+        v1.filter(F.col("k") % 17 == 0).select(
+            (F.col("k") + 10_000_000).alias("k"), "c_name", "bal"
+        )
+    )
+    diff = upsert.snapshot_diff(v1, v2, "k", ["c_name", "bal"])
+    return (
+        diff.groupBy("op")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("op")
+    )

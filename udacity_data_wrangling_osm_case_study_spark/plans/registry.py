@@ -67,6 +67,7 @@ _VERIFY_FIRST = (
     "source_quality_calibration",
     "bpe_pair_counts",
     "knn_pq_adc",
+    "customer_snapshot_diff",
     "duplicated_span_share",
     "subword_vocab",
     "orders_column_profile",
