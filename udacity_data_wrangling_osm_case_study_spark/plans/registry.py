@@ -68,6 +68,7 @@ _VERIFY_FIRST = (
     "bpe_pair_counts",
     "knn_pq_adc",
     "customer_snapshot_diff",
+    "classifier_calibration",
     "duplicated_span_share",
     "subword_vocab",
     "orders_column_profile",

@@ -866,3 +866,73 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(10)
     )
+
+
+@register(
+    "classifier_calibration",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    hx AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    w AS (
+        SELECT doc_id,
+               (((CASE WHEN ascii(substr(h, 1, 1)) >= 97
+                       THEN ascii(substr(h, 1, 1)) - 87
+                       ELSE ascii(substr(h, 1, 1)) - 48 END) * 4096
+                + (CASE WHEN ascii(substr(h, 2, 1)) >= 97
+                        THEN ascii(substr(h, 2, 1)) - 87
+                        ELSE ascii(substr(h, 2, 1)) - 48 END) * 256
+                + (CASE WHEN ascii(substr(h, 3, 1)) >= 97
+                        THEN ascii(substr(h, 3, 1)) - 87
+                        ELSE ascii(substr(h, 3, 1)) - 48 END) * 16
+                + (CASE WHEN ascii(substr(h, 4, 1)) >= 97
+                        THEN ascii(substr(h, 4, 1)) - 87
+                        ELSE ascii(substr(h, 4, 1)) - 48 END)) % 2001) AS w
+        FROM hx
+    ),
+    s AS (SELECT doc_id, SUM(w) // COUNT(*) AS score FROM w GROUP BY doc_id),
+    lab AS (
+        SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y, s.score
+        FROM documents d JOIN s USING (doc_id)
+    ),
+    b AS (
+        SELECT y, score,
+               NTILE(10) OVER (ORDER BY score, doc_id) AS bucket
+        FROM lab
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(MIN(score) AS BIGINT) AS score_lo,
+           CAST(MAX(score) AS BIGINT) AS score_hi,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) * 10000 // COUNT(*) AS BIGINT) AS pos_rate_bp
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def classifier_calibration(spark, sf_dir):
+    """Calibration curve (reliability table) for the quality
+    classifier against the 'is English' label: score deciles (NTILE
+    with (score, doc_id) tie-break — deterministic bucket edges) ×
+    observed positive rate. The companion to `classifier_auc`: AUC
+    says the ranking works, this says WHERE the score is trustworthy.
+    One shuffle to score, one NTILE sort over (score, id) pairs."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    scores = textstats.hashed_linear_score(docs).select("doc_id", "score_milli")
+    lab = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+    ).join(scores, "doc_id")
+    b = lab.withColumn(
+        "bucket", F.ntile(10).over(Window.orderBy("score_milli", "doc_id"))
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("score_milli").cast("bigint").alias("score_lo"),
+            F.max("score_milli").cast("bigint").alias("score_hi"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.expr("sum(y) * 10000 DIV count(*)").alias("pos_rate_bp"),
+        )
+        .orderBy("bucket")
+    )
