@@ -731,3 +731,70 @@ def customer_snapshot_diff(spark, sf_dir):
         )
         .orderBy("op")
     )
+
+
+@register(
+    "part_association_rules",
+    """
+    WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                     FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM baskets),
+    item AS (SELECT p, COUNT(*) AS c FROM baskets GROUP BY p),
+    pair AS (
+        SELECT a.p AS p_a, b.p AS p_b, COUNT(*) AS c_ab
+        FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 3
+    )
+    SELECT p_a, p_b, c_ab,
+           CAST(c_ab * 10000 // ia.c AS BIGINT) AS confidence_bp,
+           CAST(c_ab * n.n_orders * 1000 // (ia.c * ib.c) AS BIGINT)
+               AS lift_milli
+    FROM pair
+    JOIN item ia ON ia.p = p_a
+    JOIN item ib ON ib.p = p_b, n
+    ORDER BY lift_milli DESC, c_ab DESC, p_a, p_b LIMIT 20
+    """,
+)
+def part_association_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets: pair
+    support (co-occurrence count, min 3), confidence P(b|a) in basis
+    points, lift P(a,b)/(P(a)P(b)) in milli-units — all integer
+    cross-multiplied, so the ranking is engine-exact (float lift is
+    not). Top-20 by lift. The frequent-itemset support counts reduce
+    per item/pair BEFORE any join (the a-priori shape); the basket
+    self-join is order-key-blocked, never corpus².
+
+    At 100 TB the pair explosion is bounded by per-basket size (same
+    blocking as the co-purchase graph); a hot mega-basket is the skew
+    to cap first (basket-size ceiling before the self-join)."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = baskets.select("o").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    item = baskets.groupBy("p").agg(F.count("*").alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p_a"), F.col("b.p").alias("p_b"))
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    ia = item.select(F.col("p").alias("p_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("p").alias("p_b"), F.col("c").alias("c_b"))
+    return (
+        pair.join(ia, "p_a")
+        .join(ib, "p_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p_a",
+            "p_b",
+            "c_ab",
+            F.expr("c_ab * 10000 DIV c_a").alias("confidence_bp"),
+            F.expr("c_ab * n_orders * 1000 DIV (c_a * c_b)").alias("lift_milli"),
+        )
+        .orderBy(F.desc("lift_milli"), F.desc("c_ab"), "p_a", "p_b")
+        .limit(20)
+    )

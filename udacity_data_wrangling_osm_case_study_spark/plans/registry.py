@@ -69,6 +69,7 @@ _VERIFY_FIRST = (
     "knn_pq_adc",
     "customer_snapshot_diff",
     "classifier_calibration",
+    "part_association_rules",
     "duplicated_span_share",
     "subword_vocab",
     "orders_column_profile",
