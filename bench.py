@@ -77,6 +77,12 @@ HEADLINE = [
     "top_words",
     "purchase_click_attribution",
     "error_followup_pairs",
+    "event_value_resample_locf",
+    "session_peak_concurrency",
+    "event_transition_matrix",
+    "event_value_mad_outliers",
+    "part_pareto_frontier",
+    "stratified_doc_sample",
     "train_val_test_split",
     "training_order_shuffle",
     "sequence_packing",

@@ -50,3 +50,51 @@ def test_range_join_banded(spark):
     ).collect()
     got = {(r.l_error_id, r.r_event_id): r.gap_seconds for r in rows}
     assert got == {(10, 21): 180, (10, 22): 300}
+
+
+def test_resample_locf_fills_gaps(spark):
+    from pyspark.sql import functions as F
+
+    # key 1 observed in minute-buckets 0 and 3 (gap at 1, 2)
+    df = spark.createDataFrame(
+        [(1, _ts(0), 10), (1, _ts(3), 30), (2, _ts(5), 50)],
+        ["k", "ts", "v"],
+    ).withColumn("agg_v", F.col("v").cast("decimal(18,2)"))
+    out = temporal.resample_locf(
+        df, key="k", time_col="ts", bucket_seconds=60
+    )
+    rows = {
+        (r.k, r.b): (r.n_obs, None if r.filled_agg_v is None else int(r.filled_agg_v))
+        for r in out.collect()
+    }
+    base = _ts(0).timestamp() // 60
+    # dense grid per key, zero-count gap buckets carry the last value
+    assert rows[(1, base + 0)] == (1, 10)
+    assert rows[(1, base + 1)] == (0, 10)
+    assert rows[(1, base + 2)] == (0, 10)
+    assert rows[(1, base + 3)] == (1, 30)
+    assert rows[(2, base + 5)] == (1, 50)
+    assert len(rows) == 5  # key 2's grid spans only its own range
+
+
+def test_interval_concurrency_sweep(spark):
+    # overlapping, touching, and zero-length intervals
+    iv = spark.createDataFrame(
+        [
+            (_ts(0), _ts(10)),   # A
+            (_ts(5), _ts(15)),   # B overlaps A
+            (_ts(15), _ts(20)),  # C touches B's end → concurrent at 15
+            (_ts(30), _ts(30)),  # D zero-length
+        ],
+        ["st", "en"],
+    )
+    out = temporal.interval_concurrency(iv, "st", "en")
+    by_key = {(r.ep_us, r.is_start): r.concurrency for r in out.collect()}
+    us = lambda m: int(_ts(m).timestamp() * 1_000_000)
+    assert by_key[(us(0), True)] == 1
+    assert by_key[(us(5), True)] == 2     # A and B open
+    assert by_key[(us(10), False)] == 1   # A closed
+    assert by_key[(us(15), True)] == 2    # C opens BEFORE B's end processes
+    assert by_key[(us(15), False)] == 1
+    assert by_key[(us(30), True)] == 1    # zero-length opens...
+    assert by_key[(us(30), False)] == 0   # ...then closes, never negative

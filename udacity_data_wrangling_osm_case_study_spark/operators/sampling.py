@@ -155,3 +155,32 @@ def deterministic_shuffle(
         ranked.withColumn("pos", F.col("start"))
         .drop("_shuffle_key", "_one", "start")
     )
+
+
+def stratified_sample_rate(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    rate_pct: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Proportional stratified sampling: keep ``rate_pct`` percent of
+    EVERY stratum (floor(n x rate / 100) rows), so the sample preserves
+    the strata mix exactly — unlike :func:`per_key_cap` (fixed ceiling,
+    reshapes the mix) or :func:`deterministic_sample` (global rate,
+    per-stratum share only in expectation).
+
+    Selection is the stable md5 draw ranked within the stratum; the
+    keep rule is integer cross-multiplied (rank x 100 <= n x rate) so
+    the same rows survive in any engine. One shuffle on the strata key;
+    the per-stratum count rides the same window (no extra pass).
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols)
+    wo = w.orderBy(h, id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_rn") * 100 <= F.col("_n") * rate_pct)
+        .drop("_rn", "_n")
+    )

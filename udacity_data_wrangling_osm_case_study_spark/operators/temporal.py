@@ -151,3 +151,99 @@ def trailing_spikes(
         (F.col("_n_prev") == lookback)
         & (den * lookback * F.col(n_col) >= num * F.col("trailing"))
     ).drop("_n_prev")
+
+
+def resample_locf(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    bucket_seconds: int,
+    cnt_col: str = "n_obs",
+) -> DataFrame:
+    """Time-grid resampling with last-observation-carried-forward: for
+    each key, a dense grid of ``bucket_seconds`` buckets spanning that
+    key's observed range, each carrying the bucket's observation count
+    (0 on gaps) and the latest non-empty bucket's aggregate carried
+    forward (the gap-fill a hypertable/rollup engine performs).
+
+    Shape at scale: one groupBy on (key, bucket) reduces raw rows to
+    bucket rows; the grid is generated per key by ``sequence`` +
+    ``explode`` off the per-key (min, max) aggregate — row-local after
+    a per-key reduction, never a driver loop; the fill is one ordered
+    window per key over *bucket* rows (dense grid length, not raw-event
+    length). Grid length per key is range/bucket — bound it by choosing
+    the bucket for the retention window, exactly as a rollup table
+    would. Callers aggregate values with exact types (decimal) before
+    the fill; no float accumulation order leaks into results.
+    """
+    ep = F.unix_micros(F.col(time_col))
+    bucket_us = bucket_seconds * 1_000_000
+    bucketed = df.withColumn("_b", F.floor(ep / bucket_us).cast("long"))
+    # caller-visible per-bucket observation aggregates (exact types)
+    agg_cols = [c for c in bucketed.columns if c.startswith("agg_")]
+    obs = bucketed.groupBy(F.col(key).alias("k"), F.col("_b").alias("b")).agg(
+        F.count("*").alias(cnt_col),
+        *[F.sum(c).alias(c) for c in agg_cols],
+    )
+    spans = bucketed.groupBy(F.col(key).alias("k")).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = spans.select(
+        "k", F.explode(F.sequence("_lo", "_hi")).alias("b")
+    )
+    filled = grid.join(obs, ["k", "b"], "left")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = filled.withColumn(cnt_col, F.coalesce(F.col(cnt_col), F.lit(0)))
+    for c in agg_cols:
+        out = out.withColumn(f"filled_{c}", F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line concurrency over closed intervals: for every boundary
+    instant, how many intervals are open. Returns one row per distinct
+    boundary key with ``ep_us`` (microseconds), ``is_start`` and
+    ``concurrency`` (the running open count AFTER processing all
+    boundaries at that key). Starts order before ends at the same
+    instant, so touching/zero-length intervals count as overlapping at
+    the shared instant (closed-interval convention).
+
+    Scale shape: the classic formulation is a cumulative sum over ONE
+    global ordering — a single-partition window. Here boundaries are
+    first reduced to distinct keys (groupBy, map-side combinable), then
+    the running sum uses the two-phase distributed prefix sum from
+    ``operators.packing`` (range partition → per-partition cumsum →
+    broadcast per-partition bases): no node ever sees more than its
+    slice of the timeline.
+    """
+    from udacity_data_wrangling_osm_case_study_spark.operators.packing import global_token_offsets
+
+    starts = intervals.select(
+        (F.unix_micros(F.col(start_col)) * 2).alias("k_enc"),
+        F.lit(1).alias("delta"),
+    )
+    ends = intervals.select(
+        (F.unix_micros(F.col(end_col)) * 2 + 1).alias("k_enc"),
+        F.lit(-1).alias("delta"),
+    )
+    # one row per distinct boundary key -> rows-frame == range-frame,
+    # so the prefix sum is deterministic without a tiebreak column
+    deltas = (
+        starts.unionByName(ends)
+        .groupBy("k_enc")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    swept = global_token_offsets(deltas, order_col="k_enc", ntok_col="delta")
+    return swept.select(
+        F.expr("k_enc div 2").alias("ep_us"),
+        (F.col("k_enc") % 2 == 0).alias("is_start"),
+        (F.col("start") + F.col("delta")).cast("long").alias("concurrency"),
+    )

@@ -304,3 +304,49 @@ def training_batch_manifest(spark, sf_dir):
         )
         .orderBy("seq_id")
     )
+
+
+@register(
+    "stratified_doc_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source, lang
+                   ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY source, lang) AS n
+        FROM documents
+    ),
+    kept AS (SELECT doc_id, source, lang FROM ranked WHERE rn * 100 <= n * 10)
+    SELECT r.source, r.lang,
+           CAST(MAX(r.n) AS BIGINT) AS n_docs,
+           COUNT(k.doc_id) AS n_kept,
+           CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+    FROM ranked r
+    LEFT JOIN kept k ON r.doc_id = k.doc_id
+    GROUP BY r.source, r.lang ORDER BY r.source, r.lang
+    """,
+)
+def stratified_doc_sample(spark, sf_dir):
+    """Proportional stratified sampling audit: a deterministic 10%
+    draw from EVERY (source, lang) stratum — the mix-preserving sample
+    (vs per_source_cap's fixed ceiling, which reshapes the mix). The
+    per-stratum kept-id checksum attests WHICH docs were drawn, not
+    just how many. Integer cross-multiplied keep rule — engine-exact."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    kept = sampling.stratified_sample_rate(
+        docs, ["source", "lang"], "doc_id", rate_pct=10
+    ).select(F.col("doc_id").alias("kept_id"))
+    return (
+        docs.join(kept, docs.doc_id == kept.kept_id, "left")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("kept_id").alias("n_kept"),
+            F.coalesce(F.sum("kept_id"), F.lit(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("source", "lang")
+    )

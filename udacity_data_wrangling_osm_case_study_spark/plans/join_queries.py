@@ -798,3 +798,37 @@ def part_association_rules(spark, sf_dir):
         .orderBy(F.desc("lift_milli"), F.desc("c_ab"), "p_a", "p_b")
         .limit(20)
     )
+
+
+@register(
+    "part_pareto_frontier",
+    """
+    SELECT p_partkey, p_name,
+           ROUND(p_retailprice, 2) AS price, p_size AS size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice < p.p_retailprice AND q.p_size > p.p_size
+    )
+    ORDER BY price, p_partkey
+    """,
+)
+def part_pareto_frontier(spark, sf_dir):
+    """Skyline: the parts no other part beats on BOTH price (lower)
+    and size (bigger) — the classic multi-criteria shortlist. The
+    engine computes it join-free via a distributed strict-prefix max
+    over price levels (operators.skyline — O(n log n), two-phase, no
+    single-partition window); the oracle is the O(n^2) NOT EXISTS
+    dominance join, so the green row attests cross-ALGORITHM
+    equivalence, not just reimplementation agreement."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import skyline
+
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    frontier = skyline.pareto_frontier_2d(part, "p_retailprice", "p_size")
+    return frontier.select(
+        "p_partkey", "p_name",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").alias("size"),
+    ).orderBy("price", "p_partkey")

@@ -53,6 +53,12 @@ _loaded = False
 # kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
+    "event_value_resample_locf",
+    "session_peak_concurrency",
+    "stratified_doc_sample",
+    "event_transition_matrix",
+    "event_value_mad_outliers",
+    "part_pareto_frontier",
     "semantic_dedup",
     "cms_heavy_hitters",
     "sq_codes",

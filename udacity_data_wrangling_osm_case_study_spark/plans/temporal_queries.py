@@ -3,6 +3,7 @@ operator classes the reference lacks entirely (SURVEY.md §2.3)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from udacity_data_wrangling_osm_case_study_spark.operators import temporal
@@ -87,3 +88,124 @@ def error_followup_pairs(spark, sf_dir):
         F.col("r_event_type").alias("followup_type"),
         "gap_seconds",
     ).orderBy("error_id", "followup_id")
+
+
+@register(
+    "event_value_resample_locf",
+    """
+    WITH b AS (
+        SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS b,
+               COUNT(*) AS n_obs,
+               SUM(CAST(value AS DECIMAL(18,2))) AS s
+        FROM events WHERE user_id < 3 GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, u.b
+             FROM spans, LATERAL unnest(range(lo, hi + 1)) AS u(b)),
+    j AS (SELECT g.user_id, g.b, COALESCE(n_obs, 0) AS n_obs, s
+          FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.b = b.b)
+    SELECT user_id, b AS hour_bucket, n_obs,
+           ROUND(CAST(last_value(s IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS filled_value
+    FROM j ORDER BY user_id, hour_bucket
+    """,
+)
+def event_value_resample_locf(spark, sf_dir):
+    """Time-grid resampling + gap fill: each user's event stream
+    re-gridded to dense hourly buckets (sequence+explode off the
+    per-key span — no driver loop) with per-bucket counts and the
+    hourly value sum carried forward across gaps (LOCF), the
+    continuous-aggregate/rollup shape of a timeseries store. Sums are
+    exact decimals; the fill window runs over bucket rows, not raw
+    events. The reference has no timeseries surface (SURVEY.md §2.3);
+    this extends the as-of family."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 3)
+    prepped = ev.select(
+        "user_id", "ts",
+        F.col("value").cast("decimal(18,2)").alias("agg_value"),
+    )
+    out = temporal.resample_locf(
+        prepped, key="user_id", time_col="ts", bucket_seconds=3600
+    )
+    return out.select(
+        F.col("k").alias("user_id"),
+        F.col("b").alias("hour_bucket"),
+        "n_obs",
+        F.round(F.col("filled_agg_value").cast("double"), 2).alias("filled_value"),
+    ).orderBy("user_id", "hour_bucket")
+
+
+@register(
+    "session_peak_concurrency",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM g
+    ),
+    iv AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+           FROM s GROUP BY 1, 2),
+    bnd AS (
+        SELECT epoch_us(st) * 2 AS k_enc, 1 AS d FROM iv
+        UNION ALL
+        SELECT epoch_us(en) * 2 + 1 AS k_enc, -1 AS d FROM iv
+    ),
+    dd AS (SELECT k_enc, SUM(d) AS d FROM bnd GROUP BY k_enc),
+    r AS (
+        SELECT k_enc,
+               SUM(d) OVER (ORDER BY k_enc
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS conc
+        FROM dd
+    )
+    SELECT CAST(k_enc // 2 // 3600000000 AS BIGINT) AS hour_bucket,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrency
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def session_peak_concurrency(spark, sf_dir):
+    """Interval sweep-line: sessionize every user (30-min gap), then
+    per hour the PEAK number of concurrently-open sessions — the
+    capacity-planning query over intervals. The global running open
+    count uses the two-phase distributed prefix sum (no
+    single-partition window; see operators.temporal.interval_concurrency);
+    the oracle computes the identical sweep with a plain SQL window.
+    Closed-interval convention: starts order before ends at the same
+    instant."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ns = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = (
+        ev.withColumn("ns", ns)
+        .withColumn(
+            "sid",
+            F.sum("ns").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    swept = temporal.interval_concurrency(sess, "st", "en")
+    return (
+        swept.groupBy(
+            F.expr("ep_us div 3600000000").cast("long").alias("hour_bucket")
+        )
+        .agg(F.max("concurrency").cast("long").alias("max_concurrency"))
+        .orderBy("hour_bucket")
+    )

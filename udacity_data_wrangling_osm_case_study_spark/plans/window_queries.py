@@ -652,3 +652,134 @@ def event_spikes(spark, sf_dir):
         )
         .orderBy("event_type", "window_start_epoch_5min")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pair AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS t FROM pair GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, p.n,
+           CAST(p.n * 10000 // t.t AS BIGINT) AS prob_bp
+    FROM pair p JOIN tot t ON p.prev_type = t.prev_type
+    ORDER BY p.prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    stream: lag within (user, time) order, then count (prev, next)
+    pairs and the row-normalized transition probability in basis
+    points (integer division — engine-exact, no float normalization).
+    One shuffle on user (the lag window), one on the pair key; the
+    totals side is |event_type|^2 rows — broadcast. The
+    sequence-analytics face of the sessionization family."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type", "next_type", "n",
+            F.expr("n * 10000 DIV t").alias("prob_bp"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "event_value_mad_outliers",
+    """
+    WITH r AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
+    d AS (
+        SELECT r.event_type, r.event_id, ABS(r.value - m.med) AS dev, m.med
+        FROM r JOIN med m ON r.event_type = m.event_type
+    ),
+    r2 AS (
+        SELECT event_type, event_id, dev, med,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY dev, event_id) AS rn2,
+               COUNT(*) OVER (PARTITION BY event_type) AS n2
+        FROM d
+    ),
+    mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn2 = (n2 + 1) // 2)
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 2) AS median_value,
+           ROUND(MAX(mad.mad), 2) AS mad_value,
+           COUNT(*) FILTER (WHERE d.dev > 3 * mad.mad) AS n_outliers,
+           CAST(COALESCE(SUM(d.event_id)
+                             FILTER (WHERE d.dev > 3 * mad.mad), 0) AS BIGINT)
+               AS outlier_id_sum
+    FROM d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def event_value_mad_outliers(spark, sf_dir):
+    """Robust outlier detection per event type: median + median
+    absolute deviation, flagging |x - med| > 3 x MAD. Medians are the
+    DISCRETE lower median (the value at rank (n+1) div 2 under a fully
+    tie-broken ordering) — an actual data value, so both engines agree
+    bit-for-bit where an interpolating percentile would not. The
+    outlier-id checksum attests WHICH events were flagged.
+
+    Shape: two ranked windows keyed on event_type plus two broadcast
+    median joins. Low-cardinality key caveat: with few types the window
+    sort concentrates on |types| partitions; at 100 TB swap the ranked
+    window for a distributed-selection median (binary search over
+    value with salted partial counts) — the flagging join is unchanged."""
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_all = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "med",
+    )
+    w_rank2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    r2 = d.withColumn("rn2", F.row_number().over(w_rank2)).withColumn(
+        "n2", F.count("*").over(w_all)
+    )
+    mad = r2.filter(F.col("rn2") == F.expr("(n2 + 1) div 2")).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    flagged = d.join(F.broadcast(mad), "event_type")
+    is_out = F.col("dev") > 3 * F.col("mad")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 2).alias("median_value"),
+            F.round(F.max("mad"), 2).alias("mad_value"),
+            F.count_if(is_out).alias("n_outliers"),
+            F.coalesce(F.sum(F.when(is_out, F.col("event_id"))), F.lit(0))
+            .cast("bigint")
+            .alias("outlier_id_sum"),
+        )
+        .orderBy("event_type")
+    )
