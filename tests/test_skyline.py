@@ -72,3 +72,54 @@ def test_stratified_sample_rate_counts_and_stability(spark):
         df.repartition(13), ["src"], "id", rate_pct=10
     )
     assert {r.id for r in kept.collect()} == {r.id for r in kept2.collect()}
+
+
+def test_new_operators_tolerate_empty_inputs(spark):
+    """Degenerate-input sweep for this round's operators: empty frames
+    in, empty frames (not exceptions) out."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import temporal
+
+    empty_pts = spark.createDataFrame(
+        [], StructType([
+            StructField("id", LongType()),
+            StructField("x", LongType()),
+            StructField("y", IntegerType()),
+        ])
+    )
+    assert skyline.pareto_frontier_2d(empty_pts, "x", "y").count() == 0
+    assert skyline.strict_prefix_max(empty_pts, "x", "y", "m").count() == 0
+
+    empty_iv = spark.createDataFrame(
+        [], StructType([
+            StructField("st", TimestampType()),
+            StructField("en", TimestampType()),
+        ])
+    )
+    assert temporal.interval_concurrency(empty_iv, "st", "en").count() == 0
+
+    empty_obs = spark.createDataFrame(
+        [], StructType([
+            StructField("k", LongType()),
+            StructField("ts", TimestampType()),
+        ])
+    )
+    assert temporal.resample_locf(empty_obs, "k", "ts", 60).count() == 0
+
+    empty_strat = spark.createDataFrame(
+        [], StructType([
+            StructField("id", LongType()),
+            StructField("src", StringType()),
+        ])
+    )
+    assert sampling.stratified_sample_rate(
+        empty_strat, ["src"], "id", 10
+    ).count() == 0
