@@ -232,3 +232,20 @@ def test_training_order_shuffle_no_single_partition_window(spark):
         # PARTITIONED by it; the tiny totals cumsum ORDERS by it). A
         # naive global rank over the shuffle hash would contain neither.
         assert "_part" in spec, spec
+
+
+def test_sweepline_and_skyline_no_single_partition_window(spark):
+    """The interval sweep and the skyline prefix-max must use the
+    two-phase distributed pattern: every corpus-scale window in the
+    plan is partitioned by the physical partition id (the only
+    unpartitioned windows run over the #partitions-row totals frame)."""
+    for name in ("session_peak_concurrency", "part_pareto_frontier"):
+        p = _plan(spark, name)
+        specs = [s.split(")")[0] for s in p.split("windowspecdefinition(")[1:]]
+        assert specs, name
+        for spec in specs:
+            # sessionization windows partition by user_id; prefix-sum /
+            # prefix-max windows partition (or order, for the tiny
+            # totals frame) by _part. An unpartitioned ORDER BY over
+            # the full boundary/level frame would contain neither.
+            assert "_part" in spec or "user_id" in spec, (name, spec)

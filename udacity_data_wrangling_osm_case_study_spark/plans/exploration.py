@@ -612,3 +612,49 @@ def cms_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("est_n"), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    """
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY yr, mo ORDER BY yr, mo
+    """,
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Incremental view maintenance: the monthly-revenue aggregate is
+    NOT recomputed from the full fact table — a pre-existing partial
+    aggregate (the "yesterday" 6/7 of orders) is merged with the
+    partial aggregate of the new delta batch (the remaining 1/7) by
+    re-aggregating the union of partials: counts add, decimal sums
+    add. The oracle computes the same aggregate from the full table in
+    one pass, so the green row attests the merge algebra — the
+    cross-ALGORITHM check that makes incremental rollup maintenance
+    trustworthy. At 100 TB this is the difference between scanning a
+    day and scanning a decade; the merge cost scales with |groups|,
+    not |facts|."""
+    od = table(spark, sf_dir, "orders")
+    _dec = "decimal(18,2)"
+
+    def partial(df):
+        return df.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_dec)).alias("rev"),
+        )
+
+    base = partial(od.filter(F.col("o_orderkey") % 7 != 0))   # maintained view
+    delta = partial(od.filter(F.col("o_orderkey") % 7 == 0))  # new batch
+    return (
+        base.unionByName(delta)
+        .groupBy("yr", "mo")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("yr", "mo")
+    )

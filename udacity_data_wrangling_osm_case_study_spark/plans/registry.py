@@ -59,6 +59,7 @@ _VERIFY_FIRST = (
     "event_transition_matrix",
     "event_value_mad_outliers",
     "part_pareto_frontier",
+    "incremental_agg_maintenance",
     "semantic_dedup",
     "cms_heavy_hitters",
     "sq_codes",
