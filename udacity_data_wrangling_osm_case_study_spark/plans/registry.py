@@ -60,6 +60,7 @@ _VERIFY_FIRST = (
     "event_value_mad_outliers",
     "part_pareto_frontier",
     "incremental_agg_maintenance",
+    "rolling_distinct_users",
     "semantic_dedup",
     "cms_heavy_hitters",
     "sq_codes",
