@@ -165,6 +165,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ann_recall_report",  # 1-row query vector + count frames
         "knn_pq_adc",         # 1-row LUT bank + query vector
         "part_association_rules",  # 1-row order-count frame
+        "keyword_search_topk",     # 1-row corpus doc-count/avgdl frame
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

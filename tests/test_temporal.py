@@ -98,3 +98,62 @@ def test_interval_concurrency_sweep(spark):
     assert by_key[(us(15), False)] == 1
     assert by_key[(us(30), True)] == 1    # zero-length opens...
     assert by_key[(us(30), False)] == 0   # ...then closes, never negative
+
+
+def test_ewma_halving_exact_weights(spark):
+    # user 1: values 100, 200, 400 → ewma folds with weights 2^i
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1, 100), (1, _ts(1), 2, 200), (1, _ts(2), 3, 400)],
+        ["user_id", "ts", "event_id", "cents"],
+    )
+    out = temporal.ewma_halving(
+        df, key="user_id", order_cols=["ts", "event_id"],
+        value_col="cents", lookback=16,
+    )
+    got = {r.event_id: (r.n_window, r.ewma_num, r.ewma_den) for r in out.collect()}
+    # row 1: [100] → num 100·1, den 1
+    # row 2: [100, 200] → 100·1 + 200·2 = 500, den 3
+    # row 3: [100, 200, 400] → 100 + 400 + 1600 = 2100, den 7
+    assert got == {1: (1, 100, 1), 2: (2, 500, 3), 3: (3, 2100, 7)}
+
+
+def test_ewma_halving_truncates_lookback(spark):
+    rows = [(1, _ts(i), i, 10) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "cents"])
+    out = temporal.ewma_halving(
+        df, key="user_id", order_cols=["ts", "event_id"],
+        value_col="cents", lookback=3,
+    )
+    last = {r.event_id: (r.n_window, r.ewma_num, r.ewma_den) for r in out.collect()}[5]
+    # constant input: trailing window [10,10,10] → num 10·(1+2+4)=70, den 7
+    assert last == (3, 70, 7)
+
+
+def test_cusum_matches_recursive_definition(spark):
+    # hand-computed: target 5, values 9, 1, 9, 9, 1
+    # dev: 4, -4, 4, 4, -4 → S: 4, 0, 4, 8, 4
+    rows = [(1, _ts(i), i, v, 5) for i, v in enumerate([9, 1, 9, 9, 1])]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "cents", "target_c"]
+    )
+    out = temporal.cusum(
+        df, key="user_id", order_cols=["ts", "event_id"],
+        value_col="cents", target_col="target_c",
+    )
+    got = [r.cusum_stat for r in out.orderBy("event_id").collect()]
+    assert got == [4, 0, 4, 8, 4]
+
+
+def test_cusum_never_negative_and_resets(spark):
+    # long negative run pins S at 0; positive burst climbs from 0
+    vals = [1, 1, 1, 9, 9]
+    rows = [(1, _ts(i), i, v, 5) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "cents", "target_c"]
+    )
+    out = temporal.cusum(
+        df, key="user_id", order_cols=["ts", "event_id"],
+        value_col="cents", target_col="target_c",
+    )
+    got = [r.cusum_stat for r in out.orderBy("event_id").collect()]
+    assert got == [0, 0, 0, 4, 8]

@@ -203,6 +203,85 @@ def resample_locf(
     return out
 
 
+def ewma_halving(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    lookback: int = 16,
+) -> DataFrame:
+    """Trailing exponentially-weighted moving average with decay 1/2,
+    truncated at ``lookback`` observations — the smoothing pass a
+    metrics store applies before alerting. Exact across engines: the
+    decay is a power of two, so with integer inputs both numerator
+    (``Σ xᵢ·2^i``, oldest first) and denominator (``2^s − 1``) are
+    exact BIGINTs and the reported value is one integer division.
+
+    Shape at scale: ONE ordered window per key collects the trailing
+    ``lookback`` values; the weighted fold is a row-local array
+    aggregate (no second shuffle, no per-row Python). With cents input
+    and lookback 16 the numerator is bounded by ``max_cents·2^16`` —
+    far inside BIGINT.
+
+    Output adds ``_win`` (trailing array), ``n_window``, ``ewma_num``,
+    ``ewma_den``; callers project the scaled ratio.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    out = df.withColumn("_win", F.collect_list(F.col(value_col)).over(w))
+    # fold with positional powers-of-two weights: oldest element gets
+    # 2^0, newest 2^(s-1) — i.e. weight halves per step back in time
+    return (
+        out.withColumn("n_window", F.size("_win"))
+        .withColumn(
+            "ewma_num",
+            F.expr(
+                "aggregate(_win, named_struct('i', 0, 's', cast(0 as bigint)),"
+                " (a, x) -> named_struct('i', a.i + 1,"
+                "                        's', a.s + x * shiftleft(cast(1 as bigint), a.i)),"
+                " a -> a.s)"
+            ),
+        )
+        .withColumn(
+            "ewma_den",
+            F.expr("shiftleft(cast(1 as bigint), n_window) - 1"),
+        )
+    )
+
+
+def cusum(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    target_col: str,
+) -> DataFrame:
+    """One-sided CUSUM change detector per key: ``S_t = max(0,
+    S_{t-1} + (x_t − target))``, computed without recursion via the
+    prefix-sum identity ``S_t = P_t − min(0, min_{j≤t} P_j)`` where
+    ``P`` is the running sum of deviations. Two ordered windows over
+    the same (key, order) sort — Catalyst plans them as ONE shuffle +
+    one sort, each frame a single running accumulator. Integer inputs
+    stay integers end to end (no float drift resets the detector
+    differently across engines).
+
+    Output adds ``cusum_stat`` per row.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.col(value_col) - F.col(target_col)
+    out = df.withColumn("_p", F.sum(dev).over(w))
+    return out.withColumn(
+        "cusum_stat", F.col("_p") - F.least(F.min("_p").over(w), F.lit(0))
+    ).drop("_p")
+
+
 def interval_concurrency(
     intervals: DataFrame,
     start_col: str,

@@ -138,6 +138,124 @@ def event_value_resample_locf(spark, sf_dir):
 
 
 @register(
+    "event_value_ewma",
+    """
+    WITH r AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id < 5
+    ),
+    j AS (
+        SELECT a.user_id, a.event_id, a.rn,
+               LEAST(a.rn, 16) AS s,
+               b.cents, a.rn - b.rn AS d
+        FROM r a JOIN r b
+          ON a.user_id = b.user_id
+         AND b.rn BETWEEN a.rn - 15 AND a.rn
+    )
+    SELECT user_id, event_id,
+           CAST(MAX(s) AS BIGINT) AS n_window,
+           CAST(SUM(cents * (CAST(1 AS BIGINT) << (s - 1 - d))) * 10000
+                // ((CAST(1 AS BIGINT) << MAX(s)) - 1) AS BIGINT) AS ewma_micro
+    FROM j GROUP BY user_id, event_id
+    ORDER BY user_id, event_id
+    """,
+)
+def event_value_ewma(spark, sf_dir):
+    """Trailing EWMA (decay 1/2, 16-observation horizon) of each
+    user's event values — the metrics-store smoothing pass. Weights are
+    powers of two over integer cents, so numerator/denominator are
+    exact BIGINTs in both engines and the output is one integer
+    division (micro-units: value × 1e6). One ordered window + row-local
+    fold (operators.temporal.ewma_halving); the oracle recomputes the
+    identical weighted sum via a rank-banded self-join."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    prepped = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = temporal.ewma_halving(
+        prepped, key="user_id", order_cols=["ts", "event_id"],
+        value_col="cents", lookback=16,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("n_window").cast("long").alias("n_window"),
+        F.expr("ewma_num * 10000 div ewma_den").alias("ewma_micro"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "event_value_cusum",
+    """
+    WITH c AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    t AS (SELECT user_id, SUM(cents) // COUNT(*) AS target_c FROM c GROUP BY user_id),
+    p AS (
+        SELECT c.user_id, c.ts, c.event_id, t.target_c,
+               SUM(c.cents - t.target_c) OVER (
+                   PARTITION BY c.user_id ORDER BY c.ts, c.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+        FROM c JOIN t USING (user_id)
+    ),
+    s AS (
+        SELECT user_id, target_c,
+               pf - LEAST(MIN(pf) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS st
+        FROM p
+    )
+    SELECT user_id, target_c,
+           CAST(MAX(st) AS BIGINT) AS max_cusum_c,
+           CAST(COUNT(*) FILTER (WHERE st > 20 * target_c) AS BIGINT) AS n_alarms
+    FROM s GROUP BY user_id, target_c
+    ORDER BY user_id
+    """,
+)
+def event_value_cusum(spark, sf_dir):
+    """One-sided CUSUM drift detection per user: deviations from the
+    user's own integer mean accumulate with reset-at-zero, reported as
+    the peak statistic and the count of alarm rows (S > 20×target).
+    The recursive ``max(0, prev + dev)`` is computed by the prefix-sum
+    identity (operators.temporal.cusum) — two running windows over ONE
+    (user, time) sort, no iteration. All-integer cents, so the
+    detector state is bit-identical across engines."""
+    ev = table(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    targets = cents.groupBy("user_id").agg(
+        F.expr("sum(cents) div count(*)").alias("target_c")
+    )
+    prepped = cents.join(F.broadcast(targets), "user_id")
+    out = temporal.cusum(
+        prepped, key="user_id", order_cols=["ts", "event_id"],
+        value_col="cents", target_col="target_c",
+    )
+    return (
+        out.groupBy("user_id", "target_c")
+        .agg(
+            F.max("cusum_stat").cast("long").alias("max_cusum_c"),
+            F.count(
+                F.when(F.col("cusum_stat") > 20 * F.col("target_c"), 1)
+            ).cast("long").alias("n_alarms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "session_peak_concurrency",
     """
     WITH g AS (

@@ -936,3 +936,102 @@ def classifier_calibration(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "keyword_search_topk",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS n_tokens FROM d),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(n_tokens) * 1000 // COUNT(*) AS avgdl_milli
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        WHERE term IN ('spark', 'merge', 'window')
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ((s.n_docs - df.df) * 1000000 // df.df)
+                   * (tf.tf * 1000)
+                   // (tf.tf * 1000
+                       + (1200 * (250 + (750 * (dl.n_tokens * 1000000
+                                               // s.avgdl_milli)) // 1000))
+                         // 1000) AS contrib
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           CAST(SUM(contrib) AS BIGINT) AS score_scaled
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_scaled DESC, doc_id
+    LIMIT 10
+    """,
+)
+def keyword_search_topk(spark, sf_dir):
+    """Full-text relevance search: BM25-shaped scoring (k1=1.2,
+    b=0.75) of a fixed keyword query over the corpus, top-10 docs.
+    The idf is the rational Robertson core ((N−df)/df, integer-scaled)
+    rather than its log — a monotone transform per term, chosen so the
+    whole score is exact integer arithmetic in both engines (the
+    repo-wide DIV convention; a float log differs in ulps across
+    libms).
+
+    Shape at scale: tokenize → explode → per-(doc, term) counts (one
+    shuffle on doc_id×term, map-side combinable after the term filter
+    prunes the explode); df and corpus stats are tiny frames broadcast
+    back; scoring is row-local; top-10 is TakeOrderedAndProject, never
+    a global sort. This is the inverted-index probe shape — at real
+    scale the tf frame IS the posting list, bucketed by term."""
+    docs = table(spark, sf_dir, "documents")
+    terms = ["spark", "merge", "window"]
+    toks = F.split(textstats.normalize_text(F.col("text")), " ")
+    d = docs.select("doc_id", toks.alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("n_tokens"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(n_tokens) * 1000 div count(*)").alias("avgdl_milli"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.expr(
+                "((n_docs - df) * 1000000 div df)"
+                " * (tf * 1000)"
+                " div (tf * 1000"
+                "      + (1200 * (250 + (750 * (n_tokens * 1000000"
+                "                               div avgdl_milli)) div 1000))"
+                "        div 1000)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+            F.sum("contrib").cast("bigint").alias("score_scaled"),
+        )
+        .orderBy(F.desc("score_scaled"), "doc_id")
+        .limit(10)
+    )
