@@ -78,6 +78,9 @@ HEADLINE = [
     "purchase_click_attribution",
     "error_followup_pairs",
     "event_value_resample_locf",
+    "event_value_ewma",
+    "event_value_cusum",
+    "keyword_search_topk",
     "session_peak_concurrency",
     "event_transition_matrix",
     "event_value_mad_outliers",

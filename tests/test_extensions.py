@@ -1127,3 +1127,26 @@ def test_snapshot_diff_classifies_ops(spark):
         for r in upsert.snapshot_diff(old, new, "k", ["name", "val"]).collect()
     }
     assert got == {(2, "U"), (3, "U"), (4, "D"), (5, "I")}
+
+
+def test_khop_reach_hand_computed(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    # path graph 1-2-3-4-5 plus an isolated edge 8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,), (3,), (8,)], ["seed"])
+    got = {r.seed: r.n_reach for r in graph.khop_reach(edges, seeds, k=2).collect()}
+    # from 1: {2, 3}; from 3: {1, 2, 4, 5}; from 8: {9}
+    assert got == {1: 2, 3: 4, 8: 1}
+
+
+def test_khop_reach_counts_each_vertex_once(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    # diamond: 1-2, 1-3, 2-4, 3-4 — vertex 4 reachable two ways from 1
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 4), (3, 4)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["seed"])
+    got = {r.seed: r.n_reach for r in graph.khop_reach(edges, seeds, k=2).collect()}
+    assert got == {1: 3}

@@ -73,6 +73,47 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
 
 
+def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
+    """Bounded-depth BFS: for each seed vertex, the number of OTHER
+    vertices reachable within ``k`` hops over an undirected simple
+    graph.
+
+    ``edges``: (src, dst) any order; ``seeds``: one column ``seed``.
+    Returns (seed, n_reach).
+
+    Plan shape: the frontier expands by one edge join + distinct per
+    hop (the Pregel superstep as a relational op); the visited set
+    accumulates by union + distinct. ``k`` is small and fixed so the
+    lineage stays shallow. Frontier frames carry (seed, v) pairs, so
+    multi-source BFS shares each edge scan across all seeds — one pass
+    per hop regardless of seed count, never one traversal per seed.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    frontier = seeds.select("seed", F.col("seed").alias("v"))
+    visited = frontier
+    for _ in range(k):
+        frontier = (
+            sym.join(frontier.withColumnRenamed("v", "src"), "src")
+            .select("seed", F.col("dst").alias("v"))
+            .distinct()
+        )
+        visited = visited.unionAll(frontier).distinct()
+    return (
+        visited.filter(F.col("seed") != F.col("v"))
+        .groupBy("seed")
+        .agg(F.count("*").cast("bigint").alias("n_reach"))
+    )
+
+
 def pagerank(
     edges: DataFrame, n_iter: int = 3, damping_pct: int = 85
 ) -> DataFrame:

@@ -670,6 +670,72 @@ def part_pagerank(spark, sf_dir):
 
 
 @register(
+    "part_2hop_reach",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    w AS (
+        SELECT o1.l_partkey AS a, o2.l_partkey AS b, COUNT(*) AS shared
+        FROM op o1 JOIN op o2
+          ON o1.l_orderkey = o2.l_orderkey AND o1.l_partkey < o2.l_partkey
+        GROUP BY o1.l_partkey, o2.l_partkey
+        HAVING COUNT(*) >= 2
+    ),
+    e AS (SELECT a AS src, b AS dst FROM w UNION ALL SELECT b, a FROM w),
+    seeds AS (SELECT DISTINCT l_partkey AS seed FROM lineitem
+              ORDER BY seed LIMIT 5),
+    h1 AS (SELECT DISTINCT s.seed, e.dst AS v
+           FROM seeds s JOIN e ON e.src = s.seed),
+    h2 AS (SELECT DISTINCT h1.seed, e.dst AS v
+           FROM h1 JOIN e ON e.src = h1.v),
+    vis AS (
+        SELECT seed, seed AS v FROM seeds
+        UNION SELECT seed, v FROM h1
+        UNION SELECT seed, v FROM h2
+    )
+    SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reach
+    FROM vis WHERE v <> seed GROUP BY seed ORDER BY seed
+    """,
+)
+def part_2hop_reach(spark, sf_dir):
+    """Bounded-depth BFS (k-hop reachability): how many parts lie
+    within 2 hops of each of the 5 lowest-keyed parts in the
+    co-purchase graph, thresholded to edges backed by ≥2 shared orders
+    (the support cut that keeps a co-occurrence graph sparse enough to
+    traverse at scale). Multi-source: all seeds ride ONE frontier
+    frame, so each hop is one edge join + distinct regardless of seed
+    count (operators.graph.khop_reach); the oracle unrolls the same
+    two hops as SQL joins."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("src", "dst")
+    )
+    seeds = (
+        op.select(F.col("l_partkey").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(5)
+    )
+    return graph.khop_reach(edges, seeds, k=2).orderBy("seed")
+
+
+@register(
     "customer_snapshot_diff",
     """
     WITH v1 AS (SELECT c_custkey AS k, c_name,

@@ -56,6 +56,9 @@ _VERIFY_FIRST = (
     "event_value_ewma",
     "event_value_cusum",
     "keyword_search_topk",
+    "part_2hop_reach",
+    "event_value_trend",
+    "embedding_covariance",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",

@@ -598,3 +598,75 @@ def knn_pq_adc(spark, sf_dir):
     q = emb.filter(F.col("vec_id") == 0).select(v.alias("q"))
     corpus = emb.filter(F.col("vec_id") != 0)
     return similarity.pq_adc_topk(corpus, cb, q, m=4, ksub=8, k=10, shortlist=30)
+
+
+@register(
+    "embedding_covariance",
+    """
+    WITH m AS (
+        SELECT {cols} FROM embeddings
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, {sums}
+        FROM m
+    ),
+    e AS (SELECT n, unnest([{structs}]) AS p FROM s)
+    SELECT p.i AS i, p.j AS j,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * p.sxy - p.sx * p.sy AS BIGINT) AS cov_num
+    FROM e ORDER BY i, j
+    """.format(
+        cols=", ".join(
+            f"CAST(ROUND(embedding[{i}] * 1000) AS BIGINT) AS m{i}"
+            for i in range(1, 9)
+        ),
+        sums=", ".join(
+            [f"SUM(m{i} * m{j}) AS s{i}_{j}" for i in range(1, 9) for j in range(i, 9)]
+            + [f"SUM(m{i}) AS s{i}" for i in range(1, 9)]
+        ),
+        structs=", ".join(
+            f"struct_pack(i := {i}, j := {j}, sxy := s{i}_{j}, sx := s{i}, sy := s{j})"
+            for i in range(1, 9)
+            for j in range(i, 9)
+        ),
+    ),
+)
+def embedding_covariance(spark, sf_dir):
+    """Feature co-moment (covariance) matrix over the first 8
+    embedding dimensions — the one-pass sufficient-statistics reduce
+    behind PCA/whitening in a training pipeline. Values are quantized
+    to integer milli-units first, so every product and sum is exact
+    BIGINT in both engines and the co-moment numerator ``n·Σxy −
+    Σx·Σy`` hashes identically; n stays far inside BIGINT bounds
+    (documented in the module header).
+
+    Shape at scale: ONE map-side-combinable aggregate computes all 36
+    upper-triangle pair sums plus the 8 marginals in a single pass
+    over the data (no per-pair shuffle, no self-join); the pivot to
+    (i, j) rows is a stack() over the 1-row result."""
+    emb = table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        *[
+            F.round(F.element_at("embedding", i) * 1000)
+            .cast("long")
+            .alias(f"m{i}")
+            for i in range(1, 9)
+        ]
+    )
+    pairs = [(i, j) for i in range(1, 9) for j in range(i, 9)]
+    s = m.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col(f"m{i}") * F.col(f"m{j}")).alias(f"s{i}_{j}") for i, j in pairs],
+        *[F.sum(f"m{i}").alias(f"s{i}") for i in range(1, 9)],
+    )
+    stack_args = ", ".join(
+        f"{i}, {j}, n * s{i}_{j} - s{i} * s{j}" for i, j in pairs
+    )
+    return (
+        s.select(
+            F.expr(f"stack({len(pairs)}, {stack_args}) AS (i, j, cov_num)"),
+            F.col("n"),
+        )
+        .select("i", "j", F.col("n").cast("bigint").alias("n"), "cov_num")
+        .orderBy("i", "j")
+    )

@@ -327,3 +327,79 @@ def session_peak_concurrency(spark, sf_dir):
         .agg(F.max("concurrency").cast("long").alias("max_concurrency"))
         .orderBy("hour_bucket")
     )
+
+
+@register(
+    "event_value_trend",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) // 1000000 AS ep
+        FROM events
+    ),
+    m AS (SELECT event_type, MIN(ep) AS ep0 FROM c GROUP BY event_type),
+    x AS (
+        SELECT c.event_type, c.cents,
+               (c.ep - m.ep0) // 3600 AS xh
+        FROM c JOIN m USING (event_type)
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*)::HUGEINT AS n,
+               SUM(xh)::HUGEINT AS sx,
+               SUM(cents)::HUGEINT AS sy,
+               SUM(xh * cents)::HUGEINT AS sxy,
+               SUM(xh * xh)::HUGEINT AS sxx
+        FROM x GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+           CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den,
+           CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS trend_sign
+    FROM s ORDER BY event_type
+    """,
+)
+def event_value_trend(spark, sf_dir):
+    """Per-group OLS trend: the least-squares slope of event value
+    over time (hours since the group's first event), reported as the
+    EXACT rational (numerator, denominator) pair — ``slope = (nΣxy −
+    ΣxΣy) / (nΣx² − (Σx)²)`` — so no float division or libm enters the
+    attestation; the sign column derives the direction. Sums
+    accumulate in DECIMAL(38,0) (HUGEINT oracle-side): addition order
+    cannot perturb them at any scale.
+
+    Shape: one broadcast join for the per-group epoch origin, then a
+    single map-side-combinable aggregate — the sufficient-statistics
+    pattern every distributed regression reduces to."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("unix_micros(ts) div 1000000").alias("ep"),
+    )
+    m = c.groupBy("event_type").agg(F.min("ep").alias("ep0"))
+    x = c.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "cents",
+        F.expr("(ep - ep0) div 3600").alias("xh"),
+    )
+    d38 = "decimal(38,0)"
+    s = x.groupBy("event_type").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("xh").cast(d38)).alias("sx"),
+        F.sum(F.col("cents").cast(d38)).alias("sy"),
+        F.sum((F.col("xh") * F.col("cents")).cast(d38)).alias("sxy"),
+        F.sum((F.col("xh") * F.col("xh")).cast(d38)).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        num.cast("string").alias("slope_num"),
+        den.cast("string").alias("slope_den"),
+        F.signum(num).cast("int").alias("trend_sign"),
+    ).orderBy("event_type")
