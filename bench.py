@@ -80,7 +80,10 @@ HEADLINE = [
     "event_value_resample_locf",
     "event_value_ewma",
     "event_value_cusum",
+    "event_value_trend",
     "keyword_search_topk",
+    "part_2hop_reach",
+    "embedding_covariance",
     "session_peak_concurrency",
     "event_transition_matrix",
     "event_value_mad_outliers",

@@ -21,6 +21,7 @@ frames that feed multiple downstream branches are cached, mirroring
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from udacity_data_wrangling_osm_case_study_spark.operators import (
@@ -349,4 +350,73 @@ def stratified_doc_sample(spark, sf_dir):
             .alias("kept_id_sum"),
         )
         .orderBy("source", "lang")
+    )
+
+
+@register(
+    "source_quantile_normalize",
+    """
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY source) AS n_s,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr
+        FROM d
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM d),
+    mapped AS (
+        SELECT doc_id, source, n_chars,
+               ((2 * r - 1) * t.n + n_s) // (2 * n_s) AS g
+        FROM ranked CROSS JOIN tot t
+    )
+    SELECT m.doc_id, m.source, m.n_chars,
+           CAST(lk.n_chars AS BIGINT) AS norm_chars
+    FROM mapped m
+    JOIN ranked lk ON lk.gr = m.g
+    ORDER BY m.doc_id
+    """,
+)
+def source_quantile_normalize(spark, sf_dir):
+    """Quantile normalization across sources — the batch-effect
+    correction applied before per-source features are comparable: each
+    doc's length is replaced by the value at the equivalent rank of
+    the GLOBAL length distribution (midpoint rank mapping, all-integer
+    DIV, so the mapping hashes identically across engines).
+
+    Shape at scale: the global rank comes from the two-phase
+    distributed prefix sum over a composite sortable key (never a
+    single-partition window — operators.packing.global_token_offsets);
+    per-source ranks are per-source ordered windows; the rank→value
+    lookup is a shuffle join on the mapped rank. The oracle computes
+    the identical mapping with plain SQL windows."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # composite sortable key: unique, orders by (n_chars, doc_id);
+    # doc_id stays < 1e7 at every shipped sf — at real scale range-
+    # partition on the (n_chars, doc_id) struct instead
+    keyed = docs.withColumn(
+        "_skey", F.col("n_chars") * 10_000_000 + F.col("doc_id")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    g_ranked = packing.global_token_offsets(
+        keyed, order_col="_skey", ntok_col="_one"
+    ).withColumn("gr", (F.col("start") + 1).cast("long"))
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (
+        g_ranked.withColumn("r", F.row_number().over(w_src))
+        .withColumn("n_s", F.count("*").over(Window.partitionBy("source")))
+    )
+    tot = docs.agg(F.count("*").alias("n"))
+    mapped = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "g", F.expr("((2 * r - 1) * n + n_s) div (2 * n_s)")
+    )
+    lookup = g_ranked.select("gr", F.col("n_chars").alias("norm_chars"))
+    return (
+        mapped.select("doc_id", "source", "n_chars", F.col("g").alias("gr"))
+        .join(lookup, "gr")
+        .select(
+            "doc_id", "source", "n_chars",
+            F.col("norm_chars").cast("bigint").alias("norm_chars"),
+        )
+        .orderBy("doc_id")
     )

@@ -59,6 +59,7 @@ _VERIFY_FIRST = (
     "part_2hop_reach",
     "event_value_trend",
     "embedding_covariance",
+    "source_quantile_normalize",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",
