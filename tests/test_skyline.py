@@ -123,3 +123,42 @@ def test_new_operators_tolerate_empty_inputs(spark):
     assert sampling.stratified_sample_rate(
         empty_strat, ["src"], "id", 10
     ).count() == 0
+
+
+def test_session_operators_tolerate_empty_inputs(spark):
+    """Degenerate sweep for this session's operators: EWMA, CUSUM,
+    k-hop BFS — empty in, empty out, no exceptions."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph, temporal
+
+    empty_ev = spark.createDataFrame(
+        [], StructType([
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("cents", LongType()),
+            StructField("target_c", LongType()),
+        ])
+    )
+    assert temporal.ewma_halving(
+        empty_ev, "user_id", ["ts", "event_id"], "cents"
+    ).count() == 0
+    assert temporal.cusum(
+        empty_ev, "user_id", ["ts", "event_id"], "cents", "target_c"
+    ).count() == 0
+
+    empty_e = spark.createDataFrame(
+        [], StructType([
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+        ])
+    )
+    seeds = spark.createDataFrame([(1,)], ["seed"])
+    # seeds with no edges reach nothing: empty result, not an error
+    assert graph.khop_reach(empty_e, seeds, k=2).count() == 0

@@ -455,3 +455,74 @@ def test_spike_alerts_stream_matches_batch(spark, events_dir, tmp_path):
         for r in spike_alerts.read_alerts(spark, state).collect()
     }
     assert again == got
+
+
+def test_cusum_stream_matches_batch(spark, events_dir):
+    """The streaming CUSUM's final per-user state must equal the batch
+    event_value_cusum statistics — across MULTIPLE micro-batches: the
+    source is staged as two time-split files consumed one per trigger,
+    so the carried (S, max, n) state is genuinely exercised."""
+    import shutil
+    import tempfile
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import temporal
+
+    ev = table(spark, SF_DIR, "events")
+    cents = ev.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    targets = cents.groupBy("user_id").agg(
+        F.expr("sum(cents) div count(*)").alias("target_c")
+    )
+
+    # stage two files split at the median ts; lexicographic names keep
+    # the early half in the first micro-batch
+    d = tempfile.mkdtemp(prefix="cusum_stream_")
+    try:
+        mid = ev.agg(
+            F.expr("percentile_approx(unix_micros(ts), 0.5)")
+        ).collect()[0][0]
+        early = ev.filter(F.unix_micros("ts") <= mid).coalesce(1)
+        late = ev.filter(F.unix_micros("ts") > mid).coalesce(1)
+        early.write.mode("overwrite").parquet(f"{d}/b0")
+        late.write.mode("overwrite").parquet(f"{d}/b1")
+
+        src = (
+            spark.readStream.schema(events_stream.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/b*")
+        )
+        prepped = src.select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ).join(targets, "user_id")  # stream-static join
+        stream = events_stream.cusum_user_drift(prepped)
+        events_stream.run_to_memory_sink(stream, "v_cusum", output_mode="update")
+        got = spark.table("v_cusum")
+        # last emitted row per user = final state
+        final = {
+            r.user_id: (r.n_obs, r.max_cusum)
+            for r in got.groupBy("user_id")
+            .agg(
+                F.max("n_obs").alias("n_obs"),
+                F.max("max_cusum").alias("max_cusum"),
+            )
+            .collect()
+        }
+
+        batch = temporal.cusum(
+            cents.join(F.broadcast(targets), "user_id"),
+            key="user_id", order_cols=["ts", "event_id"],
+            value_col="cents", target_col="target_c",
+        )
+        want = {
+            r.user_id: (r.n, r.mx)
+            for r in batch.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.max("cusum_stat").alias("mx"))
+            .collect()
+        }
+        assert final == want
+        assert len(final) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -197,6 +197,66 @@ def cms_user_event_counts(events: DataFrame) -> DataFrame:
     )
 
 
+CUSUM_OUTPUT_SCHEMA = "user_id bigint, n_obs bigint, cusum_stat bigint, max_cusum bigint"
+CUSUM_STATE_SCHEMA = "s bigint, mx bigint, n bigint"
+
+
+def cusum_user_drift(events: DataFrame) -> DataFrame:
+    """Streaming CUSUM drift detector — the stateful runtime of the
+    batch ``event_value_cusum`` query, sharing its exact semantics:
+    per user, ``S := max(0, S + (cents - target_c))`` over events in
+    time order, with the peak statistic tracked across the stream.
+
+    State is THREE bigints per user (current S, max S, n) — constant
+    regardless of stream length. Each micro-batch is vectorized: the
+    recursive clamp folds into the same prefix-sum identity the batch
+    operator uses (``S_i = P_i - min(0, running_min(P))`` with ``P``
+    seeded at the carried-in S — exact because S >= 0 always), so the
+    Python work is one cumsum + one running-min per batch, never a
+    scalar loop. Requires ``cents`` and ``target_c`` columns on the
+    input (the per-user target joins in from a static frame upstream —
+    a stream-static join); rows are ordered by (ts, event_id) within
+    the batch, and cross-batch order follows source file order, same
+    contract as the other per-key stateful operators here.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        s0, mx, n = state.get if state.exists else (0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            d = (
+                batch["cents"].to_numpy(dtype=np.int64)
+                - batch["target_c"].to_numpy(dtype=np.int64)
+            )
+            prefix = s0 + np.cumsum(d)
+            stat = prefix - np.minimum(np.minimum.accumulate(prefix), 0)
+            s0 = int(stat[-1])
+            mx = max(mx, int(stat.max()))
+            n += len(batch)
+        state.update((s0, mx, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_obs": [n],
+                "cusum_stat": [s0],
+                "max_cusum": [mx],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def click_purchase_pairs(
     events: DataFrame,
     lookback: str = "30 minutes",
