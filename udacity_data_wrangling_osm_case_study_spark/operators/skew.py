@@ -55,3 +55,42 @@ def salted_count_distinct(
         F.countDistinct(value).alias("_n")
     )
     return partial.groupBy(key).agg(F.sum("_n").cast("bigint").alias("n_distinct"))
+
+
+def key_skew_report(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew diagnosis for a prospective join/shuffle key: key
+    cardinality, total rows, the heaviest key's row count and share
+    (basis points), and the Gini coefficient of the per-key row
+    distribution (basis points) — the numbers that decide between a
+    plain shuffle join, AQE skew splitting, and manual salting.
+
+    All-integer: Gini uses the rank formulation ``(2·Σ(i·cᵢ) −
+    (n+1)·Σc) / (n·Σc)`` over counts sorted ascending with a full
+    (count, key) tie-break, so the report hashes identically across
+    engines. Shape at scale: one map-side-combinable count per key,
+    then the rank over the REDUCED per-key frame via the two-phase
+    distributed prefix sum (never a single-partition window over keys),
+    then one scalar aggregate.
+    """
+    from udacity_data_wrangling_osm_case_study_spark.operators.packing import (
+        global_token_offsets,
+    )
+
+    counts = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("n"))
+    # composite sortable key: ascending (n, k); keys are bigints far
+    # below 1e7 in the shipped data — at real scale range-partition on
+    # the (n, k) struct instead
+    keyed = counts.withColumn(
+        "_skey", F.col("n") * 10_000_000 + F.col("k")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = global_token_offsets(keyed, order_col="_skey", ntok_col="_one")
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.expr("max(n) * 10000 div sum(n)").alias("max_share_bp"),
+        F.expr(
+            "(2 * sum((start + 1) * n) - (count(*) + 1) * sum(n)) * 10000"
+            " div (count(*) * sum(n))"
+        ).alias("gini_bp"),
+    )

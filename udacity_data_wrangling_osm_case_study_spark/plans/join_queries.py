@@ -898,3 +898,34 @@ def part_pareto_frontier(spark, sf_dir):
         F.round("p_retailprice", 2).alias("price"),
         F.col("p_size").alias("size"),
     ).orderBy("price", "p_partkey")
+
+
+@register(
+    "partkey_skew_report",
+    """
+    WITH c AS (
+        SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n, k) AS i FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           CAST(MAX(n) * 10000 // SUM(n) AS BIGINT) AS max_share_bp,
+           CAST((2 * SUM(i * n) - (COUNT(*) + 1) * SUM(n)) * 10000
+                // (COUNT(*) * SUM(n)) AS BIGINT) AS gini_bp
+    FROM r
+    """,
+)
+def partkey_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis for lineitem.l_partkey: cardinality,
+    heaviest-key share, and the Gini coefficient of the per-key row
+    distribution, integer-exact (operators.skew.key_skew_report). The
+    operational pre-check before choosing shuffle vs salted vs
+    AQE-split join strategies at scale; the oracle recomputes the rank
+    formulation with a plain SQL window."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import skew
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    return skew.key_skew_report(li, "l_partkey")

@@ -60,6 +60,7 @@ _VERIFY_FIRST = (
     "event_value_trend",
     "embedding_covariance",
     "source_quantile_normalize",
+    "partkey_skew_report",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",
