@@ -40,7 +40,7 @@ def test_dimension_joins_broadcast(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    for name in ("top_contributors", "top_parts_by_revenue", "knn_bruteforce"):
+    for name in ("top_contributors", "top_parts_by_revenue", "knn_bruteforce", "keyword_search_topk"):
         p = _plan(spark, name)
         assert "TakeOrderedAndProject" in p, name
 
@@ -251,3 +251,22 @@ def test_sweepline_and_skyline_no_single_partition_window(spark):
             # totals frame) by _part. An unpartitioned ORDER BY over
             # the full boundary/level frame would contain neither.
             assert "_part" in spec or "user_id" in spec, (name, spec)
+
+
+def test_trend_sufficient_stats_plan(spark):
+    """event_value_trend must broadcast the per-group epoch-origin
+    frame (5 rows) and reduce with partial aggregation — a sort-merge
+    join or single-stage agg here would shuffle raw events twice."""
+    p = _plan(spark, "event_value_trend")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_ewma_single_sort_window(spark):
+    """The EWMA fold must run inside ONE ordered window pass: a single
+    per-key Sort/Window pair, no second exchange after the window."""
+    import re
+
+    p = _plan(spark, "event_value_ewma")
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1

@@ -61,6 +61,7 @@ _VERIFY_FIRST = (
     "embedding_covariance",
     "source_quantile_normalize",
     "partkey_skew_report",
+    "multitouch_attribution",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",

@@ -403,3 +403,75 @@ def event_value_trend(spark, sf_dir):
         den.cast("string").alias("slope_den"),
         F.signum(num).cast("int").alias("trend_sign"),
     ).orderBy("event_type")
+
+
+@register(
+    "multitouch_attribution",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts, event_id AS click_id FROM events
+        WHERE event_type = 'click'
+    ),
+    pairs AS (
+        SELECT p.event_id, c.click_id, c.ts AS c_ts
+        FROM purchases p
+        JOIN clicks c
+          ON p.user_id = c.user_id
+         AND p.ts > c.ts
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + 300 * 1000000
+    ),
+    ranked AS (
+        SELECT event_id, click_id,
+               ROW_NUMBER() OVER (PARTITION BY event_id
+                                  ORDER BY c_ts, click_id) AS r,
+               COUNT(*) OVER (PARTITION BY event_id) AS n_clicks
+        FROM pairs
+    )
+    SELECT event_id, click_id,
+           CAST(10000 // n_clicks
+                + CASE WHEN r = n_clicks THEN 10000 % n_clicks ELSE 0 END
+                AS BIGINT) AS credit_bp
+    FROM ranked ORDER BY event_id, click_id
+    """,
+)
+def multitouch_attribution(spark, sf_dir):
+    """Multi-touch (linear) attribution: every click within 5 minutes
+    BEFORE a purchase shares the credit equally, in integer basis
+    points with the remainder assigned to the latest touch — so each
+    purchase's credits sum to exactly 10,000 and the split hashes
+    identically across engines. Built on the banded range join
+    (operators.temporal.range_join — candidates only form between
+    adjacent time buckets) plus one per-purchase window over the PAIR
+    rows (already reduced, never raw events). Complements the
+    last-touch as-of join in purchase_click_attribution."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    pairs = temporal.range_join(
+        clicks, purchases, key="user_id", time_col="ts", max_gap_seconds=300
+    ).select(
+        F.col("r_event_id").alias("event_id"),
+        F.col("l_click_id").alias("click_id"),
+        F.col("l_t").alias("c_ts"),
+    )
+    w_rank = Window.partitionBy("event_id").orderBy("c_ts", "click_id")
+    w_all = Window.partitionBy("event_id")
+    ranked = pairs.withColumn("r", F.row_number().over(w_rank)).withColumn(
+        "n_clicks", F.count("*").over(w_all)
+    )
+    return ranked.select(
+        "event_id",
+        "click_id",
+        (
+            F.expr("10000 div n_clicks")
+            + F.when(F.col("r") == F.col("n_clicks"), F.expr("10000 % n_clicks"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("credit_bp"),
+    ).orderBy("event_id", "click_id")
