@@ -1150,3 +1150,26 @@ def test_khop_reach_counts_each_vertex_once(spark):
     seeds = spark.createDataFrame([(1,)], ["seed"])
     got = {r.seed: r.n_reach for r in graph.khop_reach(edges, seeds, k=2).collect()}
     assert got == {1: 3}
+
+
+def test_histogram_median_matches_sorted_definition(spark):
+    import random
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import stats
+
+    rng = random.Random(3)
+    rows = [(k, rng.randint(0, 9)) for k in ("a", "b") for _ in range(rng.choice([51, 52]))]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {r.k: (r.n, r.median) for r in stats.histogram_median(df, "k", "v").collect()}
+    for k in ("a", "b"):
+        vals = sorted(v for kk, v in rows if kk == k)
+        assert got[k] == (len(vals), vals[(len(vals) + 1) // 2 - 1])
+
+
+def test_histogram_median_heavy_ties(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import stats
+
+    # one bucket holds the rank: 10x1, 5x2, 1x3 -> n=16, rank 8 -> value 1
+    rows = [("k", 1)] * 10 + [("k", 2)] * 5 + [("k", 3)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    assert stats.histogram_median(df, "k", "v").collect()[0].median == 1

@@ -62,6 +62,7 @@ _VERIFY_FIRST = (
     "source_quantile_normalize",
     "partkey_skew_report",
     "multitouch_attribution",
+    "event_value_median_histogram",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",

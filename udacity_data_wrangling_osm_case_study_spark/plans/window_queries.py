@@ -853,3 +853,36 @@ def rolling_distinct_users(spark, sf_dir):
         )
         .orderBy("hour_bucket")
     )
+
+
+@register(
+    "event_value_median_histogram",
+    """
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MAX(CASE WHEN rn = (n + 1) // 2 THEN value END), 2) AS median
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_value_median_histogram(spark, sf_dir):
+    """Exact per-group median WITHOUT a raw-row sort: histogram
+    selection (operators.stats.histogram_median) — one map-side-
+    combinable (group, value) count, then the rank pick over histogram
+    rows. This is the scale-out selection the MAD query's docstring
+    promises for 100 TB; the oracle computes the same lower median the
+    expensive way (fully tie-broken ranked window over raw rows) — the
+    match proves the histogram shortcut is exact, ties included."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import stats
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    out = stats.histogram_median(ev, "event_type", "value")
+    return out.select(
+        "event_type", "n", F.round("median", 2).alias("median")
+    ).orderBy("event_type")
