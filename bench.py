@@ -82,6 +82,12 @@ HEADLINE = [
     "event_value_cusum",
     "event_value_trend",
     "keyword_search_topk",
+    "event_value_time_weighted_avg",
+    "sorted_neighborhood_pairs",
+    "event_value_median_histogram",
+    "partkey_skew_report",
+    "multitouch_attribution",
+    "source_quantile_normalize",
     "part_2hop_reach",
     "embedding_covariance",
     "session_peak_concurrency",

@@ -167,6 +167,7 @@ def test_no_cartesian_products_anywhere(spark):
         "part_association_rules",  # 1-row order-count frame
         "keyword_search_topk",     # 1-row corpus doc-count/avgdl frame
         "source_quantile_normalize",  # 1-row corpus total frame
+        "source_slot_allocation",     # 1-row corpus total frame
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

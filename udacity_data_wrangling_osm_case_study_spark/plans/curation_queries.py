@@ -420,3 +420,59 @@ def source_quantile_normalize(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "source_slot_allocation",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT SUM(n) AS s, COUNT(*) AS n_groups FROM c),
+    q AS (
+        SELECT source, n,
+               n * 1000 // t.s AS base,
+               n * 1000 % t.s AS rem
+        FROM c CROSS JOIN t
+    ),
+    r AS (
+        SELECT source, n, base, rem,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+               1000 - SUM(base) OVER () AS extra
+        FROM q
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+               AS slots
+    FROM r ORDER BY source
+    """,
+)
+def source_slot_allocation(spark, sf_dir):
+    """Proportional quota allocation by the largest-remainder method:
+    1000 sampling slots split across sources exactly proportionally —
+    integer floor quotas first, then the leftover slots go to the
+    largest remainders (source-name tie-break). Slots always sum to
+    exactly 1000, which a rounded float allocation cannot guarantee.
+    The per-group frame after the count is tiny (one row per source),
+    so the remainder ranking is a driver-scale window; the only
+    data-sized work is the map-side-combinable count."""
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("s"))
+    q = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        F.expr("n * 1000 div s").alias("base"),
+        F.expr("n * 1000 % s").alias("rem"),
+    )
+    w_rank = Window.orderBy(F.desc("rem"), "source")
+    w_all = Window.partitionBy()
+    r = q.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "extra", F.lit(1000) - F.sum("base").over(w_all)
+    )
+    return r.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        ).cast("bigint").alias("slots"),
+    ).orderBy("source")

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from udacity_data_wrangling_osm_case_study_spark.operators import fingerprint
+from udacity_data_wrangling_osm_case_study_spark.operators import fingerprint, packing
 from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
 
 _K = 8
@@ -136,3 +136,97 @@ def fingerprint_near_pairs(spark, sf_dir):
         fps, min_shared=_MIN_SHARED, max_fp_df=_MAX_FP_DF
     )
     return pairs.filter(F.col("overlap") >= _MIN_OVERLAP).orderBy("id_a", "id_b")
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, norm,
+               ROW_NUMBER() OVER (
+                   ORDER BY substr(norm, 1, 40), doc_id) AS rk
+        FROM d
+    ),
+    cand AS (
+        SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+               a.norm AS a_norm, b.norm AS b_norm
+        FROM r a JOIN r b
+          ON b.rk - a.rk BETWEEN 1 AND 3
+    ),
+    j AS (
+        SELECT a_doc, b_doc,
+               len(list_intersect(list_distinct(string_split(a_norm, ' ')),
+                                  list_distinct(string_split(b_norm, ' '))))
+                   AS n_common,
+               len(list_distinct(list_concat(
+                   list_distinct(string_split(a_norm, ' ')),
+                   list_distinct(string_split(b_norm, ' '))))) AS n_union
+        FROM cand
+    )
+    SELECT LEAST(a_doc, b_doc) AS a_doc,
+           GREATEST(a_doc, b_doc) AS b_doc,
+           CAST(n_common * 10000 // n_union AS BIGINT) AS jaccard_bp
+    FROM j
+    WHERE n_common * 2 >= n_union
+    ORDER BY a_doc, b_doc
+    """,
+)
+def sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood dedup (the classic record-linkage blocking
+    method, complementing prefix/LSH/fingerprint blocking): sort the
+    corpus by a normalized sort key (first 40 chars + id tie-break),
+    take candidate pairs only within a rank window of 3, verify with
+    exact word-set Jaccard ≥ 0.5 (integer basis points). Near-identical
+    docs share prefixes, so they land adjacent in sort order — O(n·w)
+    candidates instead of O(n²).
+
+    Shape at scale: the global rank uses the two-phase distributed
+    prefix sum over the string sort key (range partition — no
+    single-partition window); the rank-window join is an equi-join on
+    rank+offset (explode of 3 offsets); the Jaccard verify is row-local
+    array math on candidate pairs only."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ").alias("norm"),
+    )
+    keyed = d.withColumn(
+        "_skey",
+        F.concat(
+            F.rpad(F.substring("norm", 1, 40), 41, " "),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        ),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = packing.global_token_offsets(
+        keyed, order_col="_skey", ntok_col="_one"
+    ).select("doc_id", "norm", (F.col("start") + 1).alias("rk"))
+    toks = ranked.withColumn("tset", F.array_distinct(F.split("norm", " ")))
+    left = toks.select(
+        F.col("doc_id").alias("a_doc"),
+        F.col("tset").alias("a_set"),
+        F.explode(F.array(*[F.col("rk") + i for i in (1, 2, 3)])).alias("rk"),
+    )
+    right = toks.select(
+        F.col("doc_id").alias("b_doc"), F.col("tset").alias("b_set"), "rk"
+    )
+    cand = left.join(right, "rk")
+    j = cand.select(
+        "a_doc",
+        "b_doc",
+        F.size(F.array_intersect("a_set", "b_set")).alias("n_common"),
+        F.size(F.array_union("a_set", "b_set")).alias("n_union"),
+    )
+    return (
+        j.filter(F.col("n_common") * 2 >= F.col("n_union"))
+        .select(
+            F.least("a_doc", "b_doc").alias("a_doc"),
+            F.greatest("a_doc", "b_doc").alias("b_doc"),
+            F.expr("n_common * 10000 div n_union").alias("jaccard_bp"),
+        )
+        .orderBy("a_doc", "b_doc")
+    )

@@ -63,6 +63,9 @@ _VERIFY_FIRST = (
     "partkey_skew_report",
     "multitouch_attribution",
     "event_value_median_histogram",
+    "event_value_time_weighted_avg",
+    "source_slot_allocation",
+    "sorted_neighborhood_pairs",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",

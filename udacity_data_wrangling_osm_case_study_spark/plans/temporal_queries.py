@@ -475,3 +475,68 @@ def multitouch_attribution(spark, sf_dir):
             .otherwise(F.lit(0))
         ).cast("bigint").alias("credit_bp"),
     ).orderBy("event_id", "click_id")
+
+
+@register(
+    "event_value_time_weighted_avg",
+    """
+    WITH c AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000 AS ep,
+               event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, cents, ep,
+               COALESCE(LEAD(ep) OVER (PARTITION BY user_id
+                                       ORDER BY ep, event_id) - ep, 0) AS dt
+        FROM c
+    ),
+    s AS (
+        SELECT user_id, SUM(cents * dt) AS wsum,
+               MAX(ep) - MIN(ep) AS span_s
+        FROM d GROUP BY user_id
+    )
+    SELECT user_id, CAST(span_s AS BIGINT) AS span_s,
+           CAST(wsum * 10000 // span_s AS BIGINT) AS twa_micro
+    FROM s WHERE span_s > 0 ORDER BY user_id
+    """,
+)
+def event_value_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per user over irregular samples — each
+    value "holds" until the next observation (the timeseries-store
+    aggregate that a plain AVG gets wrong when sampling is uneven; the
+    last observation carries zero width). Integer end to end: cents ×
+    whole-second holds summed as BIGINT, one integer division to
+    micro-units (value × 1e6). Users whose span is zero (single event
+    or all in one second) are excluded — in both engines.
+
+    Shape: one ordered window (lead) and one groupBy over the same
+    (user, time) sort — Catalyst plans a single shuffle. BIGINT bounds:
+    cents·span_s ≤ 5e4·3e6 per hold; documented headroom to ~1e5
+    events/user at month spans, switch wsum to DECIMAL(38) beyond."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("ep"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    d = c.withColumn(
+        "dt", F.coalesce(F.lead("ep").over(w) - F.col("ep"), F.lit(0))
+    )
+    s = d.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dt")).alias("wsum"),
+        (F.max("ep") - F.min("ep")).alias("span_s"),
+    )
+    return (
+        s.filter(F.col("span_s") > 0)
+        .select(
+            "user_id",
+            F.col("span_s").cast("bigint").alias("span_s"),
+            F.expr("wsum * 10000 div span_s").alias("twa_micro"),
+        )
+        .orderBy("user_id")
+    )
