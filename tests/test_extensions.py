@@ -1173,3 +1173,35 @@ def test_histogram_median_heavy_ties(spark):
     rows = [("k", 1)] * 10 + [("k", 2)] * 5 + [("k", 3)]
     df = spark.createDataFrame(rows, ["k", "v"])
     assert stats.histogram_median(df, "k", "v").collect()[0].median == 1
+
+
+def _bpe_encode_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(word)
+    for a, b in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_applies_merge_table_to_unseen_text(spark):
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+    docs = [(1, "low lowest slow"), (2, "best low")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in textstats.bpe_encode(df, merges).collect()
+    }
+    def n_toks(text):
+        return sum(len(_bpe_encode_reference(w, merges)) for w in text.split())
+    want = {i: (len(t.split()), n_toks(t)) for i, t in docs}
+    assert got == want
+    # sanity: "low" collapses to one token; "slow" keeps the s prefix
+    # but still benefits from the (l,o) and (lo,w) merges
+    assert _bpe_encode_reference("low", merges) == ["low"]
+    assert _bpe_encode_reference("slow", merges) == ["s", "low"]
+    assert _bpe_encode_reference("lowest", merges) == ["low", "est"]

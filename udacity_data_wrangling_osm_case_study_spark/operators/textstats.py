@@ -475,3 +475,59 @@ def bpe_train(
         merges, "step int, left string, right string, merged string, pair_count long"
     )
     return merges_df, sym
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table to NEW text — the serving half
+    of ``bpe_train`` (the tokenizer file is a static artifact; encoding
+    replays its merges in order). Unseen words fall back to characters
+    plus whatever merges apply, exactly like a real BPE tokenizer.
+
+    Scale shape mirrors the trainer: the corpus collapses to its
+    distinct-word vocabulary, each merge is the same greedy
+    left-to-right row-local array fold (one ``localCheckpoint`` per
+    merge keeps the expression tree flat), and the encoded vocabulary
+    broadcasts back onto the corpus — encode cost is ∝ vocab × merges,
+    not corpus × merges.
+
+    Returns (id_col, n_words, n_bpe_tokens).
+    """
+    words = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    vocab = words.select("w").distinct().select("w", chars.alias("syms"))
+    vocab = vocab.localCheckpoint()
+    for a, b in merges:
+        merged = a + b
+        apply_merge = F.aggregate(
+            "syms",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select("w", apply_merge.alias("syms")).localCheckpoint()
+    enc = vocab.select("w", F.size("syms").alias("n_sym"))
+    return (
+        words.join(F.broadcast(enc), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
