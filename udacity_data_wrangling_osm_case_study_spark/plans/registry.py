@@ -66,6 +66,7 @@ _VERIFY_FIRST = (
     "event_value_time_weighted_avg",
     "source_slot_allocation",
     "sorted_neighborhood_pairs",
+    "bpe_encode_fixed",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",

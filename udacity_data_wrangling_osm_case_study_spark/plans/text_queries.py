@@ -1035,3 +1035,56 @@ def keyword_search_topk(spark, sf_dir):
         .orderBy(F.desc("score_scaled"), "doc_id")
         .limit(10)
     )
+
+
+_BPE_FIXED_MERGES = [("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k")]
+
+
+def _bpe_fixed_oracle() -> str:
+    """Greedy BPE merge application is SQL-expressible for THIS merge
+    table via sequential replace() over a delimiter-joined symbol
+    string: full delimiters ('\\x01a\\x01b\\x01' -> '\\x01ab\\x01')
+    match only complete symbols, and none of these pairs can occur
+    back-to-back inside one word (would need a 'spsp'-like substring),
+    which is the single case where non-rescanning replace() diverges
+    from the greedy fold."""
+    s = "regexp_replace(w, '(.)', chr(1) || '\\1', 'g') || chr(1)"
+    for a, b in _BPE_FIXED_MERGES:
+        s = (
+            f"replace({s}, chr(1) || '{a}' || chr(1) || '{b}' || chr(1),"
+            f" chr(1) || '{a}{b}' || chr(1))"
+        )
+    return f"""
+    WITH w AS (
+        SELECT doc_id, unnest({_TOKS}) AS w FROM documents WHERE doc_id < 200
+    ),
+    e AS (
+        SELECT doc_id, w,
+               strlen({s}) - strlen(replace({s}, chr(1), '')) - 1 AS n_sym
+        FROM w WHERE strlen(w) > 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM e GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("bpe_encode_fixed", _bpe_fixed_oracle())
+def bpe_encode_fixed(spark, sf_dir):
+    """Tokenizer SERVING: apply a fixed BPE merge table (the static
+    artifact a trained tokenizer ships as — here the 4-merge chain
+    building 'spark') to the corpus and report per-doc word and BPE
+    token counts. The engine replays merges over the distinct-word
+    vocabulary and broadcasts the encoded vocab back
+    (operators.textstats.bpe_encode — cost ∝ vocab × merges, not
+    corpus × merges); the oracle applies the same greedy merges via
+    delimiter-string replace (see _bpe_fixed_oracle for why that is
+    exact for this table). Completes the driver-attested tokenizer
+    lifecycle: bpe_pair_counts (training round) → this (encode) →
+    sequence_packing / training_batch_manifest (consumption)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        textstats.bpe_encode(docs, _BPE_FIXED_MERGES)
+        .orderBy("doc_id")
+    )
