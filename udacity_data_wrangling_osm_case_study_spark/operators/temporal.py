@@ -226,6 +226,10 @@ def ewma_halving(
     Output adds ``_win`` (trailing array), ``n_window``, ``ewma_num``,
     ``ewma_den``; callers project the scaled ratio.
     """
+    if not 1 <= lookback <= 62:
+        # weights are 2^i BIGINTs: beyond 62 the shift overflows, and a
+        # 2^-62 weight is already far below any metric's resolution
+        raise ValueError("ewma_halving lookback must be in [1, 62]")
     w = (
         Window.partitionBy(key)
         .orderBy(*order_cols)
