@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from udacity_data_wrangling_osm_case_study_spark.functions import keys as K
 from udacity_data_wrangling_osm_case_study_spark.functions import names as N
 from udacity_data_wrangling_osm_case_study_spark.functions import phones as P
-from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import QUERIES, register, table
 
 # Deterministic synthetic phone-ish value per event (covers every
 # canonicalizer branch: already-canonical, separator-ridden HK, PRC
@@ -448,4 +448,47 @@ def docs_mentioning_spark(spark, sf_dir):
         .filter(F.exists(F.split(F.col("text"), " "), lambda w: w == F.lit("spark")))
         .select("doc_id")
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "customers_asof_version",
+    """
+    WITH versions AS (
+        SELECT c_custkey, CAST(v AS BIGINT) AS version,
+               ROUND(c_acctbal + 10 * v, 2) AS acctbal
+        FROM customer, range(1, 4) t(v)
+        WHERE v <= c_custkey % 3 + 1
+    ),
+    hist AS (
+        SELECT c_custkey, version, acctbal,
+               version AS valid_from,
+               COALESCE(LEAD(version) OVER (PARTITION BY c_custkey
+                                            ORDER BY version), 9999)
+                   AS valid_to
+        FROM versions
+    )
+    SELECT c_custkey, CAST(version AS BIGINT) AS version, acctbal
+    FROM hist
+    WHERE valid_from <= 2 AND 2 < valid_to
+    ORDER BY c_custkey
+    """,
+)
+def customers_asof_version(spark, sf_dir):
+    """Point-in-time (AS OF) read over the SCD2 history: reconstruct
+    the customer dimension exactly as it stood at version 2 — one
+    validity-range filter over the history built by
+    `scd2_customer_history`, completing the CDC lifecycle
+    (snapshot_diff → MERGE → SCD2 → time travel). Every customer
+    appears exactly once (validity ranges partition time); customers
+    whose history starts later would drop out, which the range
+    predicate handles with no special casing. At scale the history is
+    partitioned by valid_from buckets so the as-of filter prunes
+    files, not rows."""
+    hist = QUERIES["scd2_customer_history"](spark, sf_dir)
+    v = 2
+    return (
+        hist.filter((F.col("valid_from") <= v) & (F.lit(v) < F.col("valid_to")))
+        .select("c_custkey", F.col("version").cast("bigint").alias("version"), "acctbal")
+        .orderBy("c_custkey")
     )

@@ -67,6 +67,7 @@ _VERIFY_FIRST = (
     "source_slot_allocation",
     "sorted_neighborhood_pairs",
     "bpe_encode_fixed",
+    "customers_asof_version",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",
