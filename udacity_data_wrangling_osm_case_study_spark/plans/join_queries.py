@@ -929,3 +929,86 @@ def partkey_skew_report(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem").select("l_partkey")
     return skew.key_skew_report(li, "l_partkey")
+
+
+@register(
+    "part_similarity_topk",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT l_partkey AS p, COUNT(*) AS c FROM op GROUP BY l_partkey),
+    co AS (
+        SELECT o1.l_partkey AS a, o2.l_partkey AS b, COUNT(*) AS cab
+        FROM op o1 JOIN op o2
+          ON o1.l_orderkey = o2.l_orderkey AND o1.l_partkey < o2.l_partkey
+        GROUP BY o1.l_partkey, o2.l_partkey
+    ),
+    sym AS (
+        SELECT a, b, cab FROM co UNION ALL SELECT b, a, cab FROM co
+    ),
+    scored AS (
+        SELECT s.a AS part, s.b AS neighbor,
+               s.cab * s.cab * 100000000 // (ta.c * tb.c) AS sim2_e8
+        FROM sym s
+        JOIN tot ta ON ta.p = s.a
+        JOIN tot tb ON tb.p = s.b
+        WHERE s.a < 100
+    ),
+    ranked AS (
+        SELECT part, neighbor, sim2_e8,
+               ROW_NUMBER() OVER (PARTITION BY part
+                                  ORDER BY sim2_e8 DESC, neighbor) AS rk
+        FROM scored
+    )
+    SELECT part, neighbor, CAST(sim2_e8 AS BIGINT) AS sim2_e8,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY part, rk
+    """,
+)
+def part_similarity_topk(spark, sf_dir):
+    """Item-item collaborative filtering: for each low-keyed part, the
+    3 most similar parts by co-purchase cosine — ranked on the SQUARED
+    cosine in integer 1e-8 units (``c_ab²·1e8 div (c_a·c_b)``), a
+    monotone transform that keeps the ranking exact without sqrt/float.
+    Shape: distinct (order, part) → pair counts (the same bounded
+    self-join as the triangle/2-hop edge builds), per-part totals
+    broadcast back, one per-part top-k window over pair rows. The
+    recsys companion to part_association_rules (which ranks by
+    lift/confidence instead)."""
+    from pyspark.sql import Window
+
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    tot = op.groupBy(F.col("l_partkey").alias("p")).agg(F.count("*").alias("c"))
+    o1, o2 = op.alias("o1"), op.alias("o2")
+    co = (
+        o1.join(
+            o2,
+            (F.col("o1.l_orderkey") == F.col("o2.l_orderkey"))
+            & (F.col("o1.l_partkey") < F.col("o2.l_partkey")),
+        )
+        .groupBy(
+            F.col("o1.l_partkey").alias("a"), F.col("o2.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("cab"))
+    )
+    sym = co.unionAll(co.select(F.col("b").alias("a"), F.col("a").alias("b"), "cab"))
+    scored = (
+        sym.filter(F.col("a") < 100)
+        .join(F.broadcast(tot.withColumnRenamed("p", "a").withColumnRenamed("c", "ca")), "a")
+        .join(F.broadcast(tot.withColumnRenamed("p", "b").withColumnRenamed("c", "cb")), "b")
+        .select(
+            F.col("a").alias("part"),
+            F.col("b").alias("neighbor"),
+            F.expr("cab * cab * 100000000 div (ca * cb)").alias("sim2_e8"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("sim2_e8"), "neighbor")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("part", "neighbor", "sim2_e8", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("part", "rk")
+    )

@@ -68,6 +68,8 @@ _VERIFY_FIRST = (
     "sorted_neighborhood_pairs",
     "bpe_encode_fixed",
     "customers_asof_version",
+    "phrase_search",
+    "part_similarity_topk",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",

@@ -1088,3 +1088,46 @@ def bpe_encode_fixed(spark, sf_dir):
         textstats.bpe_encode(docs, _BPE_FIXED_MERGES)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "phrase_search",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(list_filter(range(1, len(toks)),
+                               i -> toks[i] = 'fast'
+                                AND toks[i + 1] = 'table')) AS n_occur
+        FROM t WHERE len(toks) >= 2
+    )
+    SELECT doc_id, CAST(n_occur AS BIGINT) AS n_occur
+    FROM m WHERE n_occur > 0 ORDER BY doc_id
+    """,
+)
+def phrase_search(spark, sf_dir):
+    """Positional phrase search: documents containing the exact token
+    sequence "fast table", with per-doc occurrence counts — matching
+    CONSECUTIVE positions, which bag-of-words tf (keyword_search_topk)
+    cannot express. Row-local positional scan over the token array:
+    zero shuffle, zero join; the plan is scan → project → filter. At
+    index-serving scale the same match runs as a self-join of a
+    persisted POSITIONAL posting list ((term, doc, pos) on pos+1 —
+    the tf frame of the keyword query extended with positions); the
+    row-local form is the right plan when scanning the corpus
+    anyway."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(textstats.normalize_text(F.col("text")), " ")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    hits = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: (F.element_at("toks", i) == "fast")
+            & (F.element_at("toks", i + 1) == "table"),
+        )
+    )
+    return (
+        d.select("doc_id", hits.cast("bigint").alias("n_occur"))
+        .filter(F.col("n_occur") > 0)
+        .orderBy("doc_id")
+    )
