@@ -1205,3 +1205,20 @@ def test_bpe_encode_applies_merge_table_to_unseen_text(spark):
     assert _bpe_encode_reference("low", merges) == ["low"]
     assert _bpe_encode_reference("slow", merges) == ["s", "low"]
     assert _bpe_encode_reference("lowest", merges) == ["low", "est"]
+
+
+def test_histogram_median_weighted(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import stats
+
+    # weights: value 1 w=3, value 5 w=2, value 9 w=2 -> W=7, target 4
+    # cumulative: 3, 5, 7 -> first cum >= 4 is value 5
+    rows = [("k", 1, 3), ("k", 5, 2), ("k", 9, 2)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    got = stats.histogram_median(df, "k", "v", weight="w").collect()[0]
+    assert (got.n, got.median) == (7, 5)
+    # expanding weights to rows gives the same unweighted median
+    expanded = spark.createDataFrame(
+        [("k", v) for (_, v, w) in rows for _ in range(w)], ["k", "v"]
+    )
+    got2 = stats.histogram_median(expanded, "k", "v").collect()[0]
+    assert (got2.n, got2.median) == (7, 5)

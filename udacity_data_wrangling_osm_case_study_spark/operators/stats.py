@@ -17,18 +17,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def histogram_median(df: DataFrame, key: str, value: str) -> DataFrame:
+def histogram_median(
+    df: DataFrame, key: str, value: str, weight: str | None = None
+) -> DataFrame:
     """Exact lower median per key via histogram selection: the value at
     raw-row rank ``(n+1) div 2`` in value order — identical to a fully
     tie-broken ranked-window median, because ties share one histogram
-    bucket. Returns (key, n, median).
+    bucket. With ``weight``, the WEIGHTED lower median: the smallest
+    value whose cumulative weight reaches ``(W+1) div 2`` (integer
+    weights). Returns (key, n, median) where n is the total count or
+    weight.
 
     Shape: groupBy (key, value) with map-side combine reduces raw rows
     to histogram rows; the cumulative count + rank pick run per key
     over histogram rows only.
     """
+    agg = F.sum(weight) if weight else F.count("*")
     hist = df.groupBy(F.col(key).alias("k"), F.col(value).alias("v")).agg(
-        F.count("*").alias("c")
+        agg.alias("c")
     )
     w_cum = (
         Window.partitionBy("k")

@@ -70,6 +70,8 @@ _VERIFY_FIRST = (
     "customers_asof_version",
     "phrase_search",
     "part_similarity_topk",
+    "quantity_weighted_median_price",
+    "event_hourly_seasonality",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",

@@ -886,3 +886,119 @@ def event_value_median_histogram(spark, sf_dir):
     return out.select(
         "event_type", "n", F.round("median", 2).alias("median")
     ).orderBy("event_type")
+
+
+@register(
+    "quantity_weighted_median_price",
+    """
+    WITH c AS (
+        SELECT l_returnflag AS flag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    h AS (SELECT flag, price_c, SUM(w) AS cw FROM c GROUP BY flag, price_c),
+    r AS (
+        SELECT flag, price_c, cw,
+               SUM(cw) OVER (PARTITION BY flag ORDER BY price_c
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum,
+               SUM(cw) OVER (PARTITION BY flag) AS n
+        FROM h
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           CAST(price_c AS BIGINT) AS median
+    FROM r
+    WHERE cum >= (n + 1) // 2 AND cum - cw < (n + 1) // 2
+    ORDER BY flag
+    """,
+)
+def quantity_weighted_median_price(spark, sf_dir):
+    """Weighted median via histogram selection: the quantity-weighted
+    median line-item price per return flag — the smallest price whose
+    cumulative quantity reaches half the total, selected from a
+    map-side-combinable (flag, price) histogram exactly like the
+    unweighted variant (operators.stats.histogram_median with a weight
+    column). Prices in integer cents, weights integer quantities: the
+    pick is engine-exact."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import stats
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    out = stats.histogram_median(li, "flag", "price_c", weight="w")
+    return out.select(
+        "flag", "n", F.col("median").cast("bigint").alias("median")
+    ).orderBy("flag")
+
+
+@register(
+    "event_hourly_seasonality",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CAST(date_part('hour', ts) AS INT) AS hod,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    base AS (
+        SELECT event_type, hod,
+               COUNT(*) AS n,
+               SUM(cents) * 100 // COUNT(*) AS mean_c2
+        FROM c GROUP BY event_type, hod
+    ),
+    dev AS (
+        SELECT c.event_type, c.hod,
+               CASE WHEN ABS(c.cents * 100 - b.mean_c2) > 2 * b.mean_c2
+                    THEN 1 ELSE 0 END AS is_dev
+        FROM c JOIN base b USING (event_type, hod)
+    )
+    SELECT b.event_type, b.hod, CAST(b.n AS BIGINT) AS n,
+           CAST(b.mean_c2 AS BIGINT) AS mean_c2,
+           CAST(SUM(d.is_dev) AS BIGINT) AS n_deviant
+    FROM base b JOIN dev d USING (event_type, hod)
+    GROUP BY b.event_type, b.hod, b.n, b.mean_c2
+    ORDER BY b.event_type, b.hod
+    """,
+)
+def event_hourly_seasonality(spark, sf_dir):
+    """Seasonal (hour-of-day) baseline profile per event type, plus
+    how many raw events deviate from their own hour's baseline by more
+    than 2× — the first pass of seasonal anomaly detection (the spike
+    detector compares to TRAILING windows; this compares to the
+    CALENDAR position). Integer hundredth-cents means (single DIV);
+    the deviation flag cross-multiplies, never divides per row. Shape:
+    one map-side-combinable aggregate to 24×|types| baseline rows,
+    broadcast back onto the scan for the flag pass."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = c.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.expr("sum(cents) * 100 div count(*)").alias("mean_c2"),
+    )
+    dev = c.join(F.broadcast(base), ["event_type", "hod"]).select(
+        "event_type",
+        "hod",
+        F.when(
+            F.abs(F.col("cents") * 100 - F.col("mean_c2")) > 2 * F.col("mean_c2"), 1
+        ).otherwise(0).alias("is_dev"),
+    )
+    return (
+        dev.groupBy("event_type", "hod")
+        .agg(F.sum("is_dev").cast("bigint").alias("n_deviant"))
+        .join(F.broadcast(base), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hod",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("mean_c2").cast("bigint").alias("mean_c2"),
+            "n_deviant",
+        )
+        .orderBy("event_type", "hod")
+    )
