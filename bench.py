@@ -88,6 +88,13 @@ HEADLINE = [
     "partkey_skew_report",
     "multitouch_attribution",
     "source_quantile_normalize",
+    "source_slot_allocation",
+    "phrase_search",
+    "part_similarity_topk",
+    "quantity_weighted_median_price",
+    "event_hourly_seasonality",
+    "bpe_encode_fixed",
+    "customers_asof_version",
     "part_2hop_reach",
     "embedding_covariance",
     "session_peak_concurrency",

@@ -1118,16 +1118,28 @@ def phrase_search(spark, sf_dir):
     anyway."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split(textstats.normalize_text(F.col("text")), " ")
-    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
-    hits = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: (F.element_at("toks", i) == "fast")
-            & (F.element_at("toks", i + 1) == "table"),
-        )
+    # Bind the tokenization as a lambda variable (1-element transform)
+    # so it evaluates ONCE per row: a plain projection column gets
+    # re-inlined into the positional lambda by CollapseProject and the
+    # split re-runs per array element (NOTES invariant #9).
+    hits = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.when(
+                F.size(t) >= 2,
+                F.size(
+                    F.filter(
+                        F.sequence(F.lit(1), F.size(t) - 1),
+                        lambda i: (F.element_at(t, i) == "fast")
+                        & (F.element_at(t, i + 1) == "table"),
+                    )
+                ),
+            ).otherwise(F.lit(0)),
+        ),
+        1,
     )
     return (
-        d.select("doc_id", hits.cast("bigint").alias("n_occur"))
+        docs.select("doc_id", hits.cast("bigint").alias("n_occur"))
         .filter(F.col("n_occur") > 0)
         .orderBy("doc_id")
     )
