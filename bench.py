@@ -38,6 +38,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "duplicated_span_share",
     "ngram_jaccard_pairs",
+    "prefix_filter_jaccard_pairs",
     "doc_fingerprints",
     "fingerprint_near_pairs",
     "minhash_lsh_dupes",
@@ -95,6 +96,7 @@ HEADLINE = [
     "event_hourly_seasonality",
     "bpe_encode_fixed",
     "customers_asof_version",
+    "order_price_tiers",
     "part_2hop_reach",
     "embedding_covariance",
     "session_peak_concurrency",

@@ -1222,3 +1222,23 @@ def test_histogram_median_weighted(spark):
     )
     got2 = stats.histogram_median(expanded, "k", "v").collect()[0]
     assert (got2.n, got2.median) == (7, 5)
+
+
+def test_prefix_filter_exact_recall_vs_full_index(docs):
+    """Prefix filtering must recover EXACTLY the pairs the full
+    inverted index finds at the same threshold (the PPJoin prefix
+    principle is lossless)."""
+    sh = dedup.word_shingles(docs)
+    got = {
+        (r.id_a, r.id_b): r.jaccard_bp
+        for r in dedup.prefix_filter_pairs(sh, 3, 5).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): int(r.jaccard * 10000 // 1)
+        for r in dedup.jaccard_pairs(sh, min_jaccard=0.0).collect()
+        if 8 * r.inter >= 3 * (r.size_a + r.size_b)
+    }
+    assert set(got) == set(full)
+    # docs 1/2 share 6/8 trigrams -> J=0.75 >= 0.6; docs 1/4 identical
+    assert (1, 2) in got and (1, 4) in got
+    assert got[(1, 4)] == 10000

@@ -168,6 +168,7 @@ def test_no_cartesian_products_anywhere(spark):
         "keyword_search_topk",     # 1-row corpus doc-count/avgdl frame
         "source_quantile_normalize",  # 1-row corpus total frame
         "source_slot_allocation",     # 1-row corpus total frame
+        "order_price_tiers",          # 4-row tier dim, interval predicate
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

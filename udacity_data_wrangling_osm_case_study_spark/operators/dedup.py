@@ -1144,3 +1144,70 @@ def dedup_index_compact(spark, index_dir: str) -> None:
             transform=lambda df: df.withColumn("batch_id", F.lit("base")),
             n_files=4,
         )
+
+
+def prefix_filter_pairs(
+    sh: DataFrame, threshold_num: int = 3, threshold_den: int = 5
+) -> DataFrame:
+    """Set-similarity self-join via PPJoin-style prefix filtering — the
+    fourth candidate-generation family beside MinHash-LSH, the full
+    inverted index, and sorted-neighborhood. For Jaccard threshold
+    ``t = num/den``, each document indexes only its ``|S| − ⌈t·|S|⌉ +
+    1`` RAREST shingles (global (df, shingle) order): two sets meeting
+    the threshold must share a prefix token under any common total
+    order, so candidates shrink to rare-token collisions while recall
+    stays exactly 100% — boilerplate-heavy shingles never generate
+    pairs, the failure mode a plain inverted index needs df-caps for.
+
+    ``sh``: distinct (id, shingle). Returns (id_a, id_b, inter,
+    size_a, size_b, jaccard_bp) for pairs with J ≥ t — verified with
+    exact intersection counts restricted to candidates (integer
+    cross-multiplied threshold, no float compare).
+    """
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "shingle")
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    wn = Window.partitionBy("id")
+    pref = ranked.withColumn("rn", F.row_number().over(w)).withColumn(
+        "sz", F.count("*").over(wn)
+    )
+    p = (
+        F.col("sz")
+        - F.expr(
+            f"({threshold_num} * sz + {threshold_den} - 1) div {threshold_den}"
+        )
+        + 1
+    )
+    prefix = pref.filter(F.col("rn") <= p).select("id", "shingle")
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    out = inter.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")), "id_a"
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b")), "id_b"
+    )
+    keep = (threshold_den + threshold_num) * F.col("inter") >= threshold_num * (
+        F.col("size_a") + F.col("size_b")
+    )
+    return out.filter(keep).select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.expr("inter * 10000 div (size_a + size_b - inter)").alias("jaccard_bp"),
+    )

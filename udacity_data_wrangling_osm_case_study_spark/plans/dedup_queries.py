@@ -768,3 +768,37 @@ def lsh_tuning_report(spark, sf_dir):
             F.expr("n_common * 10000 DIV greatest(n_truth, 1)").alias("recall_bp"),
         )
     )
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+           CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT)
+               AS jaccard_bp
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE 8 * inter >= 3 * (sa.sz + sb.sz)
+    ORDER BY id_a, id_b
+    """,
+)
+def prefix_filter_jaccard_pairs(spark, sf_dir):
+    """Exact J ≥ 0.6 shingle-set pairs via PPJoin prefix filtering
+    (operators.dedup.prefix_filter_pairs): only each doc's rarest
+    ``|S| − ⌈0.6|S|⌉ + 1`` shingles are indexed, so candidates form on
+    rare-token collisions, never on boilerplate. The oracle computes
+    the same threshold from the FULL inverted index — a cross-ALGORITHM
+    match attesting the prefix principle loses no pair (exact recall),
+    not just that two copies of one implementation agree. Integer
+    cross-multiplied threshold; jaccard reported in basis points."""
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs).cache()
+    return dedup.prefix_filter_pairs(sh, 3, 5).orderBy("id_a", "id_b")

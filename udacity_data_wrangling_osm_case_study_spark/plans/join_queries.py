@@ -1012,3 +1012,63 @@ def part_similarity_topk(spark, sf_dir):
         .select("part", "neighbor", "sim2_e8", F.col("rk").cast("bigint").alias("rk"))
         .orderBy("part", "rk")
     )
+
+
+@register(
+    "order_price_tiers",
+    """
+    WITH tiers AS (
+        SELECT * FROM (VALUES
+            ('T1_budget',      0,  50000),
+            ('T2_standard',  50000, 150000),
+            ('T3_premium',  150000, 300000),
+            ('T4_luxury',   300000, 1000000000)
+        ) AS t(tier, lo_c, hi_c)
+    ),
+    o AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    )
+    SELECT t.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o.price_c) AS BIGINT) AS total_c
+    FROM o JOIN tiers t
+      ON o.price_c >= t.lo_c AND o.price_c < t.hi_c
+    GROUP BY t.tier ORDER BY t.tier
+    """,
+)
+def order_price_tiers(spark, sf_dir):
+    """Non-equi (banded range) dimension join: every order matched to
+    its price tier by a [lo, hi) interval predicate against a tiny
+    broadcast tier dimension — the theta-join shape a rate card /
+    tax bracket / SLA band lookup has. The dimension broadcasts, so
+    the interval probe is map-side (BroadcastNestedLoopJoin over k=4
+    rows — bounded fan-out, no shuffle); at larger tier counts the
+    same query becomes a sorted interval lookup. Integer cents
+    boundaries: no float edge ambiguity at tier borders."""
+    tiers = spark.createDataFrame(
+        [
+            ("T1_budget", 0, 50_000),
+            ("T2_standard", 50_000, 150_000),
+            ("T3_premium", 150_000, 300_000),
+            ("T4_luxury", 300_000, 1_000_000_000),
+        ],
+        ["tier", "lo_c", "hi_c"],
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    joined = o.join(
+        F.broadcast(tiers),
+        (o.price_c >= tiers.lo_c) & (o.price_c < tiers.hi_c),
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("price_c").cast("bigint").alias("total_c"),
+        )
+        .orderBy("tier")
+    )

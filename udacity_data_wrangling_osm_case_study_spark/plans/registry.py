@@ -72,6 +72,8 @@ _VERIFY_FIRST = (
     "part_similarity_topk",
     "quantity_weighted_median_price",
     "event_hourly_seasonality",
+    "order_price_tiers",
+    "prefix_filter_jaccard_pairs",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",
