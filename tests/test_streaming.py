@@ -526,3 +526,77 @@ def test_cusum_stream_matches_batch(spark, events_dir):
         assert len(final) > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ewma_stream_matches_batch(spark, events_dir):
+    """The streaming EWMA's final per-user value must equal the batch
+    event_value_ewma on the last event of each user — across two
+    time-split micro-batches (real state carry, like the CUSUM test)."""
+    import shutil
+    import tempfile
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import temporal
+
+    ev = table(spark, SF_DIR, "events").filter(F.col("user_id") < 5)
+    d = tempfile.mkdtemp(prefix="ewma_stream_")
+    try:
+        mid = ev.agg(
+            F.expr("percentile_approx(unix_micros(ts), 0.5)")
+        ).collect()[0][0]
+        ev.filter(F.unix_micros("ts") <= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/b0")
+        ev.filter(F.unix_micros("ts") > mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/b1")
+        src = (
+            spark.readStream.schema(events_stream.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/b*")
+        )
+        prepped = src.select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        stream = events_stream.ewma_user_value(prepped)
+        events_stream.run_to_memory_sink(stream, "v_ewma", output_mode="update")
+        got_tbl = spark.table("v_ewma")
+        # row with the max n_obs per user = final state
+        final = {
+            (r.user_id, r.n_obs): r.ewma_micro for r in got_tbl.collect()
+        }
+        finals = {}
+        for (u, n), e in final.items():
+            if u not in finals or n > finals[u][0]:
+                finals[u] = (n, e)
+
+        batch = temporal.ewma_halving(
+            ev.select(
+                "user_id", "ts", "event_id",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            ),
+            key="user_id", order_cols=["ts", "event_id"],
+            value_col="cents", lookback=16,
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        last = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select(
+                "user_id",
+                F.expr("ewma_num * 10000 div ewma_den").alias("ewma_micro"),
+            )
+        )
+        want_n = {
+            r.user_id: r.n
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        want = {
+            r.user_id: (want_n[r.user_id], r.ewma_micro) for r in last.collect()
+        }
+        assert finals == want
+        assert len(finals) == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -257,6 +257,66 @@ def cusum_user_drift(events: DataFrame) -> DataFrame:
     )
 
 
+EWMA_OUTPUT_SCHEMA = "user_id bigint, n_obs bigint, ewma_micro bigint"
+EWMA_STATE_SCHEMA = "tail array<long>, n bigint"
+_EWMA_LOOKBACK = 16
+
+
+def ewma_user_value(events: DataFrame) -> DataFrame:
+    """Streaming EWMA — the stateful runtime of the batch
+    ``event_value_ewma`` query with identical semantics: per user, the
+    trailing power-of-two-weighted average over the last 16
+    observations in time order. State is the trailing value window
+    (≤16 bigints) plus a count — constant per key.
+
+    Each micro-batch is vectorized: the carried tail concatenates with
+    the batch's (ts, event_id)-sorted cents and every row's weighted
+    numerator folds via one dot product against the 2^i kernel (numpy
+    sliding windows), no per-row Python in the steady state. Emits
+    each user's latest EWMA per batch (update mode); cross-batch
+    order follows source file order, the same contract as the other
+    stateful operators here. Requires a ``cents`` column upstream.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        tail, n = (list(state.get[0]), state.get[1]) if state.exists else ([], 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            xs = batch["cents"].to_numpy(dtype=np.int64)
+            w = np.concatenate([np.array(tail, dtype=np.int64), xs])
+            n += len(xs)
+            tail = w[-_EWMA_LOOKBACK:].tolist()
+        if tail:
+            s = len(tail)
+            kernel = 1 << np.arange(s, dtype=np.int64)  # oldest → 2^0
+            num = int((np.array(tail, dtype=np.int64) * kernel).sum())
+            den = (1 << s) - 1
+            ewma_micro = num * 10000 // den
+        else:
+            ewma_micro = 0
+        state.update((tail, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_obs": [n],
+                "ewma_micro": [ewma_micro],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def click_purchase_pairs(
     events: DataFrame,
     lookback: str = "30 minutes",
