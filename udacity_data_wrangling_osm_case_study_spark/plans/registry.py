@@ -74,6 +74,7 @@ _VERIFY_FIRST = (
     "event_hourly_seasonality",
     "order_price_tiers",
     "prefix_filter_jaccard_pairs",
+    "nearest_click_alignment",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",

@@ -540,3 +540,122 @@ def event_value_time_weighted_avg(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "nearest_click_alignment",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts, event_id AS click_id FROM events
+        WHERE event_type = 'click'
+    ),
+    merged AS (
+        SELECT user_id, ts, event_id, NULL AS click_id FROM purchases
+        UNION ALL
+        SELECT user_id, ts, NULL, click_id FROM clicks
+    ),
+    w AS (
+        SELECT user_id, ts, event_id,
+               last_value(click_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, COALESCE(event_id, click_id), click_id IS NULL
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_click,
+               first_value(click_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, COALESCE(event_id, click_id), click_id IS NULL
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS next_click,
+               last_value(CASE WHEN click_id IS NOT NULL
+                               THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, COALESCE(event_id, click_id), click_id IS NULL
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_us,
+               first_value(CASE WHEN click_id IS NOT NULL
+                                THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, COALESCE(event_id, click_id), click_id IS NULL
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS next_us
+        FROM merged
+    )
+    SELECT event_id,
+           CASE
+             WHEN prev_click IS NULL AND next_click IS NULL THEN NULL
+             WHEN next_click IS NULL THEN prev_click
+             WHEN prev_click IS NULL THEN next_click
+             WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+                  THEN prev_click
+             ELSE next_click
+           END AS nearest_click
+    FROM w
+    WHERE event_id IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def nearest_click_alignment(spark, sf_dir):
+    """Nearest-in-time join (BOTH directions — the sensor-alignment
+    variant the backward-only as-of cannot express): each purchase
+    aligned to its user's temporally closest click, earlier one
+    winning exact-distance ties. Same union+ordered-window shape as
+    the as-of join, with a backward carry AND a forward carry over one
+    (user, time) sort — still ONE shuffle, no per-row probe. The
+    deterministic interleave orders purchases before clicks at equal
+    timestamps (so a same-instant click counts as 'following') —
+    mirrored exactly in the oracle's ORDER BY."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("click_id"),
+    )
+    merged = purchases.unionByName(clicks)
+    order = [
+        F.col("ts"),
+        F.coalesce("event_id", "click_id"),
+        F.col("click_id").isNull(),
+    ]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_us = F.when(
+        F.col("click_id").isNotNull(), F.unix_micros("ts")
+    )
+    w = merged.select(
+        "user_id", "ts", "event_id",
+        F.last("click_id", ignorenulls=True).over(w_prev).alias("prev_click"),
+        F.first("click_id", ignorenulls=True).over(w_next).alias("next_click"),
+        F.last(click_us, ignorenulls=True).over(w_prev).alias("prev_us"),
+        F.first(click_us, ignorenulls=True).over(w_next).alias("next_us"),
+    )
+    nearest = (
+        F.when(F.col("prev_click").isNull() & F.col("next_click").isNull(), F.lit(None))
+        .when(F.col("next_click").isNull(), F.col("prev_click"))
+        .when(F.col("prev_click").isNull(), F.col("next_click"))
+        .when(
+            F.unix_micros("ts") - F.col("prev_us")
+            <= F.col("next_us") - F.unix_micros("ts"),
+            F.col("prev_click"),
+        )
+        .otherwise(F.col("next_click"))
+    )
+    return (
+        w.filter(F.col("event_id").isNotNull())
+        .select("event_id", nearest.cast("long").alias("nearest_click"))
+        .orderBy("event_id")
+    )
