@@ -162,3 +162,44 @@ def test_session_operators_tolerate_empty_inputs(spark):
     seeds = spark.createDataFrame([(1,)], ["seed"])
     # seeds with no edges reach nothing: empty result, not an error
     assert graph.khop_reach(empty_e, seeds, k=2).count() == 0
+
+
+def test_late_session_operators_tolerate_empty_inputs(spark):
+    """Degenerate sweep for the late-session operators."""
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import (
+        dedup,
+        skew,
+        stats,
+        temporal,
+    )
+
+    empty_sh = spark.createDataFrame(
+        [], StructType([
+            StructField("id", LongType()),
+            StructField("shingle", StringType()),
+        ])
+    )
+    assert dedup.prefix_filter_pairs(empty_sh).count() == 0
+
+    empty_kv = spark.createDataFrame(
+        [], StructType([
+            StructField("k", StringType()),
+            StructField("v", LongType()),
+            StructField("w", LongType()),
+        ])
+    )
+    assert stats.histogram_median(empty_kv, "k", "v").count() == 0
+    assert stats.histogram_median(empty_kv, "k", "v", weight="w").count() == 0
+    # skew report over empty input: no key rows -> empty report
+    assert skew.key_skew_report(empty_kv, "k").count() in (0, 1)
+
+    with _pytest.raises(ValueError):
+        temporal.ewma_halving(empty_kv, "k", ["v"], "w", lookback=63)

@@ -75,6 +75,7 @@ _VERIFY_FIRST = (
     "order_price_tiers",
     "prefix_filter_jaccard_pairs",
     "nearest_click_alignment",
+    "top_session_paths",
     "event_value_resample_locf",
     "session_peak_concurrency",
     "stratified_doc_sample",

@@ -1002,3 +1002,84 @@ def event_hourly_seasonality(spark, sf_dir):
         )
         .orderBy("event_type", "hod")
     )
+
+
+@register(
+    "top_session_paths",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+        FROM g
+    ),
+    r AS (
+        SELECT user_id, sid, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn
+        FROM s
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 4
+        GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def top_session_paths(spark, sf_dir):
+    """User-journey path mining: the 10 most common session-opening
+    event-type sequences (first 4 events of each 30-minute-gap
+    session) — the funnel-discovery complement to the fixed-order
+    conversion funnel. One (user, time) sort powers sessionization and
+    within-session ranking; paths reduce map-side to (path, count).
+    Deterministic: '>'-joined type strings, (count, path) tie-broken
+    top-10 via TakeOrderedAndProject."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ns = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    s = ev.withColumn("ns", ns).withColumn(
+        "sid",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    r = s.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("rn") <= 4)
+    paths = (
+        r.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
