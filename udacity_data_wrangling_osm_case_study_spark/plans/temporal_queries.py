@@ -604,9 +604,10 @@ def nearest_click_alignment(spark, sf_dir):
     winning exact-distance ties. Same union+ordered-window shape as
     the as-of join, with a backward carry AND a forward carry over one
     (user, time) sort — still ONE shuffle, no per-row probe. The
-    deterministic interleave orders purchases before clicks at equal
-    timestamps (so a same-instant click counts as 'following') —
-    mirrored exactly in the oracle's ORDER BY."""
+    deterministic interleave orders clicks before purchases at equal
+    timestamps (a same-instant click is visible to the backward carry,
+    i.e. counts as a distance-zero 'previous') — mirrored exactly in
+    the oracle's ORDER BY."""
     ev = table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id",
