@@ -157,3 +157,82 @@ def test_cusum_never_negative_and_resets(spark):
     )
     got = [r.cusum_stat for r in out.orderBy("event_id").collect()]
     assert got == [0, 0, 0, 4, 8]
+
+
+def test_resample_interp_exact_rational(spark):
+    # user 1: observed buckets 0 (sum 100) and 3 (sum 400) → gap at
+    # buckets 1, 2 interpolates the line 100→400 as exact rationals
+    df = spark.createDataFrame(
+        [
+            (1, _ts(10), 100),
+            (1, datetime(2024, 1, 1, 3, 5), 400),
+        ],
+        ["user_id", "ts", "cents"],
+    )
+    out = temporal.resample_interp(
+        df, key="user_id", time_col="ts", value_col="cents",
+        bucket_seconds=3600,
+    )
+    rows = {r.b: (r.n_obs, r.interp_num, r.interp_den) for r in out.collect()}
+    base = rows[min(rows)]
+    assert base == (1, 100, 1)
+    b0 = min(rows)
+    # gap bucket b0+1: 100*(3-1) + 400*(1-0) = 600 over den 3 → 200
+    assert rows[b0 + 1] == (0, 600, 3)
+    assert rows[b0 + 2] == (0, 900, 3)
+    assert rows[b0 + 3] == (1, 400, 1)
+
+
+def test_resample_interp_multiple_obs_per_bucket(spark):
+    # two observations land in one bucket → n_obs 2, summed value, den 1
+    df = spark.createDataFrame(
+        [(7, _ts(1), 10), (7, _ts(2), 15)], ["user_id", "ts", "cents"]
+    )
+    out = temporal.resample_interp(
+        df, key="user_id", time_col="ts", value_col="cents",
+        bucket_seconds=3600,
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].n_obs, out[0].interp_num, out[0].interp_den) == (2, 25, 1)
+
+
+def test_value_band_join_matches_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i % 3, i, rng.randrange(0, 1000)) for i in range(80)],
+        ["g", "lid", "v"],
+    )
+    right = spark.createDataFrame(
+        [(i % 3, i, rng.randrange(0, 1000)) for i in range(60)],
+        ["g", "rid", "w"],
+    )
+    got = {
+        (r.l_lid, r.r_rid)
+        for r in temporal.value_band_join(
+            left, right, keys=["g"], left_val="v", right_val="w", max_diff=37
+        ).collect()
+    }
+    lrows = left.collect()
+    rrows = right.collect()
+    want = {
+        (a.lid, b.rid)
+        for a in lrows
+        for b in rrows
+        if a.g == b.g and abs(a.v - b.w) <= 37
+    }
+    assert got == want and len(want) > 0
+
+
+def test_value_band_join_negative_values(spark):
+    # floor-division bucketing must stay consistent below zero
+    left = spark.createDataFrame([(0, 1, -5), (0, 2, -100)], ["g", "lid", "v"])
+    right = spark.createDataFrame([(0, 9, 4), (0, 8, -94)], ["g", "rid", "w"])
+    got = {
+        (r.l_lid, r.r_rid)
+        for r in temporal.value_band_join(
+            left, right, keys=["g"], left_val="v", right_val="w", max_diff=10
+        ).collect()
+    }
+    assert got == {(1, 9), (2, 8)}

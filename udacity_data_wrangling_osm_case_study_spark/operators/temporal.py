@@ -330,3 +330,118 @@ def interval_concurrency(
         (F.col("k_enc") % 2 == 0).alias("is_start"),
         (F.col("start") + F.col("delta")).cast("long").alias("concurrency"),
     )
+
+
+def resample_interp(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Time-grid resampling with LINEAR interpolation across gaps: the
+    counterpart of :func:`resample_locf` for signals where a straight
+    line between the surrounding observations is the better fill
+    (sensor feeds, financial marks). ``value_col`` must already be an
+    exact integer aggregate (e.g. cents); the interpolated value is
+    emitted as an exact rational — ``num = prev·(next_b − b) +
+    next·(b − prev_b)``, ``den = next_b − prev_b`` — so no float (or
+    engine-specific integer-division rounding) ever enters the result.
+    Observed buckets carry ``(value, 1)``.
+
+    Shape at scale: identical to LOCF — one groupBy reduces raw rows to
+    bucket rows, the dense grid comes from ``sequence``+``explode`` off
+    the per-key span, and the fill needs two ordered window passes
+    (carry-last-back and carry-first-forward) over *bucket* rows.
+    Catalyst plans both windows on one (key, bucket) sort: a single
+    shuffle. Interior gaps always have both neighbours because the grid
+    spans exactly [min, max] per key.
+    """
+    ep = F.unix_micros(F.col(time_col))
+    bucket_us = bucket_seconds * 1_000_000
+    bucketed = df.withColumn("_b", F.floor(ep / bucket_us).cast("long"))
+    obs = bucketed.groupBy(F.col(key).alias("k"), F.col("_b").alias("b")).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(value_col).alias("_v"),
+    )
+    spans = bucketed.groupBy(F.col(key).alias("k")).agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = spans.select("k", F.explode(F.sequence("_lo", "_hi")).alias("b"))
+    j = grid.join(obs, ["k", "b"], "left").withColumn(
+        "n_obs", F.coalesce("n_obs", F.lit(0))
+    )
+    wback = (
+        Window.partitionBy("k")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfwd = (
+        Window.partitionBy("k")
+        .orderBy("b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("_v").isNotNull(), F.col("b"))
+    filled = (
+        j.withColumn("_pv", F.last("_v", ignorenulls=True).over(wback))
+        .withColumn("_pb", F.last(obs_b, ignorenulls=True).over(wback))
+        .withColumn("_nv", F.first("_v", ignorenulls=True).over(wfwd))
+        .withColumn("_nb", F.first(obs_b, ignorenulls=True).over(wfwd))
+    )
+    on_grid = F.col("n_obs") > 0
+    return filled.select(
+        "k",
+        "b",
+        "n_obs",
+        F.when(on_grid, F.col("_v"))
+        .otherwise(
+            F.col("_pv") * (F.col("_nb") - F.col("b"))
+            + F.col("_nv") * (F.col("b") - F.col("_pb"))
+        )
+        .alias("interp_num"),
+        F.when(on_grid, F.lit(1).cast("long"))
+        .otherwise(F.col("_nb") - F.col("_pb"))
+        .alias("interp_den"),
+    )
+
+
+def value_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_val: str,
+    right_val: str,
+    max_diff: int,
+) -> DataFrame:
+    """Big-big non-equi band join: pairs where ``|left_val − right_val|
+    ≤ max_diff`` (integer units), optionally also matching on equi
+    ``keys``. Without this rewrite Spark plans a band predicate between
+    two large tables as a broadcast-nested-loop / cartesian product —
+    the classic O(n·m) scale killer. Bucketing by ``floor(v /
+    max_diff)`` and expanding ONE side to its three adjacent buckets
+    turns it into a plain equi-join on (keys…, bucket): candidates are
+    bounded by per-bucket products, and the exact band predicate runs
+    as a post-join filter.
+
+    Both value columns must already be exact integers (scale floats to
+    cents first) so bucket boundaries agree across engines. Columns
+    come out prefixed ``l_``/``r_`` (keys keep their names).
+    """
+    if max_diff <= 0:
+        raise ValueError("max_diff must be a positive integer")
+    lb = F.floor(F.col(left_val) / max_diff).cast("long")
+    rb = F.floor(F.col(right_val) / max_diff).cast("long")
+    l_side = left.select(
+        *keys,
+        lb.alias("_band"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in keys],
+    )
+    r_side = right.select(
+        *keys,
+        F.explode(F.array(rb - 1, rb, rb + 1)).alias("_band"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in keys],
+    )
+    joined = l_side.join(r_side, [*keys, "_band"])
+    return joined.filter(
+        F.abs(F.col(f"l_{left_val}") - F.col(f"r_{right_val}")) <= max_diff
+    ).drop("_band")

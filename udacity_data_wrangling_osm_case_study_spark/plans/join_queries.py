@@ -1072,3 +1072,49 @@ def order_price_tiers(spark, sf_dir):
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "balance_band_pairs",
+    """
+    SELECT c_custkey, s_suppkey,
+           CAST(ROUND(c_acctbal * 100) - ROUND(s_acctbal * 100) AS BIGINT)
+               AS diff_cents
+    FROM customer c JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+     AND ABS(ROUND(c.c_acctbal * 100) - ROUND(s.s_acctbal * 100)) <= 5000
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def balance_band_pairs(spark, sf_dir):
+    """Big-big band join: customer/supplier pairs in the same nation
+    whose account balances lie within $50 of each other. A band
+    predicate between two large tables is the classic nested-loop trap;
+    ``operators.temporal.value_band_join`` buckets both sides by
+    floor(cents / band) and expands one side to its three adjacent
+    buckets, so the plan is a plain equi-join on (nation, bucket) with
+    the exact band as a post-filter — candidates bounded by per-bucket
+    products at any scale. The oracle runs the naive non-equi join.
+    All-integer cents, so bucket edges agree across engines."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import temporal
+
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        "c_custkey",
+        cents("c_acctbal").alias("bal_c"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        "s_suppkey",
+        cents("s_acctbal").alias("bal_c"),
+    )
+    pairs = temporal.value_band_join(
+        cust, supp, keys=["nationkey"], left_val="bal_c", right_val="bal_c",
+        max_diff=5000,
+    )
+    return pairs.select(
+        F.col("l_c_custkey").alias("c_custkey"),
+        F.col("r_s_suppkey").alias("s_suppkey"),
+        (F.col("l_bal_c") - F.col("r_bal_c")).cast("long").alias("diff_cents"),
+    ).orderBy("c_custkey", "s_suppkey")

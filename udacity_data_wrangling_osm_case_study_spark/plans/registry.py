@@ -53,6 +53,8 @@ _loaded = False
 # kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
+    "event_value_resample_interp",
+    "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",
     "keyword_search_topk",

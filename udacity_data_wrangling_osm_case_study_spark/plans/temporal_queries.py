@@ -660,3 +660,70 @@ def nearest_click_alignment(spark, sf_dir):
         .select("event_id", nearest.cast("long").alias("nearest_click"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "event_value_resample_interp",
+    """
+    WITH b AS (
+        SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS b,
+               COUNT(*) AS n_obs,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+        FROM events WHERE user_id < 3 GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, u.b
+             FROM spans, LATERAL unnest(range(lo, hi + 1)) AS u(b)),
+    j AS (SELECT g.user_id, g.b, COALESCE(n_obs, 0) AS n_obs, s
+          FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.b = b.b),
+    f AS (
+        SELECT user_id, b, n_obs, s,
+               last_value(s IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN s IS NOT NULL THEN b END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+               first_value(s IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN s IS NOT NULL THEN b END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY b
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        FROM j
+    )
+    SELECT user_id, b AS hour_bucket, n_obs,
+           CAST(CASE WHEN n_obs > 0 THEN s
+                     ELSE pv * (nb - b) + nv * (b - pb) END AS BIGINT)
+               AS interp_num,
+           CAST(CASE WHEN n_obs > 0 THEN 1 ELSE nb - pb END AS BIGINT)
+               AS interp_den
+    FROM f ORDER BY user_id, hour_bucket
+    """,
+)
+def event_value_resample_interp(spark, sf_dir):
+    """Hourly re-grid with LINEAR interpolation across gaps — the
+    companion to ``event_value_resample_locf`` for signals where the
+    straight line between surrounding observations is the better fill.
+    The interpolated value is an exact rational (numerator/denominator
+    BIGINTs over integer cents), so neither float arithmetic nor
+    engine-specific integer-division rounding can diverge; observed
+    buckets carry (bucket_sum, 1). Same scale shape as LOCF: raw rows
+    reduce to bucket rows first, the dense grid explodes off per-key
+    spans, and both fill windows share one (key, bucket) sort. The
+    reference has no timeseries surface (SURVEY.md §2.3)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 3)
+    prepped = ev.select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = temporal.resample_interp(
+        prepped, key="user_id", time_col="ts", value_col="cents",
+        bucket_seconds=3600,
+    )
+    return out.select(
+        F.col("k").alias("user_id"),
+        F.col("b").alias("hour_bucket"),
+        "n_obs",
+        F.col("interp_num").cast("long").alias("interp_num"),
+        F.col("interp_den").cast("long").alias("interp_den"),
+    ).orderBy("user_id", "hour_bucket")
