@@ -48,3 +48,32 @@ def test_fk_orphans_detected(spark, tables):
         for r in validation.validate_osm_tables(dirty).collect()
     }
     assert report[("ways_nodes", "fk_way_exists")] == 1
+
+
+def test_bucket_digest_partitioning_invariant_and_row_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    base = spark.range(500).select(
+        F.col("id"), (F.col("id") * 7 % 113).alias("v")
+    )
+    cols = [F.col("id"), F.col("v")]
+
+    def digest_map(df):
+        return {
+            r.bucket: (r.n_rows, r.xor48, r.sum48)
+            for r in validation.bucket_digest(df, cols).collect()
+        }
+
+    d1 = digest_map(base.repartition(16))
+    d2 = digest_map(base.repartition(3, "v").sortWithinPartitions("v"))
+    assert d1 == d2  # any layout, same digest
+
+    # one changed field flips exactly that row's bucket triple
+    changed = base.withColumn(
+        "v", F.when(F.col("id") == 250, F.lit(999)).otherwise(F.col("v"))
+    )
+    d3 = digest_map(changed)
+    diff = {b for b in set(d1) | set(d3) if d1.get(b) != d3.get(b)}
+    assert 1 <= len(diff) <= 2  # old row's bucket and/or new row's bucket
+    # total row count is unchanged even though digests differ
+    assert sum(t[0] for t in d1.values()) == sum(t[0] for t in d3.values())

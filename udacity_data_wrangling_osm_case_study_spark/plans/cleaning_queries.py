@@ -492,3 +492,59 @@ def customers_asof_version(spark, sf_dir):
         .select("c_custkey", F.col("version").cast("bigint").alias("version"), "acctbal")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "lineitem_bucket_checksums",
+    """
+    WITH rows_h AS (
+        SELECT md5(
+            CAST(l_orderkey AS VARCHAR) || '|' ||
+            CAST(l_partkey AS VARCHAR) || '|' ||
+            CAST(l_suppkey AS VARCHAR) || '|' ||
+            CAST(l_linenumber AS VARCHAR) || '|' ||
+            CAST(CAST(ROUND(l_quantity) AS BIGINT) AS VARCHAR) || '|' ||
+            CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+            || '|' || l_returnflag || '|' || l_linestatus
+        ) AS h
+        FROM lineitem
+    ),
+    vals AS (
+        SELECT substr(h, 1, 2) AS bucket,
+               CAST(('0x' || substr(h, 3, 12)) AS BIGINT) AS v
+        FROM rows_h
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(v) AS BIGINT) AS xor48,
+           CAST(SUM(v) AS VARCHAR) AS sum48
+    FROM vals GROUP BY bucket ORDER BY bucket
+    """,
+)
+def lineitem_bucket_checksums(spark, sf_dir):
+    """Cross-engine reconciliation digest over the biggest fact table:
+    canonical row serialization (integer-exact casts) → md5 → 256
+    hash-prefix buckets → per-bucket (count, XOR-48, exact decimal
+    sum). Order- and partitioning-insensitive by construction, so the
+    same digest emerges from any cluster layout; comparing two engines
+    or replicas is a 256-row diff instead of a row-by-row join. This
+    oracle match IS the use case: DuckDB recomputes the digest from the
+    same parquet and every bucket triple agrees. Map-side hash + one
+    tiny-key groupBy — scan-bound at any scale."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import validation
+
+    li = table(spark, sf_dir, "lineitem")
+    digest = validation.bucket_digest(
+        li,
+        [
+            F.col("l_orderkey"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            F.col("l_linenumber"),
+            F.round("l_quantity").cast("long"),
+            F.round(F.col("l_extendedprice") * 100).cast("long"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        ],
+    )
+    return digest.orderBy("bucket")

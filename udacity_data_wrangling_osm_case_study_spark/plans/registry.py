@@ -54,6 +54,7 @@ _loaded = False
 # already-attested 50 follow in their original order.
 _VERIFY_FIRST = (
     "event_value_resample_interp",
+    "lineitem_bucket_checksums",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",
