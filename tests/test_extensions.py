@@ -1242,3 +1242,35 @@ def test_prefix_filter_exact_recall_vs_full_index(docs):
     # docs 1/2 share 6/8 trigrams -> J=0.75 >= 0.6; docs 1/4 identical
     assert (1, 2) in got and (1, 4) in got
     assert got[(1, 4)] == 10000
+
+
+def test_payload_byte_grams_positions_and_short_drop(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abc")], ["doc_id", "text"]
+    )
+    media = multimodal.documents_as_media(df)
+    grams = multimodal.payload_byte_grams(media, gram_bytes=4, stride_bytes=2)
+    rows = sorted((r.id, r.tok) for r in grams.collect())
+    # 'abcdef' -> hex 616263646566; 4-byte grams at byte strides of 2:
+    # bytes[0:4]='abcd', bytes[2:6]='cdef'
+    assert rows == [(1, "61626364"), (1, "63646566")]
+    # doc 2 is 3 bytes < one gram -> no rows at all (no fingerprint)
+    assert all(i == 1 for i, _ in rows)
+
+
+def test_media_simhash_identical_payloads_collide(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "the same payload bytes"), (2, "the same payload bytes"),
+         (3, "completely different content here")],
+        ["doc_id", "text"],
+    )
+    media = multimodal.documents_as_media(df)
+    fp = dedup.simhash64_from_tokens(
+        multimodal.payload_byte_grams(media)
+    )
+    got = {r.id: r.simhash for r in fp.collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}

@@ -517,10 +517,19 @@ def simhash64(
     10⁹+ docs and supports banded Hamming search
     (:func:`simhash_near_pairs`).
     """
-    hashed = df.select(
+    toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).select("id", F.md5("tok").alias("h"))
+    )
+    return simhash64_from_tokens(toks)
+
+
+def simhash64_from_tokens(toks: DataFrame) -> DataFrame:
+    """SimHash core over an already-tokenized (id, tok) frame — shared
+    by word-token text fingerprints (:func:`simhash64`) and byte-gram
+    binary/media fingerprints (``multimodal.payload_byte_grams``). Same
+    wide-aggregate single-shuffle shape regardless of tokenizer."""
+    hashed = toks.select("id", F.md5("tok").alias("h"))
     # Decode the 16-hex-digit prefix ONCE per token into two 32-bit
     # ints; each of the 64 votes is then a shift/AND on an int instead
     # of a substring+ascii decode (measured 3.4× faster at sf0.1 —

@@ -145,3 +145,35 @@ def resize_media(
             )
 
     return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+def payload_byte_grams(
+    media: DataFrame,
+    gram_bytes: int = 4,
+    stride_bytes: int = 2,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Sliding byte n-grams over an opaque binary payload, as an
+    (id, tok) frame ready for fingerprinting (``dedup.
+    simhash64_from_tokens``) — the content-defined analog of word
+    shingles for media columns, where no tokenizer exists. Works on the
+    hex encoding so the very same grams are computable in ANSI SQL
+    (DuckDB ``hex()``; both engines emit uppercase) — binary near-dup
+    pipelines stay value-checkable across engines.
+
+    Row-local: hex() is projected once per row, then one explode over
+    gram start positions and a substring each — no Python, no shuffle.
+    Payloads shorter than one gram produce no rows (and therefore no
+    fingerprint), the same contract as an empty document.
+    """
+    gh, sh = gram_bytes * 2, stride_bytes * 2  # hex chars
+    hx = media.select(
+        F.col(id_col).alias("id"), F.hex("payload").alias("hx")
+    ).filter(F.length("hx") >= gh)
+    return hx.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("hx") - (gh - 1), F.lit(sh))
+        ).alias("p"),
+        "hx",
+    ).select("id", F.expr(f"substring(hx, p, {gh})").alias("tok"))

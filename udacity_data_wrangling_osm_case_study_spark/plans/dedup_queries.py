@@ -137,9 +137,10 @@ def minhash_lsh_dupes(spark, sf_dir):
 
 # Shared CTE chain: 64-bit SimHash fingerprint per doc (DuckDB side).
 # Bit b (0-based, MSB-first) lives in md5-hex digit b//4 with weight
-# 2^(3 - b%4) — identical to operators.dedup.simhash64.
-_SIMHASH64_CTE = f"""
-    toks AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
+# 2^(3 - b%4) — identical to operators.dedup.simhash64. The vote chain
+# (tok frame → fingerprint) is tokenizer-agnostic and shared with the
+# media/byte-gram fingerprints in plans.similarity_queries.
+SIMHASH_VOTES_CTE = """
     h AS (SELECT id, md5(tok) AS h FROM toks),
     pos AS (SELECT id, CAST(b AS INT) AS b,
                    substr(h, CAST(b // 4 AS INT) + 1, 1) AS c
@@ -157,6 +158,10 @@ _SIMHASH64_CTE = f"""
     fp AS (SELECT id, string_agg(bt, '' ORDER BY b) AS simhash
            FROM bits GROUP BY id)
 """
+
+_SIMHASH64_CTE = f"""
+    toks AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
+{SIMHASH_VOTES_CTE}"""
 
 
 @register(

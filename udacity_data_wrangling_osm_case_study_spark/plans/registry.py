@@ -55,6 +55,7 @@ _loaded = False
 _VERIFY_FIRST = (
     "event_value_resample_interp",
     "lineitem_bucket_checksums",
+    "media_near_dupes",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",

@@ -670,3 +670,61 @@ def embedding_covariance(spark, sf_dir):
         .select("i", "j", F.col("n").cast("bigint").alias("n"), "cov_num")
         .orderBy("i", "j")
     )
+
+
+def _media_near_dupes_oracle() -> str:
+    from udacity_data_wrangling_osm_case_study_spark.plans.dedup_queries import (
+        SIMHASH_VOTES_CTE,
+    )
+
+    return f"""
+    WITH m AS (SELECT doc_id AS id, hex(text) AS hx FROM documents),
+    toks AS (SELECT id, substr(hx, CAST(p AS INT), 8) AS tok
+             FROM m, LATERAL unnest(range(1, len(hx) - 6, 4)) t(p)
+             WHERE len(hx) >= 8),
+{SIMHASH_VOTES_CTE},
+    bands AS (SELECT id, CAST(b AS INT) AS band,
+                     substr(simhash, CAST(b AS INT) * 16 + 1, 16) AS band_key
+              FROM fp, range(0, 4) t(b)),
+    cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+             FROM bands l JOIN bands r USING (band, band_key)
+             WHERE l.id < r.id),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               len(list_filter(range(1, 65),
+                   i -> substr(fa.simhash, CAST(i AS INT), 1)
+                        <> substr(fb.simhash, CAST(i AS INT), 1))) AS hamming
+        FROM cand c
+        JOIN fp fa ON c.id_a = fa.id
+        JOIN fp fb ON c.id_b = fb.id
+    )
+    SELECT id_a, id_b, hamming FROM scored
+    WHERE hamming <= 3 ORDER BY id_a, id_b
+    """
+
+
+@register("media_near_dupes", _media_near_dupes_oracle())
+def media_near_dupes(spark, sf_dir):
+    """Binary/media near-duplicate detection with NO tokenizer: opaque
+    payloads → sliding 4-byte grams over the hex encoding
+    (multimodal.payload_byte_grams) → the same 64-bit SimHash +
+    banded-Hamming machinery the text path uses
+    (dedup.simhash64_from_tokens / simhash_near_pairs). This is the
+    dedup story for image/audio columns: byte-gram distributions stand
+    in for word distributions, candidates come from four bounded-key
+    band joins (never an all-pairs scan over payloads), and the whole
+    pipeline — including hex()-level byte arithmetic — is value-checked
+    against DuckDB. Payloads here wrap the documents table (no codec
+    libs in this environment); real media bytes ride the identical
+    plan."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    grams = multimodal.payload_byte_grams(media, gram_bytes=4, stride_bytes=2)
+    fp = dedup.simhash64_from_tokens(grams)
+    return (
+        dedup.simhash_near_pairs(fp, n_bands=4, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
