@@ -1274,3 +1274,40 @@ def test_media_simhash_identical_payloads_collide(spark):
     assert got[1] == got[2]
     assert got[1] != got[3]
     assert len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
+
+
+def test_blocked_candidates_union_of_passes(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import linkage
+
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20)], ["id", "blk1", "blk2"]
+    )
+    b = spark.createDataFrame(
+        # 101 shares blk1 with 1; 102 shares only blk2 with 2;
+        # 103 shares nothing
+        [(101, "x", 99), (102, "z", 20), (103, "w", 77)],
+        ["id", "blk1", "blk2"],
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in linkage.blocked_candidates(
+            a, b, "id", "id", passes=[["blk1"], ["blk2"]]
+        ).collect()
+    }
+    assert got == {(1, 101), (2, 102)}
+
+
+def test_record_linkage_recall_on_true_pairs(spark):
+    from udacity_data_wrangling_osm_case_study_spark.plans.registry import load_all
+
+    q, _ = load_all()
+    out = q["record_linkage_matches"](spark, "/root/testdata/sf0.001").collect()
+    true_matched = {r.id_a for r in out if r.id_a == r.id_b}
+    n_cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    # most corrupted copies disagree on few enough fields that one
+    # blocking key survives and the score clears the threshold; only
+    # multiply-corrupted records (several modulus classes at once) are
+    # legitimately lost - the designed FS trade-off
+    assert len(true_matched) >= 0.85 * n_cust
+    # scores are bounded by the weight design
+    assert all(35 <= r.score <= 90 for r in out)

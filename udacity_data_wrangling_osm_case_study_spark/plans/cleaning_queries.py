@@ -548,3 +548,115 @@ def lineitem_bucket_checksums(spark, sf_dir):
         ],
     )
     return digest.orderBy("bucket")
+
+
+@register(
+    "record_linkage_matches",
+    """
+    WITH a AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal,
+               c_mktsegment AS seg
+        FROM customer
+    ),
+    b AS (
+        SELECT c_custkey AS id,
+               CASE WHEN c_custkey % 4 = 0
+                    THEN substr(c_name, 1, CAST(c_custkey % 8 AS INT))
+                         || substr(c_name, CAST(c_custkey % 8 AS INT) + 2)
+                    ELSE c_name END AS name,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN CAST((c_nationkey + 1) % 25 AS INT)
+                    ELSE c_nationkey END AS nat,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                   + CASE WHEN c_custkey % 11 = 0 THEN 500
+                          ELSE (c_custkey % 3) * 7 END AS bal,
+               CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    ),
+    cand AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.name AS an, b.name AS bn,
+               a.nat AS anat, b.nat AS bnat, a.bal AS abal, b.bal AS bbal,
+               a.seg AS aseg, b.seg AS bseg
+        FROM a JOIN b ON a.nat = b.nat
+        UNION
+        SELECT a.id, b.id, a.name, b.name, a.nat, b.nat, a.bal, b.bal,
+               a.seg, b.seg
+        FROM a JOIN b
+          ON CAST(floor(a.bal / 100.0) AS BIGINT)
+             = CAST(floor(b.bal / 100.0) AS BIGINT)
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               (CASE WHEN an = bn THEN 40 ELSE -10 END
+              + CASE WHEN bseg = 'UNKNOWN' THEN 0
+                     WHEN aseg = bseg THEN 10 ELSE -5 END
+              + CASE WHEN ABS(abal - bbal) <= 100 THEN 25 ELSE -15 END
+              + CASE WHEN anat = bnat THEN 15 ELSE -10 END) AS score
+        FROM cand
+    )
+    SELECT id_a, id_b, CAST(score AS BIGINT) AS score
+    FROM scored WHERE score >= 35
+    ORDER BY id_a, id_b
+    """,
+)
+def record_linkage_matches(spark, sf_dir):
+    """Fellegi–Sunter record linkage across two keyless sources: the
+    customer table vs a deterministically-corrupted import of itself
+    (dropped name chars, shifted nations, jittered balances, UNKNOWN
+    segments — the classic dirty-feed corpus). Candidates come from TWO
+    unioned blocking passes (nation; dollar-band of balance) — each a
+    plain equi-join, so a field corrupted out of one block is caught by
+    the other and nothing ever goes all-pairs. Integer agreement
+    weights per field (exact-name 40/−10, segment 10/0/−5 with UNKNOWN
+    as missing, balance-within-$1 25/−15, nation 15/−10) sum row-
+    locally; score ≥ 35 classifies a match (operators.linkage). The
+    generalization of the reference's curated street-typo dict to
+    whole-record resolution."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import linkage
+
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    a = cust.select(
+        k.alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        bal_c.alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = cust.select(
+        k.alias("id"),
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.expr("substring(c_name, 1, cast(c_custkey % 8 as int))"),
+                F.expr("substring(c_name, cast(c_custkey % 8 as int) + 2)"),
+            ),
+        ).otherwise(F.col("c_name")).alias("name"),
+        F.when(k % 7 == 0, ((F.col("c_nationkey") + 1) % 25).cast("int"))
+        .otherwise(F.col("c_nationkey")).alias("nat"),
+        (bal_c + F.when(k % 11 == 0, F.lit(500)).otherwise((k % 3) * 7)).alias("bal"),
+        F.when(k % 5 == 0, F.lit("UNKNOWN")).otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    band = lambda df: df.withColumn("band", F.floor(F.col("bal") / 100).cast("long"))  # noqa: E731
+    cand = linkage.blocked_candidates(
+        band(a), band(b), id_a="id", id_b="id", passes=[["nat"], ["band"]]
+    )
+    scored = linkage.fs_score(
+        cand,
+        [
+            F.when(F.col("a_name") == F.col("b_name"), 40).otherwise(-10),
+            F.when(F.col("b_seg") == "UNKNOWN", 0)
+            .when(F.col("a_seg") == F.col("b_seg"), 10)
+            .otherwise(-5),
+            F.when(F.abs(F.col("a_bal") - F.col("b_bal")) <= 100, 25).otherwise(-15),
+            F.when(F.col("a_nat") == F.col("b_nat"), 15).otherwise(-10),
+        ],
+    )
+    return (
+        scored.filter(F.col("score") >= 35)
+        .select("id_a", "id_b", "score")
+        .orderBy("id_a", "id_b")
+    )

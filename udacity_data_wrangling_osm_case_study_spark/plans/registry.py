@@ -56,6 +56,7 @@ _VERIFY_FIRST = (
     "event_value_resample_interp",
     "lineitem_bucket_checksums",
     "media_near_dupes",
+    "record_linkage_matches",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",
