@@ -111,6 +111,11 @@ HEADLINE = [
     "source_temperature_mix",
     "corpus_curation_funnel",
     "training_batch_manifest",
+    "event_value_resample_interp",
+    "balance_band_pairs",
+    "lineitem_bucket_checksums",
+    "media_near_dupes",
+    "record_linkage_matches",
 ]
 
 

@@ -579,12 +579,13 @@ def lineitem_bucket_checksums(spark, sf_dir):
         SELECT a.id AS id_a, b.id AS id_b, a.name AS an, b.name AS bn,
                a.nat AS anat, b.nat AS bnat, a.bal AS abal, b.bal AS bbal,
                a.seg AS aseg, b.seg AS bseg
-        FROM a JOIN b ON a.nat = b.nat
+        FROM a JOIN b ON a.name = b.name
         UNION
         SELECT a.id, b.id, a.name, b.name, a.nat, b.nat, a.bal, b.bal,
                a.seg, b.seg
         FROM a JOIN b
-          ON CAST(floor(a.bal / 100.0) AS BIGINT)
+          ON a.nat = b.nat
+         AND CAST(floor(a.bal / 100.0) AS BIGINT)
              = CAST(floor(b.bal / 100.0) AS BIGINT)
     ),
     scored AS (
@@ -606,9 +607,11 @@ def record_linkage_matches(spark, sf_dir):
     customer table vs a deterministically-corrupted import of itself
     (dropped name chars, shifted nations, jittered balances, UNKNOWN
     segments — the classic dirty-feed corpus). Candidates come from TWO
-    unioned blocking passes (nation; dollar-band of balance) — each a
-    plain equi-join, so a field corrupted out of one block is caught by
-    the other and nothing ever goes all-pairs. Integer agreement
+    unioned blocking passes — exact name; (nation, dollar-band of
+    balance) — each a SELECTIVE plain equi-join: a field corrupted out
+    of one block is caught by the other, nothing ever goes all-pairs,
+    and no single low-cardinality key (nation alone would put 1/25 of
+    the table in one block) drives per-block products quadratic. Integer agreement
     weights per field (exact-name 40/−10, segment 10/0/−5 with UNKNOWN
     as missing, balance-within-$1 25/−15, nation 15/−10) sum row-
     locally; score ≥ 35 classifies a match (operators.linkage). The
@@ -642,7 +645,8 @@ def record_linkage_matches(spark, sf_dir):
     )
     band = lambda df: df.withColumn("band", F.floor(F.col("bal") / 100).cast("long"))  # noqa: E731
     cand = linkage.blocked_candidates(
-        band(a), band(b), id_a="id", id_b="id", passes=[["nat"], ["band"]]
+        band(a), band(b), id_a="id", id_b="id",
+        passes=[["name"], ["nat", "band"]],
     )
     scored = linkage.fs_score(
         cand,
