@@ -1311,3 +1311,30 @@ def test_record_linkage_recall_on_true_pairs(spark):
     assert len(true_matched) >= 0.85 * n_cust
     # scores are bounded by the weight design
     assert all(35 <= r.score <= 90 for r in out)
+
+
+def test_rbo_weight_table_identities():
+    from udacity_data_wrangling_osm_case_study_spark.plans.similarity_queries import (
+        _RBO_DEN,
+        _RBO_S,
+    )
+
+    # S[m] is the suffix sum of w_d = 2^(10-d) * 2520 / d
+    w = [2 ** (10 - d) * 2520 // d for d in range(1, 11)]
+    assert all(2 ** (10 - d) * 2520 % d == 0 for d in range(1, 11))
+    assert _RBO_S == [sum(w[m:]) for m in range(10)]
+    # identical rankings contribute S[r] at every rank r -> exactly DEN
+    assert sum(_RBO_S) == _RBO_DEN
+
+
+def test_ann_rank_overlap_rbo_bounds(spark):
+    from udacity_data_wrangling_osm_case_study_spark.plans.registry import load_all
+
+    q, _ = load_all()
+    row = q["ann_rank_overlap_rbo"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 <= row.n_common <= 10
+    assert 0 <= row.rbo_pm <= 1000
+    # identical 10-row rankings would give exactly 1000 permille; any
+    # missing/reordered doc must strictly reduce the score
+    if row.n_common < 10:
+        assert row.rbo_pm < 1000

@@ -57,6 +57,7 @@ _VERIFY_FIRST = (
     "lineitem_bucket_checksums",
     "media_near_dupes",
     "record_linkage_matches",
+    "ann_rank_overlap_rbo",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",

@@ -728,3 +728,76 @@ def media_near_dupes(spark, sf_dir):
         .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+# Truncated RBO@10 with persistence p = 1/2, integer-exact: the depth-d
+# contribution (1−p)·p^(d−1)/d scaled by 2^10·lcm(1..10)=2580480 gives
+# integer weights w_d = 2^(10−d)·2520/d; a doc in both prefixes from
+# rank m onward contributes the suffix sum S[m] = Σ_{d≥m} w_d. Perfect
+# agreement sums to 2520·1023 = 2577960 (the normalizer).
+_RBO_S = [1788440, 498200, 175640, 68120, 27800, 11672, 4952, 2072, 812, 252]
+_RBO_DEN = 2577960
+
+
+@register(
+    "ann_rank_overlap_rbo",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+               WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id <> 0),
+    bf AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY cbp DESC, id) AS ra
+        FROM (SELECT e.vec_id AS id, {_COS_BP} AS cbp FROM e, q)
+        ORDER BY ra LIMIT 10
+    ),
+    qsig AS ({_SRP_QSIG}),
+    csig AS ({_SRP_CSIG}),
+    cand AS (SELECT DISTINCT vec_id FROM csig JOIN qsig USING (t, sig)),
+    ann AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY cbp DESC, id) AS rb
+        FROM (SELECT e.vec_id AS id, {_COS_BP} AS cbp
+              FROM e JOIN cand USING (vec_id), q)
+        ORDER BY rb LIMIT 10
+    ),
+    pairs AS (SELECT bf.id, GREATEST(ra, rb) AS m FROM bf JOIN ann USING (id)),
+    agg AS (SELECT COUNT(*) AS n_common,
+                   COALESCE(SUM(({_RBO_S})[m]), 0) AS rbo_num
+            FROM pairs)
+    SELECT 10 AS k, CAST(n_common AS BIGINT) AS n_common,
+           CAST(rbo_num AS BIGINT) AS rbo_num,
+           CAST(rbo_num * 1000 // {_RBO_DEN} AS BIGINT) AS rbo_pm
+    FROM agg
+    """,
+)
+def ann_rank_overlap_rbo(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010) between the exact
+    brute-force top-10 and the SRP-LSH ANN top-10 — the rank-weighted
+    companion to ``ann_recall_report``: two lists with the same members
+    but shuffled order score below 1, and agreement at the TOP of the
+    ranking dominates (depth-d weight halves per step). With p = 1/2
+    every weight is a dyadic rational, so the score is an exact integer
+    num/den across engines — no float geometric series. Per-pair work
+    is one array lookup of the precomputed suffix-sum table; the two
+    10-row rankings join on id and reduce to a single row."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine_bp"), "id")
+    bf = knn_bruteforce(spark, sf_dir).select(
+        "id", F.row_number().over(w).alias("ra")
+    )
+    ann = knn_srp_lsh(spark, sf_dir).select(
+        "id", F.row_number().over(w).alias("rb")
+    )
+    lut = F.array(*[F.lit(v) for v in _RBO_S])
+    contrib = F.element_at(lut, F.greatest("ra", "rb").cast("int"))
+    agg = bf.join(ann, "id").agg(
+        F.count("*").alias("n_common"),
+        F.coalesce(F.sum(contrib), F.lit(0)).cast("long").alias("rbo_num"),
+    )
+    return agg.select(
+        F.lit(10).alias("k"),
+        F.col("n_common").cast("long").alias("n_common"),
+        "rbo_num",
+        F.expr(f"rbo_num * 1000 div {_RBO_DEN}").alias("rbo_pm"),
+    )
