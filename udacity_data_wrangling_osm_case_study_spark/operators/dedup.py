@@ -1189,17 +1189,46 @@ def prefix_filter_pairs(
         )
         + 1
     )
-    prefix = pref.filter(F.col("rn") <= p).select("id", "shingle")
+    prefix = pref.filter(F.col("rn") <= p).select("id", "shingle", "sz")
+    # PPJoin length filter at the collision stage: J ≥ t forces
+    # I ≥ t/(1+t)·(szₐ+sz_b) and I ≤ min(szₐ, sz_b), so any pair with
+    # num·(szₐ+sz_b) > (num+den)·min(szₐ, sz_b) can never qualify —
+    # mismatched-size collisions are dropped before the dedup and the
+    # verify joins ever see them (integer cross-multiplied, exact).
+    size_ok = threshold_num * (F.col("sz_a") + F.col("sz_b")) <= (
+        threshold_num + threshold_den
+    ) * F.least("sz_a", "sz_b")
     cand = (
-        prefix.select(F.col("id").alias("id_a"), "shingle")
-        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        prefix.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+        .join(
+            prefix.select(
+                F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b")
+            ),
+            "shingle",
+        )
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
         .select("id_a", "id_b")
         .distinct()
     )
+    # Exact verify touches only candidate documents: the candidate
+    # pair set is materialized once (it is referenced three times —
+    # id restriction + both sides of the intersection join; Spark has
+    # no common-subplan sharing across DAG branches), then the shingle
+    # frame is semi-joined down to ids appearing in any pair before
+    # the two intersection joins — the full corpus (docs × shingles
+    # rows) never enters the verify shuffles, only the rare-token
+    # collision set does (same candidate-restriction the inverted-
+    # index path uses).
+    cand = cand.localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "id", "left_semi")
     inter = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        cand.join(sh_c.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh_c.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
