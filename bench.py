@@ -116,6 +116,8 @@ HEADLINE = [
     "lineitem_bucket_checksums",
     "media_near_dupes",
     "record_linkage_matches",
+    "containment_dupes",
+    "ann_rank_overlap_rbo",
 ]
 
 

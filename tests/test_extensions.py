@@ -1338,3 +1338,28 @@ def test_ann_rank_overlap_rbo_bounds(spark):
     # missing/reordered doc must strictly reduce the score
     if row.n_common < 10:
         assert row.rbo_pm < 1000
+
+
+def test_containment_pairs_finds_quote_jaccard_misses(spark):
+    quote = "to be or not to be that is the question"
+    page = (
+        "the prince wonders aloud " + quote +
+        " and the court listens in silence while the play continues "
+        "with many other lines entirely unrelated to the famous one "
+        "spoken before the assembled audience of the danish court"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "nothing shared with those")],
+        ["doc_id", "text"],
+    )
+    sh = dedup.word_shingles(df)
+    got = {
+        (r.contained_id, r.container_id): r.containment_bp
+        for r in dedup.containment_pairs(sh, 4, 5).collect()
+    }
+    assert got == {(1, 2): 10000}  # quote fully contained, nothing else
+    # jaccard on the same pair is far below any dedup threshold
+    j = {
+        (r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(sh).collect()
+    }[(1, 2)]
+    assert j < 0.3

@@ -1249,3 +1249,46 @@ def prefix_filter_pairs(
         "size_b",
         F.expr("inter * 10000 div (size_a + size_b - inter)").alias("jaccard_bp"),
     )
+
+
+def containment_pairs(
+    shingles: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric set-containment near-dup detection: pairs where the
+    SMALLER document's shingles are mostly inside the larger one —
+    C(A→B) = |A∩B| / |A| ≥ num/den. Jaccard misses these (a 50-shingle
+    quote inside a 500-shingle page has J ≈ 0.1 but C = 1.0); excerpt/
+    quote/boilerplate duplication in a training corpus is exactly this
+    shape (Broder's containment, 1997).
+
+    Reuses the inverted-index pair statistics (:func:`jaccard_pairs` —
+    same (inter, size_a, size_b) triple, same candidate-restriction
+    path at scale); containment is a different projection of that
+    triple, integer cross-multiplied. Output names the direction:
+    (contained_id, container_id, inter, contained_size,
+    containment_bp); equal sizes break toward the lower id.
+    """
+    pairs = jaccard_pairs(shingles, candidates=candidates)
+    small = F.least("size_a", "size_b")
+    a_is_small = (F.col("size_a") < F.col("size_b")) | (
+        (F.col("size_a") == F.col("size_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        pairs.filter(threshold_den * F.col("inter") >= threshold_num * small)
+        .select(
+            F.when(a_is_small, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "contained_id"
+            ),
+            F.when(a_is_small, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "container_id"
+            ),
+            "inter",
+            small.alias("contained_size"),
+            F.expr("inter * 10000 div least(size_a, size_b)").alias(
+                "containment_bp"
+            ),
+        )
+    )

@@ -807,3 +807,43 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
     return dedup.prefix_filter_pairs(sh, 3, 5).orderBy("id_a", "id_b")
+
+
+@register(
+    "containment_dupes",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT CASE WHEN sa.sz < sb.sz OR (sa.sz = sb.sz AND id_a < id_b)
+                THEN id_a ELSE id_b END AS contained_id,
+           CASE WHEN sa.sz < sb.sz OR (sa.sz = sb.sz AND id_a < id_b)
+                THEN id_b ELSE id_a END AS container_id,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(LEAST(sa.sz, sb.sz) AS BIGINT) AS contained_size,
+           CAST(inter * 10000 // LEAST(sa.sz, sb.sz) AS BIGINT)
+               AS containment_bp
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE 5 * inter >= 4 * LEAST(sa.sz, sb.sz)
+    ORDER BY contained_id, container_id
+    """,
+)
+def containment_dupes(spark, sf_dir):
+    """Asymmetric containment near-dups: the smaller document's
+    shingle set ≥ 80% inside the larger one (Broder's containment) —
+    the excerpt/quote/boilerplate duplication Jaccard cannot see (a
+    quote inside a 10× larger page has J ≈ 0.1 but C = 1.0). Same
+    inverted-index pair statistics as ``ngram_jaccard_pairs``
+    (operators.dedup.containment_pairs reuses the (inter, size, size)
+    triple); only the projection and the integer threshold differ."""
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs).cache()
+    return dedup.containment_pairs(sh, 4, 5).orderBy(
+        "contained_id", "container_id"
+    )

@@ -58,6 +58,7 @@ _VERIFY_FIRST = (
     "media_near_dupes",
     "record_linkage_matches",
     "ann_rank_overlap_rbo",
+    "containment_dupes",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",
