@@ -118,6 +118,8 @@ HEADLINE = [
     "record_linkage_matches",
     "containment_dupes",
     "ann_rank_overlap_rbo",
+    "nation_revenue_share",
+    "bloom_prefilter_contamination",
 ]
 
 

@@ -1363,3 +1363,16 @@ def test_containment_pairs_finds_quote_jaccard_misses(spark):
         (r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(sh).collect()
     }[(1, 2)]
     assert j < 0.3
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = dedup.bloom_prefilter_report(docs).collect()
+    # every exact contamination hit must appear among bloom candidates
+    assert all(r.n_candidates >= r.n_exact for r in rep)
+    assert all(r.n_false_pos == r.n_candidates - r.n_exact for r in rep)
+    exact_docs = {
+        r.doc_id for r in dedup.contamination_report(docs).collect()
+    }
+    bloom_docs = {r.doc_id for r in rep}
+    assert exact_docs <= bloom_docs

@@ -1292,3 +1292,94 @@ def containment_pairs(
             ),
         )
     )
+
+
+def bloom_prefilter_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_mod: int = 11,
+    n: int = 5,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter prefilter for benchmark decontamination, built from
+    engine-portable primitives (md5 positions + bit_or words — no
+    engine-private sketch types, so the whole filter is value-checkable
+    in ANSI SQL).
+
+    The benchmark's n-grams populate an ``m_bits`` Bloom bitset
+    (``k_hashes`` seeded md5 positions per gram, OR-reduced into 32-bit
+    words); the corpus probe is then a ROW-LOCAL membership test — the
+    bitset rides to every task as a one-row broadcast array, each
+    corpus gram checks its k positions with a ``forall`` over a map
+    lookup, and no corpus row ever shuffles for candidate generation.
+    That is the 100 TB posture: the exact-join contamination check
+    (:func:`contamination_report`) broadcasts every benchmark gram
+    (16 bytes × |grams|); the Bloom prefilter broadcasts ``m_bits/8``
+    bytes TOTAL regardless of benchmark size and pays for it with a
+    measurable, tunable false-positive rate — the report quantifies
+    exactly that trade (per-doc candidates vs exact hits vs false
+    positives). No false negatives by construction.
+    """
+    sh = word_shingles(df, id_col=id_col, text_col=text_col, n=n).select(
+        "id", F.md5("shingle").alias("gram")
+    )
+    bench = sh.filter(F.col("id") % benchmark_mod == 0)
+    corpus = sh.filter(F.col("id") % benchmark_mod != 0)
+
+    def pos(i, gram_col):
+        h = F.md5(F.concat(F.lit(f"{i}:"), gram_col))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m_bits
+
+    # build: distinct benchmark grams → k positions each → 32-bit words
+    bits = (
+        bench.select("gram")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[pos(i, F.col("gram")) for i in range(k_hashes)])
+            ).alias("p")
+        )
+        .groupBy((F.col("p") / 32).cast("long").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(cast(1 as long), cast(p % 32 as int)))").alias("bits"))
+    )
+    # one-row broadcast bank: word → bits map (m_bits/32 entries)
+    bank = bits.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bloom")
+    )
+    # the per-element shift amount is itself an expression, which the
+    # PySpark shiftleft wrapper does not accept — the probe predicate
+    # is therefore built as a parsed SQL string (SQL shiftleft takes
+    # any int expression)
+    ps_sql = "array(" + ", ".join(
+        f"cast(conv(substring(md5(concat('{i}:', gram)), 1, 8), 16, 10)"
+        f" as bigint) % {m_bits}"
+        for i in range(k_hashes)
+    ) + ")"
+    hit_sql = (
+        "forall(_ps, p -> (coalesce(element_at(bloom, p div 32),"
+        " cast(0 as bigint))"
+        " & shiftleft(cast(1 as bigint), cast(p % 32 as int))) != 0)"
+    )
+    probe = corpus.crossJoin(F.broadcast(bank)).withColumn("_ps", F.expr(ps_sql))
+    cand = probe.withColumn("bloom_hit", F.expr(hit_sql)).filter("bloom_hit")
+    per_doc_cand = cand.groupBy("id").agg(
+        F.countDistinct("gram").alias("n_candidates")
+    )
+    exact = (
+        corpus.join(F.broadcast(bench.select("gram").distinct()), "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.countDistinct("gram").alias("n_exact"))
+    )
+    return (
+        per_doc_cand.join(exact, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_candidates",
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            (F.col("n_candidates") - F.coalesce("n_exact", F.lit(0)))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+    )

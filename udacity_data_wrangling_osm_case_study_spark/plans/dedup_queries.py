@@ -847,3 +847,65 @@ def containment_dupes(spark, sf_dir):
     return dedup.containment_pairs(sh, 4, 5).orderBy(
         "contained_id", "container_id"
     )
+
+
+@register(
+    "bloom_prefilter_contamination",
+    f"""
+    WITH norm AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT id, unnest(list_transform(
+            range(1, greatest(len(toks) - 4, 0) + 1),
+            i -> md5(array_to_string(toks[i:i+4], ' ')))) AS gram
+        FROM norm
+    ),
+    bench AS (SELECT DISTINCT gram FROM sh WHERE id % 11 = 0),
+    corpus AS (SELECT id, gram FROM sh WHERE id % 11 <> 0),
+    bpos AS (
+        SELECT CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || gram),
+                                    1, 8)) AS BIGINT) % 8192 AS p
+        FROM bench, range(0, 4) t(i)
+    ),
+    bits AS (SELECT p // 32 AS w,
+                    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+             FROM bpos GROUP BY p // 32),
+    cpos AS (
+        SELECT id, gram,
+               CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || gram),
+                                    1, 8)) AS BIGINT) % 8192 AS p
+        FROM corpus, range(0, 4) t(i)
+    ),
+    hits AS (
+        SELECT id, gram
+        FROM cpos LEFT JOIN bits ON cpos.p // 32 = bits.w
+        GROUP BY id, gram
+        HAVING COUNT(*) FILTER (WHERE
+            (COALESCE(bits, 0)
+             & (CAST(1 AS BIGINT) << CAST(p % 32 AS INT))) <> 0) = 4
+    ),
+    cand AS (SELECT id, COUNT(DISTINCT gram) AS n_candidates
+             FROM hits GROUP BY id),
+    ex AS (SELECT c.id, COUNT(DISTINCT c.gram) AS n_exact
+           FROM corpus c JOIN bench b ON c.gram = b.gram GROUP BY c.id)
+    SELECT cand.id AS doc_id,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(n_candidates - COALESCE(n_exact, 0) AS BIGINT) AS n_false_pos
+    FROM cand LEFT JOIN ex ON cand.id = ex.id
+    ORDER BY doc_id
+    """,
+)
+def bloom_prefilter_contamination(spark, sf_dir):
+    """Bloom-prefiltered decontamination: the benchmark's 5-grams fold
+    into an 8192-bit / 4-hash Bloom bitset built from md5 positions and
+    bit_or words (dedup.bloom_prefilter_report); the corpus probe is a
+    row-local forall over a ONE-ROW broadcast map — constant broadcast
+    bytes regardless of benchmark size, zero corpus shuffle for
+    candidate generation, and the report quantifies the price: per-doc
+    Bloom candidates vs exact hits vs false positives (false negatives
+    are impossible by construction). The exact-join path
+    (``benchmark_contamination``) broadcasts every benchmark gram; this
+    is what replaces it when the benchmark outgrows a broadcast."""
+    return dedup.bloom_prefilter_report(
+        table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")

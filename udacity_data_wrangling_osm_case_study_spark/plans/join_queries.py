@@ -1118,3 +1118,66 @@ def balance_band_pairs(spark, sf_dir):
         F.col("r_s_suppkey").alias("s_suppkey"),
         (F.col("l_bal_c") - F.col("r_bal_c")).cast("long").alias("diff_cents"),
     ).orderBy("c_custkey", "s_suppkey")
+
+
+@register(
+    "nation_revenue_share",
+    """
+    WITH rev AS (
+        SELECT r_name, n_name,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           rev_c,
+           CAST(rev_c * 10000 // SUM(rev_c) OVER (PARTITION BY r_name)
+                AS BIGINT) AS share_of_region_bp,
+           CAST(SUM(rev_c) OVER (PARTITION BY r_name) * 10000
+                // SUM(rev_c) OVER () AS BIGINT) AS region_share_bp
+    FROM rev ORDER BY r_name, n_name
+    """,
+)
+def nation_revenue_share(spark, sf_dir):
+    """Percent-of-parent rollup: each nation's share of its region's
+    revenue and each region's share of the grand total — the ratio-to-
+    parent report every BI layer asks of a warehouse. The fact table
+    reduces to one ~|nations|-row aggregate FIRST (exact integer
+    cents); both parent sums are then windows over that tiny frame, so
+    the shares cost nothing beyond the single fact shuffle. Integer
+    basis points via floor division — no float ratios in the output."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    region = F.broadcast(table(spark, sf_dir, "region"))
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+        )
+    )
+    from pyspark.sql import Window
+
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        "rev_c",
+        F.expr("rev_c * 10000").cast("long").alias("_num_r"),
+        F.sum("rev_c").over(w_region).alias("_den_r"),
+        (F.sum("rev_c").over(w_region) * 10000).alias("_num_t"),
+        F.sum("rev_c").over(w_all).alias("_den_t"),
+    ).select(
+        "r_name",
+        "n_name",
+        "rev_c",
+        F.expr("_num_r div _den_r").cast("long").alias("share_of_region_bp"),
+        F.expr("_num_t div _den_t").cast("long").alias("region_share_bp"),
+    ).orderBy("r_name", "n_name")

@@ -59,6 +59,8 @@ _VERIFY_FIRST = (
     "record_linkage_matches",
     "ann_rank_overlap_rbo",
     "containment_dupes",
+    "nation_revenue_share",
+    "bloom_prefilter_contamination",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",
