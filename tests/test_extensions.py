@@ -1376,3 +1376,24 @@ def test_bloom_prefilter_no_false_negatives(spark):
     }
     bloom_docs = {r.doc_id for r in rep}
     assert exact_docs <= bloom_docs
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = dedup.word_shingles(docs).cache()
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
+    out = sampling.leakage_safe_split(docs, pairs)
+    split_of = {r.id: r.split for r in out.collect()}
+    plist = pairs.collect()
+    assert len(plist) > 0
+    # the leakage guarantee: every near-dup pair lands on ONE side
+    for p in plist:
+        assert split_of[p.id_a] == split_of[p.id_b]
+    # and the split still covers every document with sane proportions
+    assert len(split_of) == docs.count()
+    from collections import Counter
+
+    c = Counter(split_of.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]

@@ -169,6 +169,8 @@ def test_no_cartesian_products_anywhere(spark):
         "source_quantile_normalize",  # 1-row corpus total frame
         "source_slot_allocation",     # 1-row corpus total frame
         "order_price_tiers",          # 4-row tier dim, interval predicate
+        "ann_rank_overlap_rbo",       # 1-row query vector (both rankings)
+        "bloom_prefilter_contamination",  # 1-row broadcast bloom bank
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

@@ -184,3 +184,34 @@ def stratified_sample_rate(
         .filter(F.col("_rn") * 100 <= F.col("_n") * rate_pct)
         .drop("_rn", "_n")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: a plain per-document hash
+    split leaks whenever two near-duplicate documents land on opposite
+    sides (the model "sees" eval text at train time). Here every
+    connected near-dup cluster (``pairs`` from any dedup family →
+    ``dedup.connected_components``) is collapsed to its cluster label
+    first and the hash split keys on THAT — a cluster crosses the
+    boundary as one unit, by construction. Singletons key on their own
+    id (identical cost to the naive split).
+
+    Returns (id, comp, split). Cost on top of the split itself is the
+    component computation over the pair graph — edges ∝ near-dup pairs,
+    never corpus².
+    """
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+
+    comps = dedup.connected_components(pairs)
+    base = df.select(F.col(id_col).alias("id")).join(comps, "id", "left")
+    labeled = base.select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    return train_val_test_split(
+        labeled, key_col="comp", val_pct=val_pct, test_pct=test_pct, salt=salt
+    )

@@ -476,3 +476,71 @@ def source_slot_allocation(spark, sf_dir):
             + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
         ).cast("bigint").alias("slots"),
     ).orderBy("source")
+
+
+@register(
+    "leakage_safe_split",
+    """
+    WITH RECURSIVE norm AS (
+        SELECT doc_id AS id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' ') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT id, unnest(list_transform(
+            range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM norm
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comps AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp
+              FROM reach GROUP BY s),
+    labeled AS (
+        SELECT d.doc_id AS id, COALESCE(c.comp, d.doc_id) AS comp
+        FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+    ),
+    b AS (
+        SELECT id, comp,
+               CAST(('0x' || substr(md5('split' || CAST(comp AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 100 AS bkt
+        FROM labeled
+    )
+    SELECT id, comp,
+           CASE WHEN bkt < 10 THEN 'test'
+                WHEN bkt < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b ORDER BY id
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split: the naive per-doc hash
+    split leaks whenever near-duplicates straddle the boundary; here
+    every connected near-dup cluster (Jaccard ≥ 0.5 pairs → transitive
+    components) collapses to its cluster label and the stable hash
+    split keys on that, so a cluster crosses the split as one unit by
+    construction (operators.sampling.leakage_safe_split). Singletons
+    cost exactly the naive split."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup, sampling
+
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs).cache()
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
+    return sampling.leakage_safe_split(docs, pairs).orderBy("id")

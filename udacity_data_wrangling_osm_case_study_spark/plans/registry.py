@@ -61,6 +61,7 @@ _VERIFY_FIRST = (
     "containment_dupes",
     "nation_revenue_share",
     "bloom_prefilter_contamination",
+    "leakage_safe_split",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",
