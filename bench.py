@@ -120,6 +120,8 @@ HEADLINE = [
     "ann_rank_overlap_rbo",
     "nation_revenue_share",
     "bloom_prefilter_contamination",
+    "leakage_safe_split",
+    "hard_negative_mining",
 ]
 
 

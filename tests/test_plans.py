@@ -171,6 +171,7 @@ def test_no_cartesian_products_anywhere(spark):
         "order_price_tiers",          # 4-row tier dim, interval predicate
         "ann_rank_overlap_rbo",       # 1-row query vector (both rankings)
         "bloom_prefilter_contamination",  # 1-row broadcast bloom bank
+        "hard_negative_mining",       # k-row centroid bank (kmeans_assign)
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

@@ -62,6 +62,7 @@ _VERIFY_FIRST = (
     "nation_revenue_share",
     "bloom_prefilter_contamination",
     "leakage_safe_split",
+    "hard_negative_mining",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",

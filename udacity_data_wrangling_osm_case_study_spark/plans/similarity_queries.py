@@ -801,3 +801,85 @@ def ann_rank_overlap_rbo(spark, sf_dir):
         "rbo_num",
         F.expr(f"rbo_num * 1000 div {_RBO_DEN}").alias("rbo_pm"),
     )
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cell, v AS centroid FROM v WHERE vec_id < 8),
+    scored AS (
+        SELECT v.vec_id AS id, c.cell,
+               CAST(ROUND(list_dot_product(v.v, c.centroid) /
+                    (sqrt(list_dot_product(v.v, v.v))
+                     * sqrt(list_dot_product(c.centroid, c.centroid)))
+                    * 10000) AS BIGINT) AS cos_bp
+        FROM v, c
+    ),
+    best AS (
+        SELECT id, cell,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY cos_bp DESC, cell) AS rn
+        FROM scored
+    ),
+    assign AS (SELECT id, cell FROM best WHERE rn = 1),
+    e AS (SELECT a.id, a.cell, v.v FROM assign a JOIN v ON v.vec_id = a.id),
+    pairs AS (
+        SELECT a.id AS anchor_id, b.id AS negative_id,
+               CAST(ROUND(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v)))
+                    * 10000) AS BIGINT) AS cosine_bp
+        FROM e a JOIN e b ON a.cell = b.cell AND a.id <> b.id
+        WHERE a.id % 10 = 0
+    ),
+    ranked AS (
+        SELECT anchor_id, negative_id, cosine_bp,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY cosine_bp DESC, negative_id) AS rn
+        FROM pairs WHERE cosine_bp < 4000
+    )
+    SELECT anchor_id, negative_id, cosine_bp
+    FROM ranked WHERE rn = 1 ORDER BY anchor_id
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor
+    (every 10th vector), the MOST similar same-cell vector that is
+    still below the near-dup threshold (cosine < 0.4) — close enough
+    to be informative, far enough to be a true negative. The all-pairs
+    problem is blocked by the same deterministic k-means cells
+    semantic_dedup uses (candidates per anchor ∝ cell occupancy, never
+    the corpus); top-1 is one ordered window per anchor over cell-local
+    pairs. Basis-point cosines with id tie-breaks keep the mined pairs
+    engine-exact."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_vec(F.col("embedding"))
+    base = emb.select(F.col("vec_id").alias("id"), v.alias("v"))
+    seeds = base.filter(F.col("id") < 8).select(
+        F.col("id").alias("cell"), F.col("v").alias("centroid")
+    )
+    assigned = similarity.kmeans_assign(emb, seeds).select("id", "cell")
+    e = assigned.join(base, "id")
+    a = e.filter(F.col("id") % 10 == 0).select(
+        F.col("id").alias("anchor_id"), F.col("v").alias("va"), "cell"
+    )
+    b = e.select(F.col("id").alias("negative_id"), F.col("v").alias("vb"), "cell")
+    bp = F.round(similarity.cosine(F.col("va"), F.col("vb")) * 10000).cast("bigint")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+        .select("anchor_id", "negative_id", bp.alias("cosine_bp"))
+        .filter(F.col("cosine_bp") < 4000)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_bp"), "negative_id"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("anchor_id", "negative_id", "cosine_bp")
+        .orderBy("anchor_id")
+    )
