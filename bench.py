@@ -122,6 +122,7 @@ HEADLINE = [
     "bloom_prefilter_contamination",
     "leakage_safe_split",
     "hard_negative_mining",
+    "mlm_masked_docs",
 ]
 
 

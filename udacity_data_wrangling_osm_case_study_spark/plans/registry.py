@@ -63,6 +63,7 @@ _VERIFY_FIRST = (
     "bloom_prefilter_contamination",
     "leakage_safe_split",
     "hard_negative_mining",
+    "mlm_masked_docs",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",

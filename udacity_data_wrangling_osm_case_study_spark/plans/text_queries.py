@@ -1143,3 +1143,55 @@ def phrase_search(spark, sf_dir):
         .filter(F.col("n_occur") > 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mlm_masked_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_transform(range(1, len(toks) + 1),
+                   i -> CASE WHEN CAST(('0x' || substr(md5(
+                                 CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                             % 100 < 15
+                        THEN '<mask>' ELSE toks[CAST(i AS INT)] END) AS masked
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(masked, s -> s = '<mask>')) AS BIGINT)
+               AS n_masked,
+           md5(array_to_string(masked, ' ')) AS masked_md5
+    FROM m ORDER BY doc_id
+    """,
+)
+def mlm_masked_docs(spark, sf_dir):
+    """Deterministic MLM-style masking augmentation: position i of doc
+    d is masked iff md5(d:i) lands under 15% — the content-keyed coin
+    a reproducible training pipeline flips instead of an RNG, so every
+    rerun (and every engine) produces the byte-identical masked corpus.
+    Entirely row-local (one transform over the token array, zero
+    shuffle); the masked text is attested by checksum so the full
+    string — not just the counts — is value-checked."""
+    docs = table(spark, sf_dir, "documents")
+    toks = "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')"
+    masked = (
+        "transform(sequence(1, size(toks)), i -> "
+        "if(cast(conv(substring(md5(concat(cast(doc_id as string), ':', "
+        "cast(i as string))), 1, 8), 16, 10) as bigint) % 100 < 15, "
+        "'<mask>', element_at(toks, i)))"
+    )
+    return (
+        docs.selectExpr("doc_id", f"{toks} AS toks")
+        .selectExpr("doc_id", "size(toks) AS n_tokens", f"{masked} AS masked")
+        .selectExpr(
+            "doc_id",
+            "cast(n_tokens as bigint) AS n_tokens",
+            "cast(size(filter(masked, s -> s = '<mask>')) as bigint) AS n_masked",
+            "md5(array_join(masked, ' ')) AS masked_md5",
+        )
+        .orderBy("doc_id")
+    )
