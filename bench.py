@@ -123,6 +123,7 @@ HEADLINE = [
     "leakage_safe_split",
     "hard_negative_mining",
     "mlm_masked_docs",
+    "next_event_training_pairs",
 ]
 
 

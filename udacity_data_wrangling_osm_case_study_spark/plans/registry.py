@@ -64,6 +64,7 @@ _VERIFY_FIRST = (
     "leakage_safe_split",
     "hard_negative_mining",
     "mlm_masked_docs",
+    "next_event_training_pairs",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",

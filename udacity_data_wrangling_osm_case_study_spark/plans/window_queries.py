@@ -1083,3 +1083,54 @@ def top_session_paths(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+@register(
+    "next_event_training_pairs",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 3) OVER w AS c1,
+               lag(event_type, 2) OVER w AS c2,
+               lag(event_type, 1) OVER w AS c3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT c1 || '>' || c2 || '>' || c3 AS context,
+           event_type AS label,
+           COUNT(*) AS n
+    FROM seq WHERE c1 IS NOT NULL
+    GROUP BY context, label
+    ORDER BY n DESC, context, label
+    LIMIT 50
+    """,
+)
+def next_event_training_pairs(spark, sf_dir):
+    """Sequence-model example generation: (3-event context → next
+    event) training pairs from every user's ordered stream, reduced to
+    the (context, label, count) table an n-gram predictor or a
+    next-action model trains from. One (user, time) sort feeds all
+    three lags; the pair table reduces map-side before the final
+    shuffle, so output scales with distinct contexts, not events.
+    Deterministic top-50 with full tie-breaks."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 3).over(w).alias("c1"),
+        F.lag("event_type", 2).over(w).alias("c2"),
+        F.lag("event_type", 1).over(w).alias("c3"),
+    )
+    return (
+        seq.filter(F.col("c1").isNotNull())
+        .select(
+            F.concat_ws(">", "c1", "c2", "c3").alias("context"),
+            F.col("event_type").alias("label"),
+        )
+        .groupBy("context", "label")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "context", "label")
+        .limit(50)
+    )
