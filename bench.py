@@ -124,6 +124,7 @@ HEADLINE = [
     "hard_negative_mining",
     "mlm_masked_docs",
     "next_event_training_pairs",
+    "cumulative_unique_users",
 ]
 
 

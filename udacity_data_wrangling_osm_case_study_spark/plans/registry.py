@@ -65,6 +65,7 @@ _VERIFY_FIRST = (
     "hard_negative_mining",
     "mlm_masked_docs",
     "next_event_training_pairs",
+    "cumulative_unique_users",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",

@@ -1134,3 +1134,49 @@ def next_event_training_pairs(spark, sf_dir):
         .orderBy(F.desc("n"), "context", "label")
         .limit(50)
     )
+
+
+@register(
+    "cumulative_unique_users",
+    """
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    per_day AS (SELECT d, COUNT(*) AS n_new FROM first_seen GROUP BY d),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT STRFTIME(days.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new_users,
+           CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY days.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_unique_users
+    FROM days LEFT JOIN per_day ON days.d = per_day.d
+    ORDER BY day
+    """,
+)
+def cumulative_unique_users(spark, sf_dir):
+    """Exact cumulative distinct users per day — COUNT(DISTINCT) OVER a
+    running window, which no engine supports directly, rewritten as the
+    first-seen identity: a user contributes exactly once, on their
+    first-activity day, so distinct-to-date = running SUM of per-day
+    first-seen counts. Two tiny aggregations (per user, per day) and
+    one prefix sum over ~days rows replace any notion of per-day
+    distinct re-scans; state is |users| once, never |users| × |days|."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("d"))
+    per_day = first_seen.groupBy("d").agg(F.count("*").alias("n_new"))
+    days = ev.select("d").distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(per_day, "d", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n_new").cast("long").alias("n_new_users"),
+            F.sum("n_new").over(w).cast("long").alias("cum_unique_users"),
+        )
+        .orderBy("day")
+    )
