@@ -664,3 +664,109 @@ def record_linkage_matches(spark, sf_dir):
         .select("id_a", "id_b", "score")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "events_quality_report",
+    """
+    SELECT 'events' AS tbl, 'event_id_not_null' AS rule,
+           COUNT(*) FILTER (WHERE event_id IS NULL) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'events', 'event_id_unique',
+           (SELECT COUNT(*) FROM
+              (SELECT event_id FROM events GROUP BY event_id
+               HAVING COUNT(*) > 1))
+    FROM (SELECT 1)
+    UNION ALL
+    SELECT 'events', 'ts_in_range',
+           COUNT(*) FILTER (WHERE ts IS NULL
+               OR ts < TIMESTAMP '2000-01-01'
+               OR ts > TIMESTAMP '2100-01-01')
+    FROM events
+    UNION ALL
+    SELECT 'events', 'value_non_negative',
+           COUNT(*) FILTER (WHERE value IS NULL OR value < 0)
+    FROM events
+    UNION ALL
+    SELECT 'events', 'type_in_domain',
+           COUNT(*) FILTER (WHERE event_type NOT IN
+               ('click', 'view', 'purchase', 'login', 'error'))
+    FROM events
+    UNION ALL
+    SELECT 'events', 'user_fk_resolves',
+           (SELECT COUNT(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id % 1500000))
+    FROM (SELECT 1)
+    ORDER BY rule
+    """,
+)
+def events_quality_report(spark, sf_dir):
+    """Declarative data-contract validation over the driver's event
+    feed — the engine's cerberus answer (operators/validation.py)
+    applied to driver testdata: each rule is ONE aggregate predicate
+    (null, uniqueness, range, enum domain, referential resolution),
+    all unioned into a single queryable violations report. Zero rows
+    would mean "don't ingest"; counts localize the break. Every rule is
+    a scan-bound filter-count except uniqueness (one groupBy on the
+    key) and the FK anti-join probe."""
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+
+    def rule(name, cnt_df):
+        return cnt_df.select(
+            F.lit("events").alias("tbl"),
+            F.lit(name).alias("rule"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    dup = (
+        ev.groupBy("event_id").count().filter("count > 1")
+        .agg(F.count("*").alias("n"))
+    )
+    fk = (
+        ev.withColumn("k", F.col("user_id") % 1_500_000)
+        .join(cust.select(F.col("c_custkey").alias("k")), "k", "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+    checks = [
+        rule(
+            "event_id_not_null",
+            ev.agg(F.count_if(F.col("event_id").isNull()).alias("n")),
+        ),
+        rule("event_id_unique", dup),
+        rule(
+            "ts_in_range",
+            ev.agg(
+                F.count_if(
+                    F.col("ts").isNull()
+                    | (F.col("ts") < F.lit("2000-01-01").cast("timestamp"))
+                    | (F.col("ts") > F.lit("2100-01-01").cast("timestamp"))
+                ).alias("n")
+            ),
+        ),
+        rule(
+            "value_non_negative",
+            ev.agg(
+                F.count_if(
+                    F.col("value").isNull() | (F.col("value") < 0)
+                ).alias("n")
+            ),
+        ),
+        rule(
+            "type_in_domain",
+            ev.agg(
+                F.count_if(
+                    ~F.col("event_type").isin(
+                        "click", "view", "purchase", "login", "error"
+                    )
+                ).alias("n")
+            ),
+        ),
+        rule("user_fk_resolves", fk),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("rule")

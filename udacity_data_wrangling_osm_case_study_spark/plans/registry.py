@@ -66,6 +66,7 @@ _VERIFY_FIRST = (
     "mlm_masked_docs",
     "next_event_training_pairs",
     "cumulative_unique_users",
+    "events_quality_report",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",
