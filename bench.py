@@ -125,6 +125,7 @@ HEADLINE = [
     "mlm_masked_docs",
     "next_event_training_pairs",
     "cumulative_unique_users",
+    "recency_weighted_user_value",
 ]
 
 

@@ -172,6 +172,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ann_rank_overlap_rbo",       # 1-row query vector (both rankings)
         "bloom_prefilter_contamination",  # 1-row broadcast bloom bank
         "hard_negative_mining",       # k-row centroid bank (kmeans_assign)
+        "recency_weighted_user_value",  # 1-row as-of instant frame
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

@@ -67,6 +67,7 @@ _VERIFY_FIRST = (
     "next_event_training_pairs",
     "cumulative_unique_users",
     "events_quality_report",
+    "recency_weighted_user_value",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",

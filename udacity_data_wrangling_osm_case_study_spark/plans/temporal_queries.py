@@ -727,3 +727,60 @@ def event_value_resample_interp(spark, sf_dir):
         F.col("interp_num").cast("long").alias("interp_num"),
         F.col("interp_den").cast("long").alias("interp_den"),
     ).orderBy("user_id", "hour_bucket")
+
+
+@register(
+    "recency_weighted_user_value",
+    """
+    WITH ref_t AS (SELECT MAX(ts) AS t FROM events),
+    aged AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST((epoch_us(ref_t.t) - epoch_us(ts)) // 3600000000 AS BIGINT)
+                   AS age_h
+        FROM events, ref_t
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE age_h < 32) AS BIGINT) AS n_recent,
+           CAST(SUM(CASE WHEN age_h < 32
+                         THEN cents * (CAST(1 AS BIGINT)
+                                       << CAST(31 - age_h AS INT))
+                         ELSE 0 END) AS BIGINT) AS decay_num,
+           CAST(CAST(1 AS BIGINT) << 31 AS BIGINT) AS decay_den
+    FROM aged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def recency_weighted_user_value(spark, sf_dir):
+    """Recency-weighted engagement score (feature engineering): each
+    event's value decays by 2^-age_hours from the corpus as-of instant,
+    truncated at 32 h. Dyadic weights over integer cents keep the
+    num/denominator exact BIGINTs in both engines (reported as the rational num/den,
+    like the interpolation and trend queries) — the same
+    engine-portability trick as the EWMA — and the as-of instant rides
+    in as a one-row broadcast, so the whole feature is one scan + one
+    groupBy. The half-life knob is a shift, not a float pow."""
+    ev = table(spark, sf_dir, "events")
+    asof = ev.agg(F.max("ts").alias("t"))
+    aged = ev.crossJoin(F.broadcast(asof)).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("(unix_micros(t) - unix_micros(ts)) div 3600000000").alias(
+            "age_h"
+        ),
+    )
+    recent = F.col("age_h") < 32
+    num = F.sum(
+        F.when(
+            recent,
+            F.expr("cents * shiftleft(cast(1 as bigint), cast(31 - age_h as int))"),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count_if(recent).cast("long").alias("n_recent"),
+            num.cast("long").alias("decay_num"),
+        )
+        .withColumn("decay_den", F.lit(2**31).cast("long"))
+        .orderBy("user_id")
+    )
