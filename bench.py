@@ -126,6 +126,7 @@ HEADLINE = [
     "next_event_training_pairs",
     "cumulative_unique_users",
     "recency_weighted_user_value",
+    "source_token_l1_drift",
 ]
 
 

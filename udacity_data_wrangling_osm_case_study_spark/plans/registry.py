@@ -68,6 +68,7 @@ _VERIFY_FIRST = (
     "cumulative_unique_users",
     "events_quality_report",
     "recency_weighted_user_value",
+    "source_token_l1_drift",
     "balance_band_pairs",
     "event_value_ewma",
     "event_value_cusum",

@@ -1195,3 +1195,112 @@ def mlm_masked_docs(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "source_token_l1_drift",
+    f"""
+    WITH t AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT source, tok, COUNT(*) AS n FROM t GROUP BY source, tok),
+    tot AS (SELECT source, SUM(n) AS total FROM cnt GROUP BY source),
+    ppm AS (
+        SELECT cnt.source, tok, CAST(n * 1000000 // total AS BIGINT) AS ppm
+        FROM cnt JOIN tot ON cnt.source = tot.source
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               SUM(ABS(a.ppm - b.ppm)) AS l1_shared,
+               SUM(a.ppm) AS pa_shared, SUM(b.ppm) AS pb_shared,
+               COUNT(*) AS n_shared
+        FROM ppm a JOIN ppm b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    mass AS (SELECT source, SUM(ppm) AS mass, COUNT(*) AS n_toks
+             FROM ppm GROUP BY source)
+    SELECT source_a, source_b,
+           CAST(l1_shared + (ma.mass - pa_shared) + (mb.mass - pb_shared)
+                AS BIGINT) AS l1_ppm,
+           CAST(ma.n_toks + mb.n_toks - n_shared AS BIGINT)
+               AS n_tokens_compared
+    FROM shared
+    JOIN mass ma ON ma.source = source_a
+    JOIN mass mb ON mb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_token_l1_drift(spark, sf_dir):
+    """Distribution-drift monitor between corpus sources: each source's
+    token distribution in integer parts-per-million, then the pairwise
+    L1 distance — the mixture-shift signal a training pipeline tracks
+    when a feed changes under it (0 = identical unigram mix, 2e6 =
+    disjoint). Token counts reduce map-side before anything joins; the
+    pair comparison is an inner join on token over the reduced
+    per-source frames (a token absent from a source contributes its
+    other side's ppm exactly once, added back via the marginal totals —
+    no full-outer blowup). All-integer floor arithmetic.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from udacity_data_wrangling_osm_case_study_spark.operators.textstats import tokens
+
+    t = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = t.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("total"))
+    ppm = cnt.join(tot, "source").select(
+        "source", "tok", F.expr("n * 1000000 div total").alias("ppm")
+    )
+    a = ppm.select(
+        F.col("source").alias("source_a"), "tok", F.col("ppm").alias("pa")
+    )
+    b = ppm.select(
+        F.col("source").alias("source_b"), "tok", F.col("ppm").alias("pb")
+    )
+    pairs = a.join(b, "tok").filter(F.col("source_a") < F.col("source_b"))
+    # L1 = Σ_shared |pa−pb| + Σ_a-only pa + Σ_b-only pb. The one-sided
+    # masses are recovered from marginals: Σ_only pa = total_ppm_a −
+    # Σ_shared pa — so only the SHARED-token join ever materializes.
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.sum(F.abs(F.col("pa") - F.col("pb"))).alias("l1_shared"),
+        F.sum("pa").alias("pa_shared"),
+        F.sum("pb").alias("pb_shared"),
+        F.count("*").alias("n_shared"),
+    )
+    mass = ppm.groupBy("source").agg(
+        F.sum("ppm").alias("mass"), F.count("*").alias("n_toks")
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                mass.select(
+                    F.col("source").alias("source_a"),
+                    F.col("mass").alias("mass_a"),
+                    F.col("n_toks").alias("nt_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                mass.select(
+                    F.col("source").alias("source_b"),
+                    F.col("mass").alias("mass_b"),
+                    F.col("n_toks").alias("nt_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.col("l1_shared")
+                + (F.col("mass_a") - F.col("pa_shared"))
+                + (F.col("mass_b") - F.col("pb_shared"))
+            )
+            .cast("long")
+            .alias("l1_ppm"),
+            (F.col("nt_a") + F.col("nt_b") - F.col("n_shared"))
+            .cast("long")
+            .alias("n_tokens_compared"),
+        )
+        .orderBy("source_a", "source_b")
+    )
