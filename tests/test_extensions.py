@@ -1397,3 +1397,75 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
 
     c = Counter(split_of.values())
     assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_session7_operators_tolerate_empty_inputs(spark):
+    """Degenerate-input sweep for this session's operators: empty
+    frames in, empty frames (or all-zero reports) out — never a throw."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import (
+        linkage,
+        sampling,
+        temporal,
+        validation,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ])
+    )
+    sh = dedup.word_shingles(empty_docs)
+    assert dedup.containment_pairs(sh).count() == 0
+    assert dedup.bloom_prefilter_report(empty_docs).count() == 0
+    media = multimodal.documents_as_media(empty_docs)
+    grams = multimodal.payload_byte_grams(media)
+    assert grams.count() == 0
+    assert dedup.simhash64_from_tokens(grams).count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], StructType([
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("cents", LongType()),
+        ])
+    )
+    assert temporal.resample_interp(
+        empty_ev, key="user_id", time_col="ts", value_col="cents",
+        bucket_seconds=3600,
+    ).count() == 0
+
+    empty_kv = spark.createDataFrame(
+        [], StructType([
+            StructField("g", LongType()),
+            StructField("id", LongType()),
+            StructField("v", LongType()),
+        ])
+    )
+    assert temporal.value_band_join(
+        empty_kv, empty_kv, keys=["g"], left_val="v", right_val="v",
+        max_diff=10,
+    ).count() == 0
+    assert validation.bucket_digest(empty_kv, [F.col("id"), F.col("v")]).count() == 0
+    assert linkage.blocked_candidates(
+        empty_kv, empty_kv, "id", "id", passes=[["g"], ["v"]]
+    ).count() == 0
+
+    empty_pairs = spark.createDataFrame(
+        [], StructType([
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+        ])
+    )
+    # no near-dup pairs -> every doc is its own cluster; split still total
+    docs_one = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    out = sampling.leakage_safe_split(docs_one, empty_pairs).collect()
+    assert len(out) == 1 and out[0].comp == 1
