@@ -48,11 +48,31 @@ _loaded = False
 
 # Names surfaced first to the driver's correctness harness. The harness
 # walks ``queries()`` in insertion order with a bounded budget (round 1
-# recorded exactly the first 50 names), so the block that has not yet
-# received a driver row — the LLM-pipeline extensions: contamination,
-# kNN, multimodal, text analysis, UDTF — is hoisted to the front; the
-# already-attested 50 follow in their original order.
+# recorded exactly the first 50 names). Priority within that budget:
+# (1) the 19 queries the round-1 VERDICT explicitly listed as
+# driver-unattested (text analysis / kNN / multimodal / contamination),
+# (2) the newest session's operators, (3) every other never-attested
+# name; the originally-attested 50 follow in registration order.
 _VERIFY_FIRST = (
+    "benchmark_contamination",
+    "char_census",
+    "corpus_token_stats",
+    "doc_chunks",
+    "doc_profiles",
+    "embedding_near_dupes_arrow",
+    "json_props_udtf",
+    "knn_bruteforce",
+    "knn_ivf",
+    "lang_id_confusion",
+    "media_features",
+    "media_metadata",
+    "pii_term_scrub",
+    "props_key_histogram",
+    "regex_token_count",
+    "repetition_quality",
+    "tfidf_top_terms",
+    "top_words",
+    "train_val_test_split",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",
     "media_near_dupes",
@@ -152,27 +172,8 @@ _VERIFY_FIRST = (
     "doc_fingerprints",
     "fingerprint_near_pairs",
     "simhash_near_pairs",
-    "benchmark_contamination",
-    "embedding_near_dupes_arrow",
-    "knn_bruteforce",
-    "knn_ivf",
     "knn_srp_lsh",
-    "media_metadata",
-    "media_features",
     "media_frame_sample",
-    "doc_profiles",
-    "lang_id_confusion",
-    "corpus_token_stats",
-    "top_words",
-    "char_census",
-    "props_key_histogram",
-    "regex_token_count",
-    "train_val_test_split",
-    "doc_chunks",
-    "tfidf_top_terms",
-    "pii_term_scrub",
-    "repetition_quality",
-    "json_props_udtf",
 )
 
 
