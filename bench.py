@@ -127,6 +127,7 @@ HEADLINE = [
     "cumulative_unique_users",
     "recency_weighted_user_value",
     "source_token_l1_drift",
+    "event_value_ks_test",
 ]
 
 

@@ -173,6 +173,7 @@ def test_no_cartesian_products_anywhere(spark):
         "bloom_prefilter_contamination",  # 1-row broadcast bloom bank
         "hard_negative_mining",       # k-row centroid bank (kmeans_assign)
         "recency_weighted_user_value",  # 1-row as-of instant frame
+        "event_value_ks_test",          # 1-row sample-size frames
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

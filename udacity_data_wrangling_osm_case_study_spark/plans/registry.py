@@ -73,6 +73,7 @@ _VERIFY_FIRST = (
     "tfidf_top_terms",
     "top_words",
     "train_val_test_split",
+    "event_value_ks_test",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",
     "media_near_dupes",

@@ -1180,3 +1180,73 @@ def cumulative_unique_users(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "event_value_ks_test",
+    """
+    WITH a AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+               WHERE event_type = 'click'),
+    b AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+          WHERE event_type = 'view'),
+    n AS (SELECT (SELECT COUNT(*) FROM a) AS na, (SELECT COUNT(*) FROM b) AS nb),
+    deltas AS (
+        SELECT v, SUM(d) AS delta FROM (
+            SELECT v, (SELECT nb FROM n) AS d FROM a
+            UNION ALL
+            SELECT v, -(SELECT na FROM n) AS d FROM b
+        ) GROUP BY v
+    ),
+    cum AS (
+        SELECT SUM(delta) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM deltas
+    )
+    SELECT (SELECT CAST(na AS BIGINT) FROM n) AS n_a,
+           (SELECT CAST(nb AS BIGINT) FROM n) AS n_b,
+           CAST(MAX(ABS(c)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(c)) * 1000 // (SELECT na * nb FROM n) AS BIGINT)
+               AS ks_permille
+    FROM cum
+    """,
+)
+def event_value_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the click
+    and view value distributions — the distribution-drift test a data
+    pipeline runs before trusting a new feed, with NO floats: D =
+    max|F_a − F_b| is cross-multiplied to max|cum_a·n_b − cum_b·n_a|,
+    and that quantity is one signed prefix sum of per-value deltas
+    (+n_b per a-observation, −n_a per b-observation). Values reduce to
+    distinct cents first; the running sum uses the two-phase
+    distributed prefix sum (operators.packing) — no single-partition
+    window over the value axis."""
+    from udacity_data_wrangling_osm_case_study_spark.operators.packing import (
+        global_token_offsets,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    a = ev.filter(F.col("event_type") == "click").select("v")
+    b = ev.filter(F.col("event_type") == "view").select("v")
+    n = a.agg(F.count("*").alias("na")).crossJoin(
+        F.broadcast(b.agg(F.count("*").alias("nb")))
+    )
+    deltas = (
+        a.crossJoin(F.broadcast(n)).select("v", F.col("nb").alias("d"))
+        .unionByName(
+            b.crossJoin(F.broadcast(n)).select("v", (-F.col("na")).alias("d"))
+        )
+        .groupBy("v")
+        .agg(F.sum("d").alias("delta"))
+    )
+    swept = global_token_offsets(deltas, order_col="v", ntok_col="delta")
+    stat = swept.agg(
+        F.max(F.abs(F.col("start") + F.col("delta"))).alias("ks_num")
+    )
+    return stat.crossJoin(F.broadcast(n)).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("ks_num").cast("long").alias("ks_num"),
+        F.expr("ks_num * 1000 div (na * nb)").alias("ks_permille"),
+    )
