@@ -128,6 +128,7 @@ HEADLINE = [
     "recency_weighted_user_value",
     "source_token_l1_drift",
     "event_value_ks_test",
+    "rolling_active_users_exact",
 ]
 
 

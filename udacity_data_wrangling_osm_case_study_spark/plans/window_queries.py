@@ -1250,3 +1250,49 @@ def event_value_ks_test(spark, sf_dir):
         F.col("ks_num").cast("long").alias("ks_num"),
         F.expr("ks_num * 1000 div (na * nb)").alias("ks_permille"),
     )
+
+
+@register(
+    "rolling_active_users_exact",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    expanded AS (
+        SELECT user_id, d + CAST(o.off AS INT) AS target
+        FROM ud, LATERAL unnest(range(0, 7)) o(off)
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT STRFTIME(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_7d
+    FROM days JOIN expanded e ON e.target = days.d
+    GROUP BY days.d ORDER BY day
+    """,
+)
+def rolling_active_users_exact(spark, sf_dir):
+    """EXACT trailing-7-day active users per day — the companion to the
+    HLL-sketch `rolling_distinct_users` for when the number must be
+    exact: COUNT(DISTINCT) over a sliding window (unsupported
+    everywhere) is rewritten by day-expansion — each (user, active-day)
+    pair, already reduced to distinct rows, contributes itself to the 7
+    calendar days it keeps the user 'active' for, and the rolling
+    distinct collapses to a plain per-day COUNT(DISTINCT). Expansion is
+    a bounded ×window_days on REDUCED rows, so cost is user-days × 7,
+    never events × 7 — the exact/approximate trade is now a choice,
+    not a limitation."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "target"
+        ),
+    )
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    return (
+        days.join(expanded, days.d == expanded.target)
+        .groupBy(days.d)
+        .agg(F.countDistinct("user_id").cast("long").alias("active_7d"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "active_7d")
+        .orderBy("day")
+    )
