@@ -129,6 +129,7 @@ HEADLINE = [
     "source_token_l1_drift",
     "event_value_ks_test",
     "rolling_active_users_exact",
+    "telemetry_debounce",
 ]
 
 

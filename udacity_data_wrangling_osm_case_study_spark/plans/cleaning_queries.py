@@ -770,3 +770,69 @@ def events_quality_report(spark, sf_dir):
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("rule")
+
+
+@register(
+    "telemetry_debounce",
+    """
+    WITH o AS (
+        SELECT user_id, event_type, event_id, ts,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_type, event_id,
+               CASE WHEN gap_us IS NULL OR gap_us > 5000000
+                    THEN 1 ELSE 0 END AS is_first
+        FROM o
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(is_first) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(is_first) AS BIGINT) AS n_debounced,
+           CAST(SUM(CASE WHEN is_first = 1 THEN event_id ELSE 0 END)
+                AS BIGINT) AS kept_id_checksum
+    FROM flagged GROUP BY user_id, event_type
+    HAVING COUNT(*) - SUM(is_first) > 0
+    ORDER BY user_id, event_type
+    """,
+)
+def telemetry_debounce(spark, sf_dir):
+    """Telemetry double-fire cleanup (debounce): an event repeated by
+    the same user with the same type within 5 s of its predecessor is
+    a retry/double-click artifact, not a new signal — keep only the
+    first event of each burst. One lag over a single (user, type, time)
+    sort flags burst starts; the report counts kept vs debounced per
+    key with an id checksum over the survivors, so the exact KEEP SET
+    (not just counts) is value-attested. The tolerance-window variant
+    of exact dedup: equality on the key, proximity on time."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = ev.withColumn(
+        "gap_us", F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    )
+    flagged = o.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.when(
+            F.col("gap_us").isNull() | (F.col("gap_us") > 5_000_000), 1
+        ).otherwise(0).alias("is_first"),
+    )
+    return (
+        flagged.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.sum("is_first").cast("long").alias("n_kept"),
+            (F.count("*") - F.sum("is_first")).cast("long").alias("n_debounced"),
+            F.sum(F.when(F.col("is_first") == 1, F.col("event_id")).otherwise(0))
+            .cast("long")
+            .alias("kept_id_checksum"),
+        )
+        .filter(F.col("n_debounced") > 0)
+        .orderBy("user_id", "event_type")
+    )

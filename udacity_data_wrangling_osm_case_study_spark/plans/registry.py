@@ -75,6 +75,7 @@ _VERIFY_FIRST = (
     "train_val_test_split",
     "event_value_ks_test",
     "rolling_active_users_exact",
+    "telemetry_debounce",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",
     "media_near_dupes",
