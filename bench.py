@@ -130,6 +130,7 @@ HEADLINE = [
     "event_value_ks_test",
     "rolling_active_users_exact",
     "telemetry_debounce",
+    "theilsen_user_trend",
 ]
 
 

@@ -76,6 +76,7 @@ _VERIFY_FIRST = (
     "event_value_ks_test",
     "rolling_active_users_exact",
     "telemetry_debounce",
+    "theilsen_user_trend",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",
     "media_near_dupes",

@@ -784,3 +784,95 @@ def recency_weighted_user_value(spark, sf_dir):
         .withColumn("decay_den", F.lit(2**31).cast("long"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "theilsen_user_trend",
+    """
+    WITH pts AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000 AS x,
+               CAST(ROUND(value * 100) AS BIGINT) AS y,
+               event_id
+        FROM events WHERE user_id < 5
+    ),
+    slopes AS (
+        SELECT a.user_id,
+               b.y - a.y AS num, b.x - a.x AS den
+        FROM pts a JOIN pts b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+        WHERE a.x <> b.x
+    ),
+    ranked AS (
+        SELECT user_id, num, den,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+                            num, den) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM slopes
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_slopes,
+           CAST(num AS BIGINT) AS slope_num_c,
+           CAST(den AS BIGINT) AS slope_den_s
+    FROM ranked WHERE rn = (n + 1) // 2
+    ORDER BY user_id
+    """,
+)
+def theilsen_user_trend(spark, sf_dir):
+    """Theil–Sen robust trend per user: the MEDIAN of all pairwise
+    slopes, immune to the outliers that bend the OLS fit
+    (``event_value_trend``). Selection happens by IEEE-double slope
+    order — bit-identical in both engines — with an exact (num, den)
+    tie-break, and the SELECTED slope is then reported as its exact
+    rational (cents over seconds), so the output itself carries no
+    float. Pairwise slopes are bounded per key (the query keys on a
+    user cohort; at scale the estimator runs per bounded entity, never
+    across a corpus)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    pts = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        "event_id",
+    )
+    a = pts.select(
+        "user_id",
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("event_id").alias("ea"),
+    )
+    b = pts.select(
+        "user_id",
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("event_id").alias("eb"),
+    )
+    slopes = (
+        a.join(b, "user_id")
+        .filter((F.col("ea") < F.col("eb")) & (F.col("xa") != F.col("xb")))
+        .select(
+            "user_id",
+            (F.col("yb") - F.col("ya")).alias("num"),
+            (F.col("xb") - F.col("xa")).alias("den"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("num").cast("double") / F.col("den").cast("double"), "num", "den"
+    )
+    wn = Window.partitionBy("user_id")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return (
+        ranked.filter(F.expr("rn = (n + 1) div 2"))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_slopes"),
+            F.col("num").cast("long").alias("slope_num_c"),
+            F.col("den").cast("long").alias("slope_den_s"),
+        )
+        .orderBy("user_id")
+    )
