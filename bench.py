@@ -131,6 +131,8 @@ HEADLINE = [
     "rolling_active_users_exact",
     "telemetry_debounce",
     "theilsen_user_trend",
+    "loo_target_encoding",
+    "k_anonymity_audit",
 ]
 
 

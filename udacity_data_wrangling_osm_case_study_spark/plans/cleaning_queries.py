@@ -836,3 +836,44 @@ def telemetry_debounce(spark, sf_dir):
         .filter(F.col("n_debounced") > 0)
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH qi AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(floor(ROUND(c_acctbal * 100) / 100000.0) AS BIGINT)
+                   AS bal_band
+        FROM customer
+    ),
+    groups AS (
+        SELECT nat, seg, bal_band, COUNT(*) AS group_size
+        FROM qi GROUP BY nat, seg, bal_band
+    )
+    SELECT nat, seg, bal_band, CAST(group_size AS BIGINT) AS group_size
+    FROM groups WHERE group_size < 5
+    ORDER BY nat, seg, bal_band
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """Privacy audit before data release: quasi-identifier combinations
+    (nation, segment, $1000 balance band) whose group size falls below
+    k = 5 — each flagged row is a re-identification risk the release
+    pipeline must generalize or suppress. One groupBy over the
+    quasi-identifier tuple; the violating groups are by definition the
+    SMALL ones, so the report is tiny no matter the table size."""
+    cust = table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.round(F.col("c_acctbal") * 100) / 100000).cast("long").alias(
+            "bal_band"
+        ),
+    )
+    return (
+        qi.groupBy("nat", "seg", "bal_band")
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .filter(F.col("group_size") < 5)
+        .orderBy("nat", "seg", "bal_band")
+    )

@@ -77,6 +77,8 @@ _VERIFY_FIRST = (
     "rolling_active_users_exact",
     "telemetry_debounce",
     "theilsen_user_trend",
+    "loo_target_encoding",
+    "k_anonymity_audit",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",
     "media_near_dupes",

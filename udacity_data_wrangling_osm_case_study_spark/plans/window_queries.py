@@ -1296,3 +1296,54 @@ def rolling_active_users_exact(spark, sf_dir):
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "active_7d")
         .orderBy("day")
     )
+
+
+@register(
+    "loo_target_encoding",
+    """
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id < 3000
+    ),
+    stats AS (
+        SELECT event_id, event_type, cents,
+               SUM(cents) OVER (PARTITION BY event_type) AS s,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    )
+    SELECT event_id, event_type,
+           CAST(s - cents AS BIGINT) AS loo_num_c,
+           CAST(n - 1 AS BIGINT) AS loo_den
+    FROM stats WHERE n > 1 ORDER BY event_id
+    """,
+)
+def loo_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature: each row's category is encoded by the mean target of all
+    OTHER rows in that category, (Σ − yᵢ)/(n − 1), so a row never sees
+    its own label. One windowed sum+count per category (single shuffle)
+    serves every row; the encoding is emitted as its exact rational
+    over integer cents — no float mean to diverge across engines.
+    Singleton categories are excluded (their LOO mean is undefined)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        c.withColumn("s", F.sum("cents").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .filter(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("s") - F.col("cents")).cast("long").alias("loo_num_c"),
+            (F.col("n") - 1).cast("long").alias("loo_den"),
+        )
+        .orderBy("event_id")
+    )
