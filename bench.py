@@ -133,6 +133,7 @@ HEADLINE = [
     "theilsen_user_trend",
     "loo_target_encoding",
     "k_anonymity_audit",
+    "corpus_release_manifest",
 ]
 
 

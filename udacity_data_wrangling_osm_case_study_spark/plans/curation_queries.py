@@ -544,3 +544,90 @@ def leakage_safe_split(spark, sf_dir):
     sh = dedup.word_shingles(docs).cache()
     pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
     return sampling.leakage_safe_split(docs, pairs).orderBy("id")
+
+
+@register(
+    "corpus_release_manifest",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents
+    ),
+    keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(norm)
+    ),
+    toks AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM norm),
+    grams AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(toks) - 4, 0) + 1),
+            i -> md5(array_to_string(toks[i:i+4], ' ')))) AS gram
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (gram)
+        WHERE g.doc_id % 11 <> 0
+    ),
+    released AS (
+        SELECT k.doc_id, len(t.toks) AS n_tokens
+        FROM keepers k JOIN toks t USING (doc_id)
+        WHERE k.doc_id % 11 <> 0
+          AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    labeled AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN b < 10 THEN 'test'
+                    WHEN b < 20 THEN 'val' ELSE 'train' END AS split
+        FROM (SELECT doc_id, n_tokens,
+                     CAST(('0x' || substr(md5('split'
+                          || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % 100 AS b
+              FROM released)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+    FROM labeled GROUP BY split ORDER BY split
+    """,
+)
+def corpus_release_manifest(spark, sf_dir):
+    """The training-corpus RELEASE pipeline end to end, attested as one
+    query: exact dedup (content-fingerprint keepers) → benchmark
+    decontamination (drop any doc sharing a 5-gram with the held-out
+    set, and the benchmark docs themselves) → stable hash split → the
+    per-split manifest (doc count, token count, id checksum) a training
+    run consumes. Every stage is a registered operator family
+    (dedup.exact_duplicate_groups / contamination_report /
+    sampling.train_val_test_split); this composition attests they
+    compose — the checksums pin the exact released doc SET, not just
+    counts. Corpus-side work: one normalize pass feeds fingerprints,
+    grams, and token counts; the benchmark gram set broadcasts."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup, sampling
+    from udacity_data_wrangling_osm_case_study_spark.operators.textstats import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    keepers = (
+        dedup.exact_duplicate_groups(docs)
+        .select(F.col("keeper_id").alias("doc_id"))
+    )
+    contaminated = dedup.contamination_report(docs).select("doc_id")
+    counted = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    released = (
+        keepers.filter(F.col("doc_id") % 11 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .join(counted, "doc_id")
+    )
+    labeled = sampling.train_val_test_split(released, key_col="doc_id")
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+        )
+        .orderBy("split")
+    )

@@ -78,6 +78,7 @@ _VERIFY_FIRST = (
     "telemetry_debounce",
     "theilsen_user_trend",
     "loo_target_encoding",
+    "corpus_release_manifest",
     "k_anonymity_audit",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",
