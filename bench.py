@@ -134,6 +134,7 @@ HEADLINE = [
     "loo_target_encoding",
     "k_anonymity_audit",
     "corpus_release_manifest",
+    "audience_overlap_bitmap",
 ]
 
 

@@ -1181,3 +1181,59 @@ def nation_revenue_share(spark, sf_dir):
         F.expr("_num_r div _den_r").cast("long").alias("share_of_region_bp"),
         F.expr("_num_t div _den_t").cast("long").alias("region_share_bp"),
     ).orderBy("r_name", "n_name")
+
+
+@register(
+    "audience_overlap_bitmap",
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS co_users
+    FROM tu a JOIN tu b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def audience_overlap_bitmap(spark, sf_dir):
+    """Audience-overlap matrix via BITMAP indexes: each event type's
+    user audience packs into 64-bit blocks (block = user div 64, one
+    bit_or aggregate), and every pairwise intersection is then
+    AND + popcount over aligned blocks — the co-audience of all type
+    pairs costs |types|²·|blocks| word operations instead of a
+    user-level self-join, and the bitmap is reusable for OR/ANDNOT
+    (union / exclusion audiences) at the same price. The oracle is the
+    NAIVE distinct-user self-join — a cross-algorithm match attesting
+    the bitmap arithmetic, not just implementation agreement."""
+    ev = table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    blocks = (
+        tu.select(
+            "event_type",
+            F.expr("user_id div 64").alias("b"),
+            F.expr("cast(user_id % 64 as int)").alias("bit"),
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), bit))"
+            ).alias("mask")
+        )
+    )
+    a = blocks.select(
+        F.col("event_type").alias("type_a"), "b", F.col("mask").alias("ma")
+    )
+    bb = blocks.select(
+        F.col("event_type").alias("type_b"), "b", F.col("mask").alias("mb")
+    )
+    return (
+        a.join(bb, "b")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))))
+            .cast("long")
+            .alias("co_users")
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -79,6 +79,7 @@ _VERIFY_FIRST = (
     "theilsen_user_trend",
     "loo_target_encoding",
     "corpus_release_manifest",
+    "audience_overlap_bitmap",
     "k_anonymity_audit",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",
