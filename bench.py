@@ -135,6 +135,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "corpus_release_manifest",
     "audience_overlap_bitmap",
+    "value_log2_histogram",
 ]
 
 

@@ -80,6 +80,7 @@ _VERIFY_FIRST = (
     "loo_target_encoding",
     "corpus_release_manifest",
     "audience_overlap_bitmap",
+    "value_log2_histogram",
     "k_anonymity_audit",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",

@@ -1347,3 +1347,51 @@ def loo_target_encoding(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "value_log2_histogram",
+    """
+    WITH c AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ROUND(value * 100) >= 1
+    ),
+    b AS (
+        SELECT event_type, len(bin(cents)) - 1 AS bucket FROM c
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST((CAST(1 AS BIGINT) << CAST(bucket AS INT)) AS BIGINT)
+               AS lo_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def value_log2_histogram(spark, sf_dir):
+    """HDR-style log-bucketed value histogram per event type: bucket =
+    floor(log2(cents)), computed EXACTLY as the binary-string length
+    minus one (both engines' ``bin()``) — a float log2 is off by an
+    ulp exactly at the power-of-two boundaries, the only places a
+    bucket edge lives. Constant relative error per bucket, ~40 buckets
+    cover nine decades: the observability-grade distribution summary
+    that aggregates map-side and merges by addition at any scale."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).filter(F.col("cents") >= 1)
+    b = c.select(
+        "event_type", (F.length(F.bin("cents")) - 1).cast("long").alias("bucket")
+    )
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            F.expr("shiftleft(cast(1 as bigint), cast(bucket as int))").alias(
+                "lo_cents"
+            ),
+            "n",
+        )
+        .orderBy("event_type", "bucket")
+    )
