@@ -136,6 +136,7 @@ HEADLINE = [
     "corpus_release_manifest",
     "audience_overlap_bitmap",
     "value_log2_histogram",
+    "monotonic_counter_repair",
 ]
 
 

@@ -877,3 +877,81 @@ def k_anonymity_audit(spark, sf_dir):
         .filter(F.col("group_size") < 5)
         .orderBy("nat", "seg", "bal_band")
     )
+
+
+@register(
+    "monotonic_counter_repair",
+    """
+    WITH c AS (
+        SELECT user_id, event_id, ts,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS raw_c
+        FROM events
+    ),
+    corrupted AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_id % 13 = 0 THEN raw_c - (raw_c // 3)
+                    ELSE raw_c END AS obs_c
+        FROM c
+    ),
+    repaired AS (
+        SELECT user_id, event_id, obs_c,
+               MAX(obs_c) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS fix_c
+        FROM corrupted
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(COUNT(*) FILTER (WHERE fix_c <> obs_c) AS BIGINT)
+               AS n_repaired,
+           CAST(SUM(fix_c) AS BIGINT) AS repaired_checksum
+    FROM repaired GROUP BY user_id ORDER BY user_id
+    """,
+)
+def monotonic_counter_repair(spark, sf_dir):
+    """Monotonic-counter (odometer) repair: a per-user cumulative
+    counter is deterministically corrupted with dips (every 13th
+    reading drops a third — the reset/glitch telemetry exhibits), then
+    repaired with the running-maximum rule — a reading can never
+    legally fall, so ``fix = max(obs, running max)``. Both the
+    corruption and the repair are windows over ONE (user, order) sort;
+    the per-user report checksums the repaired series so the exact
+    fixed values are attested, not just repair counts."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    wts = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(wts).alias("raw_c"),
+    )
+    corrupted = c.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.col("raw_c") - F.expr("raw_c div 3"),
+        ).otherwise(F.col("raw_c")).alias("obs_c"),
+    )
+    wid = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    repaired = corrupted.withColumn("fix_c", F.max("obs_c").over(wid))
+    return (
+        repaired.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_obs"),
+            F.count_if(F.col("fix_c") != F.col("obs_c"))
+            .cast("long")
+            .alias("n_repaired"),
+            F.sum("fix_c").cast("long").alias("repaired_checksum"),
+        )
+        .orderBy("user_id")
+    )

@@ -81,6 +81,7 @@ _VERIFY_FIRST = (
     "corpus_release_manifest",
     "audience_overlap_bitmap",
     "value_log2_histogram",
+    "monotonic_counter_repair",
     "k_anonymity_audit",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",
