@@ -137,6 +137,7 @@ HEADLINE = [
     "audience_overlap_bitmap",
     "value_log2_histogram",
     "monotonic_counter_repair",
+    "embedding_standardize",
 ]
 
 

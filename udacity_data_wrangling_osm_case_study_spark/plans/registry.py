@@ -82,6 +82,7 @@ _VERIFY_FIRST = (
     "audience_overlap_bitmap",
     "value_log2_histogram",
     "monotonic_counter_repair",
+    "embedding_standardize",
     "k_anonymity_audit",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",

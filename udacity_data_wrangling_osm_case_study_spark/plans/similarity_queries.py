@@ -883,3 +883,78 @@ def hard_negative_mining(spark, sf_dir):
         .select("anchor_id", "negative_id", "cosine_bp")
         .orderBy("anchor_id")
     )
+
+
+@register(
+    "embedding_standardize",
+    """
+    WITH ex AS (
+        SELECT vec_id, CAST(t.p AS INT) AS pos,
+               CAST(ROUND(CAST(embedding[CAST(t.p AS INT) + 1] AS DOUBLE)
+                          * 1000000) AS BIGINT) AS m
+        FROM embeddings, range(0, 64) t(p)
+    ),
+    stats AS (
+        SELECT pos, COUNT(*) AS n, SUM(m) AS s, SUM(m * m) AS s2
+        FROM ex GROUP BY pos
+    ),
+    z AS (
+        SELECT ex.vec_id, ex.pos,
+               CAST(ROUND((ex.m - CAST(s AS DOUBLE) / n)
+                   / sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)) / n)
+                   * 10000 / 1000000) AS BIGINT) AS z_bp
+        FROM ex JOIN stats ON ex.pos = stats.pos
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM((pos + 1) * z_bp) AS BIGINT) AS z_checksum,
+           CAST(MAX(ABS(z_bp)) AS BIGINT) AS max_abs_z_bp
+    FROM z GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def embedding_standardize(spark, sf_dir):
+    """Feature standardization at scale: per-dimension z-score
+    normalization of the embedding column — the preprocessing pass in
+    front of quantizers and linear probes. Values quantize to integer
+    micro-units FIRST, so the per-dim sufficient statistics (n, Σm,
+    Σm²) are exact integers and the derived mean/std doubles are
+    computed by the identical IEEE expression in both engines; the
+    normalized vector is attested by a position-weighted checksum of
+    its basis-point values. Scale shape: one 64-row stats aggregate
+    broadcasts back onto the scan — the transform itself is map-only."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(similarity.as_double_vec(F.col("embedding"))).alias(
+            "pos", "x"
+        ),
+    ).select(
+        "vec_id", "pos", F.round(F.col("x") * 1_000_000).cast("long").alias("m")
+    )
+    stats = ex.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum("m").alias("s"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    z = ex.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        F.expr(
+            "cast(round((m - cast(s as double) / n)"
+            " / sqrt((cast(s2 as double)"
+            "         - cast(s as double) * (cast(s as double) / n)) / n)"
+            " * 10000 / 1000000) as bigint)"
+        ).alias("z_bp"),
+    )
+    return (
+        z.groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dims"),
+            F.sum((F.col("pos") + 1) * F.col("z_bp"))
+            .cast("long")
+            .alias("z_checksum"),
+            F.max(F.abs("z_bp")).cast("long").alias("max_abs_z_bp"),
+        )
+        .orderBy("vec_id")
+    )
