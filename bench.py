@@ -138,6 +138,7 @@ HEADLINE = [
     "value_log2_histogram",
     "monotonic_counter_repair",
     "embedding_standardize",
+    "source_distinctive_terms",
 ]
 
 

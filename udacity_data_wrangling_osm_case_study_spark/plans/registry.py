@@ -83,6 +83,7 @@ _VERIFY_FIRST = (
     "value_log2_histogram",
     "monotonic_counter_repair",
     "embedding_standardize",
+    "source_distinctive_terms",
     "k_anonymity_audit",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",

@@ -1304,3 +1304,69 @@ def source_token_l1_drift(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "source_distinctive_terms",
+    f"""
+    WITH t AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY source, tok),
+    tots AS (SELECT source, SUM(c) AS tot FROM cnt GROUP BY source),
+    g AS (SELECT tok, SUM(c) AS cg FROM cnt GROUP BY tok),
+    gt AS (SELECT SUM(cg) AS totg FROM g),
+    lift AS (
+        SELECT cnt.source, cnt.tok, cnt.c,
+               CAST(cnt.c * (SELECT totg FROM gt) * 10000
+                    // (tots.tot * g.cg) AS BIGINT) AS lift_bp
+        FROM cnt JOIN tots ON cnt.source = tots.source
+                 JOIN g ON cnt.tok = g.tok
+        WHERE cnt.c >= 5
+    ),
+    ranked AS (
+        SELECT source, tok, c, lift_bp,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY lift_bp DESC, tok) AS rn
+        FROM lift
+    )
+    SELECT source, tok, CAST(c AS BIGINT) AS c, lift_bp
+    FROM ranked WHERE rn <= 5 ORDER BY source, lift_bp DESC, tok
+    """,
+)
+def source_distinctive_terms(spark, sf_dir):
+    """Class-discriminative vocabulary (the c-TF-IDF / BERTopic idea):
+    per source, the 5 terms whose in-source probability most exceeds
+    their corpus-wide probability — lift cross-multiplied to integer
+    basis points (c_s·N_g·10⁴ div (N_s·c_g)), min-support 5, full tie
+    breaks. Token counts reduce map-side; the per-source and global
+    marginals are tiny broadcast frames; top-5 is one window over the
+    qualified terms. What you read to understand WHAT each corpus
+    source actually contains before mixing it."""
+    from pyspark.sql import Window
+
+    from udacity_data_wrangling_osm_case_study_spark.operators.textstats import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = t.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tots = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
+    g = cnt.groupBy("tok").agg(F.sum("c").alias("cg"))
+    gt = g.agg(F.sum("cg").alias("totg"))
+    lift = (
+        cnt.filter(F.col("c") >= 5)
+        .join(F.broadcast(tots), "source")
+        .join(g, "tok")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "tok",
+            "c",
+            F.expr("c * totg * 10000 div (tot * cg)").alias("lift_bp"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lift_bp"), "tok")
+    return (
+        lift.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "tok", F.col("c").cast("long").alias("c"), "lift_bp")
+        .orderBy("source", F.desc("lift_bp"), "tok")
+    )
