@@ -600,3 +600,79 @@ def test_ewma_stream_matches_batch(spark, events_dir):
         assert len(finals) == 5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_debounce_stream_matches_batch(spark, events_dir):
+    """The streaming debounce's final per-(user, type) report must
+    equal the batch burst semantics on the same events — across two
+    time-split micro-batches, so a burst straddling the batch boundary
+    exercises the carried anchor timestamp. Timestamps are compressed
+    256x so real double-fires exist at test scale."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "event_id",
+        F.timestamp_micros(F.expr("unix_micros(ts) div 256")).alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="debounce_stream_")
+    try:
+        mid = ev.agg(
+            F.expr("percentile_approx(unix_micros(ts), 0.5)")
+        ).collect()[0][0]
+        ev.filter(F.unix_micros("ts") <= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/b0")
+        ev.filter(F.unix_micros("ts") > mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/b1")
+
+        src = (
+            spark.readStream.schema(
+                "user_id bigint, event_type string, event_id bigint, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/b*")
+        )
+        stream = events_stream.debounce_user_events(src)
+        events_stream.run_to_memory_sink(stream, "v_debounce", output_mode="update")
+        got = spark.table("v_debounce")
+        final = {
+            (r.user_id, r.event_type): (r.n_raw, r.n_kept, r.kept_id_checksum)
+            for r in got.groupBy("user_id", "event_type")
+            .agg(
+                F.max("n_raw").alias("n_raw"),
+                F.max("n_kept").alias("n_kept"),
+                F.max("kept_id_checksum").alias("kept_id_checksum"),
+            )
+            .collect()
+        }
+
+        # batch expectation: same burst rule via one lag window
+        w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        flagged = ev.withColumn(
+            "gap", F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).withColumn(
+            "keep",
+            F.when(F.col("gap").isNull() | (F.col("gap") > 5_000_000), 1)
+            .otherwise(0),
+        )
+        want = {
+            (r.user_id, r.event_type): (r.n_raw, r.n_kept, r.cks)
+            for r in flagged.groupBy("user_id", "event_type")
+            .agg(
+                F.count("*").alias("n_raw"),
+                F.sum("keep").alias("n_kept"),
+                F.sum(
+                    F.when(F.col("keep") == 1, F.col("event_id")).otherwise(0)
+                ).alias("cks"),
+            )
+            .collect()
+        }
+        assert final == want
+        # the compression must have produced real debouncing somewhere
+        assert any(v[0] > v[1] for v in want.values())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -416,3 +416,71 @@ def dedup_events_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+DEBOUNCE_OUTPUT_SCHEMA = (
+    "user_id bigint, event_type string, n_raw bigint, n_kept bigint, "
+    "kept_id_checksum bigint"
+)
+DEBOUNCE_STATE_SCHEMA = "last_ts_us bigint, n_raw bigint, n_kept bigint, cks bigint"
+_DEBOUNCE_GAP_US = 5_000_000
+
+
+def debounce_user_events(events: DataFrame) -> DataFrame:
+    """Streaming telemetry debounce — the stateful runtime of the batch
+    ``telemetry_debounce`` query with identical burst semantics: an
+    event within 5 s of its (user, type) PREDECESSOR is a double-fire
+    artifact; only burst starts are kept. State per key is four
+    bigints: the last raw event time (the burst anchor — kept or not),
+    raw/kept counts, and the kept-id checksum, so cross-batch bursts
+    that straddle a micro-batch boundary debounce exactly like the
+    batch sort does.
+
+    Vectorized per micro-batch: one sort + one ``np.diff`` against the
+    carried anchor decides every row, no per-row Python. Emits the
+    cumulative per-key report each batch (update mode)."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        last_ts, n_raw, n_kept, cks = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            ts_us = (
+                batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            ids = batch["event_id"].to_numpy(dtype=np.int64)
+            prev = np.concatenate(
+                [[last_ts if last_ts is not None else np.iinfo(np.int64).min // 2],
+                 ts_us[:-1]]
+            )
+            keep = (ts_us - prev) > _DEBOUNCE_GAP_US
+            if last_ts is None:
+                keep[0] = True  # first-ever event of the key always kept
+            n_raw += len(batch)
+            n_kept += int(keep.sum())
+            cks += int(ids[keep].sum())
+            last_ts = int(ts_us[-1])
+        state.update((last_ts, n_raw, n_kept, cks))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_raw": [n_raw],
+                "n_kept": [n_kept],
+                "kept_id_checksum": [cks],
+            }
+        )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
