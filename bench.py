@@ -139,6 +139,7 @@ HEADLINE = [
     "monotonic_counter_repair",
     "embedding_standardize",
     "source_distinctive_terms",
+    "media_shared_frames",
 ]
 
 

@@ -84,6 +84,7 @@ _VERIFY_FIRST = (
     "monotonic_counter_repair",
     "embedding_standardize",
     "source_distinctive_terms",
+    "media_shared_frames",
     "k_anonymity_audit",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",

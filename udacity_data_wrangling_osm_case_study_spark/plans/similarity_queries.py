@@ -958,3 +958,55 @@ def embedding_standardize(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "media_shared_frames",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS L
+        FROM documents
+    ),
+    fr AS (
+        SELECT media_id, f AS frame_idx,
+               CASE WHEN L // 4 = 0 THEN hx
+                    ELSE substring(hx, f * (L // 4) * 2 + 1,
+                                   2 * least(L // 4, 32)) END AS frame_hex
+        FROM m, (SELECT unnest(range(0, 4)) AS f)
+        WHERE L // 4 > 0 OR f = 0
+    ),
+    h AS (SELECT media_id, frame_idx, md5(frame_hex) AS fh FROM fr)
+    SELECT fh AS frame_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+           CAST(MIN(media_id) AS BIGINT) AS first_media
+    FROM h GROUP BY fh HAVING COUNT(DISTINCT media_id) > 1
+    ORDER BY frame_hash
+    """,
+)
+def media_shared_frames(spark, sf_dir):
+    """Scene-level media dedup: frames sampled from every payload
+    (one-to-many Arrow stage) are hashed, and frames appearing in MORE
+    THAN ONE media object expose shared segments — the multimodal
+    analog of segment-level text dedup (``chunk_dedup_docs``): two
+    videos sharing an intro, two images sharing a watermark strip.
+    Hashing happens on the hex encoding so the oracle replays the
+    byte arithmetic exactly; the groupBy key is a 16-byte hash, so
+    cost is one shuffle on frame hashes regardless of payload size."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.sample_frames(media)
+    h = frames.select(
+        "media_id", F.md5(F.hex("frame")).alias("fh")
+    )
+    return (
+        h.groupBy(F.col("fh").alias("frame_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.countDistinct("media_id").cast("long").alias("n_media"),
+            F.min("media_id").cast("long").alias("first_media"),
+        )
+        .filter(F.col("n_media") > 1)
+        .orderBy("frame_hash")
+    )
