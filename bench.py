@@ -140,6 +140,7 @@ HEADLINE = [
     "embedding_standardize",
     "source_distinctive_terms",
     "media_shared_frames",
+    "annotator_agreement_kappa",
 ]
 
 

@@ -85,6 +85,7 @@ _VERIFY_FIRST = (
     "embedding_standardize",
     "source_distinctive_terms",
     "media_shared_frames",
+    "annotator_agreement_kappa",
     "k_anonymity_audit",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",

@@ -1370,3 +1370,75 @@ def source_distinctive_terms(spark, sf_dir):
         .select("source", "tok", F.col("c").cast("long").alias("c"), "lift_bp")
         .orderBy("source", F.desc("lift_bp"), "tok")
     )
+
+
+@register(
+    "annotator_agreement_kappa",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 40 THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+                    THEN 1 ELSE 0 END AS b
+        FROM t
+    ),
+    cm AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE a = 1 AND b = 1) AS n11,
+               COUNT(*) FILTER (WHERE a = 1 AND b = 0) AS n10,
+               COUNT(*) FILTER (WHERE a = 0 AND b = 1) AS n01,
+               COUNT(*) FILTER (WHERE a = 0 AND b = 0) AS n00
+        FROM lab
+    )
+    SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           CAST((n11 + n00) * n
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                AS BIGINT) AS kappa_num,
+           CAST(n * n
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                AS BIGINT) AS kappa_den
+    FROM cm
+    """,
+)
+def annotator_agreement_kappa(spark, sf_dir):
+    """Inter-annotator agreement (Cohen's kappa) between two
+    deterministic quality annotators — a length rule and a
+    type-token-ratio rule — the chance-corrected agreement a curation
+    pipeline reports before trusting labeling heuristics. With integer
+    confusion counts, kappa = (po − pe)/(1 − pe) clears to the exact
+    rational ((n_agree·N − Σ marginal products) / (N² − Σ marginal
+    products)) — no float probabilities. One row-local labeling pass,
+    one count aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    from udacity_data_wrangling_osm_case_study_spark.operators.textstats import tokens
+
+    lab = docs.select(tokens(F.col("text")).alias("toks")).select(
+        F.when(F.size("toks") >= 40, 1).otherwise(0).alias("a"),
+        F.when(
+            F.size(F.array_distinct("toks")) * 2 >= F.size("toks"), 1
+        ).otherwise(0).alias("b"),
+    )
+    cm = lab.agg(
+        F.count("*").alias("n"),
+        F.count_if((F.col("a") == 1) & (F.col("b") == 1)).alias("n11"),
+        F.count_if((F.col("a") == 1) & (F.col("b") == 0)).alias("n10"),
+        F.count_if((F.col("a") == 0) & (F.col("b") == 1)).alias("n01"),
+        F.count_if((F.col("a") == 0) & (F.col("b") == 0)).alias("n00"),
+    )
+    pe_scaled = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return cm.select(
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        ((F.col("n11") + F.col("n00")) * F.col("n") - pe_scaled)
+        .cast("long")
+        .alias("kappa_num"),
+        (F.col("n") * F.col("n") - pe_scaled).cast("long").alias("kappa_den"),
+    )
