@@ -141,6 +141,8 @@ HEADLINE = [
     "source_distinctive_terms",
     "media_shared_frames",
     "annotator_agreement_kappa",
+    "weighted_jaccard_pairs",
+    "user_event_diversity",
 ]
 
 

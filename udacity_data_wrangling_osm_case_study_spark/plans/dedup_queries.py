@@ -909,3 +909,105 @@ def bloom_prefilter_contamination(spark, sf_dir):
     return dedup.bloom_prefilter_report(
         table(spark, sf_dir, "documents")
     ).orderBy("doc_id")
+
+
+@register(
+    "weighted_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    sinter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    cand AS (
+        SELECT id_a, id_b FROM sinter
+        JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE 10 * inter >= 3 * (sa.sz + sb.sz - inter)
+    ),
+    tok AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT id, tok, COUNT(*) AS c FROM tok GROUP BY id, tok),
+    tots AS (SELECT id, SUM(c) AS tot FROM cnt GROUP BY id),
+    minsum AS (
+        SELECT cand.id_a, cand.id_b, SUM(LEAST(a.c, b.c)) AS min_sum
+        FROM cand
+        JOIN cnt a ON a.id = cand.id_a
+        JOIN cnt b ON b.id = cand.id_b AND b.tok = a.tok
+        GROUP BY cand.id_a, cand.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(min_sum AS BIGINT) AS min_sum,
+           CAST(ta.tot + tb.tot - min_sum AS BIGINT) AS max_sum,
+           CAST(min_sum * 10000 // (ta.tot + tb.tot - min_sum) AS BIGINT)
+               AS wjaccard_bp
+    FROM minsum
+    JOIN tots ta ON ta.id = id_a
+    JOIN tots tb ON tb.id = id_b
+    WHERE min_sum * 2 >= ta.tot + tb.tot - min_sum
+    ORDER BY id_a, id_b
+    """,
+)
+def weighted_jaccard_pairs(spark, sf_dir):
+    """Weighted (multiset) Jaccard near-dup pairs: Σmin(cₐ,c_b) /
+    Σmax(cₐ,c_b) over TOKEN MULTIPLICITIES — set Jaccard treats a
+    token repeated 50× and once as identical; bag semantics catch the
+    repetition-inflated near-dups set shingles dilute. A RAW-token
+    inverted join would go quadratic in stop-token df (exactly the
+    skew this module's df-cap guards against), so candidates come from
+    the LOW-df set-shingle index first (J ≥ 0.3) and only candidate
+    pairs pay the multiset verify — the same candidates-then-verify
+    economics as MinHash-LSH. Σmax derives from per-doc totals
+    (Σmax = totₐ + tot_b − Σmin): the max side never joins. Integer
+    cross-multiplied threshold (≥ 1/2), basis-point output."""
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs).cache()
+    cand = (
+        dedup.jaccard_pairs(sh, min_jaccard=0.3)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(dedup.normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    cnt = tok.groupBy("id", "tok").agg(F.count("*").alias("c"))
+    # verify cost scales with the candidate set: restrict token counts
+    # to candidate docs before the pair join (same economics as the
+    # LSH-verify path)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    cnt_c = cnt.join(cand_ids, "id", "left_semi")
+    tots = cnt.groupBy("id").agg(F.sum("c").alias("tot"))
+    a = cnt_c.select(F.col("id").alias("id_a"), "tok", F.col("c").alias("ca"))
+    b = cnt_c.select(F.col("id").alias("id_b"), "tok", F.col("c").alias("cb"))
+    minsum = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("min_sum"))
+    )
+    out = minsum.join(
+        F.broadcast(tots.select(F.col("id").alias("id_a"), F.col("tot").alias("ta"))),
+        "id_a",
+    ).join(
+        F.broadcast(tots.select(F.col("id").alias("id_b"), F.col("tot").alias("tb"))),
+        "id_b",
+    )
+    max_sum = F.col("ta") + F.col("tb") - F.col("min_sum")
+    return (
+        out.filter(F.col("min_sum") * 2 >= max_sum)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("min_sum").cast("long").alias("min_sum"),
+            max_sum.cast("long").alias("max_sum"),
+            F.expr("min_sum * 10000 div (ta + tb - min_sum)").alias(
+                "wjaccard_bp"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )

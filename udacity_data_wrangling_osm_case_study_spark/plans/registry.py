@@ -86,6 +86,8 @@ _VERIFY_FIRST = (
     "source_distinctive_terms",
     "media_shared_frames",
     "annotator_agreement_kappa",
+    "weighted_jaccard_pairs",
+    "user_event_diversity",
     "k_anonymity_audit",
     "event_value_resample_interp",
     "lineitem_bucket_checksums",

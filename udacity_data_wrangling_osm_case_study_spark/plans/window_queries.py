@@ -1395,3 +1395,54 @@ def value_log2_histogram(spark, sf_dir):
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "user_event_diversity",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    agg AS (
+        SELECT user_id, SUM(n) AS total,
+               SUM(n * (n - 1)) AS same_pairs,
+               COUNT(*) AS n_types
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(total AS BIGINT) AS n_events,
+           CAST(same_pairs AS BIGINT) AS simpson_num,
+           CAST(total * (total - 1) AS BIGINT) AS simpson_den
+    FROM agg WHERE total > 1 ORDER BY user_id
+    """,
+)
+def user_event_diversity(spark, sf_dir):
+    """Behavioral diversity feature: Simpson's index per user — the
+    probability two of the user's events (drawn without replacement)
+    share a type, Σnᵢ(nᵢ−1) / n(n−1). The entropy-style concentration
+    signal WITHOUT a logarithm: an exact rational from integer counts,
+    so the feature is engine-portable where Shannon entropy is not.
+    One (user, type) reduction then one per-user aggregate — the same
+    two map-side-combinable shuffles any profile query pays."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    agg = c.groupBy("user_id").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("same_pairs"),
+        F.count("*").alias("n_types"),
+    )
+    return (
+        agg.filter(F.col("total") > 1)
+        .select(
+            "user_id",
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("total").cast("long").alias("n_events"),
+            F.col("same_pairs").cast("long").alias("simpson_num"),
+            (F.col("total") * (F.col("total") - 1))
+            .cast("long")
+            .alias("simpson_den"),
+        )
+        .orderBy("user_id")
+    )
