@@ -143,6 +143,7 @@ HEADLINE = [
     "annotator_agreement_kappa",
     "weighted_jaccard_pairs",
     "user_event_diversity",
+    "near_dup_rate_by_source",
 ]
 
 

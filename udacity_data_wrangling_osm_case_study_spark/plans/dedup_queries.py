@@ -1011,3 +1011,66 @@ def weighted_jaccard_pairs(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "near_dup_rate_by_source",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        WHERE 2 * inter >= sa.sz + sb.sz - inter
+    ),
+    duped AS (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dd.id) AS BIGINT) AS n_duped,
+           CAST(COUNT(dd.id) * 10000 // COUNT(*) AS BIGINT) AS dup_rate_bp
+    FROM documents d LEFT JOIN duped dd ON d.doc_id = dd.id
+    GROUP BY d.source
+    HAVING COUNT(dd.id) > 0
+    ORDER BY d.source
+    """,
+)
+def near_dup_rate_by_source(spark, sf_dir):
+    """Dedup health KPI per corpus source: the share of each source's
+    documents involved in any near-dup pair (J ≥ 0.5) — the number a
+    pipeline tracks per feed to catch a source that started shipping
+    recycled content. Pair detection reuses the inverted-index family;
+    the per-source rollup is a semi-join flag + one groupBy, integer
+    basis points."""
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs).cache()
+    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
+    duped = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_duped", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(duped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce("is_duped", F.lit(0))).cast("long").alias("n_duped"),
+        )
+        .filter(F.col("n_duped") > 0)
+        .select(
+            "source",
+            "n_docs",
+            "n_duped",
+            F.expr("n_duped * 10000 div n_docs").alias("dup_rate_bp"),
+        )
+        .orderBy("source")
+    )

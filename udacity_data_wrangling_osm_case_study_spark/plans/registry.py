@@ -87,6 +87,7 @@ _VERIFY_FIRST = (
     "media_shared_frames",
     "annotator_agreement_kappa",
     "weighted_jaccard_pairs",
+    "near_dup_rate_by_source",
     "user_event_diversity",
     "k_anonymity_audit",
     "event_value_resample_interp",
