@@ -144,6 +144,7 @@ HEADLINE = [
     "weighted_jaccard_pairs",
     "user_event_diversity",
     "near_dup_rate_by_source",
+    "order_backlog_timeline",
 ]
 
 

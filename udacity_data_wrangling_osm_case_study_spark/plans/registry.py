@@ -88,6 +88,7 @@ _VERIFY_FIRST = (
     "annotator_agreement_kappa",
     "weighted_jaccard_pairs",
     "near_dup_rate_by_source",
+    "order_backlog_timeline",
     "user_event_diversity",
     "k_anonymity_audit",
     "event_value_resample_interp",

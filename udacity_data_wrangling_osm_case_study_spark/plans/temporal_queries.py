@@ -876,3 +876,67 @@ def theilsen_user_trend(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "order_backlog_timeline",
+    """
+    WITH iv AS (
+        SELECT o.o_orderkey, o.o_orderdate AS st, MAX(l.l_shipdate) AS en
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+        HAVING MAX(l.l_shipdate) >= o.o_orderdate
+    ),
+    bnd AS (
+        SELECT epoch_us(st) * 2 AS k_enc, 1 AS d FROM iv
+        UNION ALL
+        SELECT epoch_us(en) * 2 + 1 AS k_enc, -1 AS d FROM iv
+    ),
+    dd AS (SELECT k_enc, SUM(d) AS d FROM bnd GROUP BY k_enc),
+    r AS (
+        SELECT k_enc,
+               SUM(d) OVER (ORDER BY k_enc
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS conc
+        FROM dd
+    )
+    SELECT CAST(k_enc // 2 // 86400000000 AS BIGINT) AS day_bucket,
+           CAST(MAX(conc) AS BIGINT) AS max_open_orders
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def order_backlog_timeline(spark, sf_dir):
+    """Work-in-progress backlog over time: each order is open from its
+    order date until its LAST line item ships (a fact-fact interval
+    derived by one orders⋈lineitem reduction), and the daily peak count
+    of simultaneously-open orders comes from the same distributed
+    sweep-line the session query uses (two-phase prefix sum, no
+    single-partition window). The capacity/WIP report a fulfilment
+    warehouse runs; orders whose lineitems all shipped before the
+    order date (dirty rows) are excluded like any open-ended interval
+    audit would."""
+    # orderdate/shipdate scan as TIMESTAMP_NTZ in some testdata
+    # generations; the UTC session zone makes the LTZ cast a wall-clock
+    # identity (same normalization registry.table applies to events.ts)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp")
+    )
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("en"))
+        .filter(F.col("en") >= F.col("o_orderdate"))
+        .select(F.col("o_orderdate").alias("st"), "en")
+    )
+    swept = temporal.interval_concurrency(iv, "st", "en")
+    return (
+        swept.groupBy(
+            F.expr("ep_us div 86400000000").cast("long").alias("day_bucket")
+        )
+        .agg(F.max("concurrency").cast("long").alias("max_open_orders"))
+        .orderBy("day_bucket")
+    )
