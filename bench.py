@@ -145,6 +145,7 @@ HEADLINE = [
     "user_event_diversity",
     "near_dup_rate_by_source",
     "order_backlog_timeline",
+    "supplier_lead_time_median",
 ]
 
 

@@ -89,6 +89,7 @@ _VERIFY_FIRST = (
     "weighted_jaccard_pairs",
     "near_dup_rate_by_source",
     "order_backlog_timeline",
+    "supplier_lead_time_median",
     "user_event_diversity",
     "k_anonymity_audit",
     "event_value_resample_interp",

@@ -940,3 +940,64 @@ def order_backlog_timeline(spark, sf_dir):
         .agg(F.max("concurrency").cast("long").alias("max_open_orders"))
         .orderBy("day_bucket")
     )
+
+
+@register(
+    "supplier_lead_time_median",
+    """
+    WITH lt AS (
+        SELECT l.l_suppkey AS suppkey,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS lead_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    ranked AS (
+        SELECT suppkey, lead_days,
+               ROW_NUMBER() OVER (PARTITION BY suppkey
+                                  ORDER BY lead_days) AS rn,
+               COUNT(*) OVER (PARTITION BY suppkey) AS n
+        FROM lt
+    )
+    SELECT suppkey, CAST(n AS BIGINT) AS n_shipments,
+           CAST(lead_days AS BIGINT) AS median_lead_days
+    FROM ranked WHERE rn = (n + 1) // 2
+    ORDER BY suppkey
+    """,
+)
+def supplier_lead_time_median(spark, sf_dir):
+    """Per-supplier fulfilment lead time (order date → line-item ship
+    date), summarized by the EXACT lower median via histogram
+    selection (operators.stats.histogram_median): lead days reduce to
+    a (supplier, days) histogram first, so the median never sorts raw
+    shipment rows — the day domain is tiny however many shipments
+    exist. The supplier-SLA report, integer days end to end. The
+    oracle is the fully tie-broken ranked-window median over raw rows,
+    re-attesting the histogram shortcut's exactness with ties."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("timestamp").alias("od")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.col("l_shipdate").cast("timestamp").alias("sd"),
+    )
+    lt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("sd") >= F.col("od"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.datediff(F.to_date("sd"), F.to_date("od")).cast("long").alias(
+                "lead_days"
+            ),
+        )
+    )
+    med = stats.histogram_median(lt, key="suppkey", value="lead_days")
+    return med.select(
+        "suppkey",
+        F.col("n").cast("long").alias("n_shipments"),
+        F.col("median").cast("long").alias("median_lead_days"),
+    ).orderBy("suppkey")
