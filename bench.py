@@ -146,6 +146,7 @@ HEADLINE = [
     "near_dup_rate_by_source",
     "order_backlog_timeline",
     "supplier_lead_time_median",
+    "customer_rfm_segments",
 ]
 
 

@@ -1237,3 +1237,87 @@ def audience_overlap_bitmap(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH ref_t AS (SELECT MAX(o_orderdate) AS t FROM orders),
+    rfm AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                         CAST((SELECT t FROM ref_t) AS DATE)) AS recency_d,
+               COUNT(*) AS frequency,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_c
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey, recency_d, frequency, monetary_c,
+               NTILE(4) OVER (ORDER BY recency_d DESC, custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency, custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary_c, custkey) AS m_score
+        FROM rfm
+    )
+    SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_c) AS BIGINT) AS segment_monetary_c,
+           CAST(SUM(custkey) AS BIGINT) AS custkey_checksum
+    FROM scored GROUP BY segment ORDER BY segment
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation — the classic customer-value cube: per-customer
+    recency (days since last order, against the corpus as-of instant),
+    frequency, and integer-cent monetary value, each quartiled with a
+    custkey tie-break so NTILE boundaries are deterministic across
+    engines, then rolled up per (R,F,M) segment with a customer-set
+    checksum. The per-customer reduction happens before any window, so
+    the quartile sort runs over customers, not orders; higher-scale
+    variants swap NTILE for the distributed prefix-sum rank already in
+    the repo."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    asof = o.agg(F.max("o_orderdate").alias("t"))
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_od"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_c"
+            ),
+        )
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "custkey",
+            F.datediff(F.to_date("t"), F.to_date("last_od")).cast("long").alias(
+                "recency_d"
+            ),
+            "frequency",
+            "monetary_c",
+        )
+    )
+    scored = rfm.select(
+        "custkey",
+        "monetary_c",
+        F.ntile(4).over(Window.orderBy(F.desc("recency_d"), "custkey")).alias(
+            "r_score"
+        ),
+        F.ntile(4).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary_c", "custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).alias("segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("monetary_c").cast("long").alias("segment_monetary_c"),
+            F.sum("custkey").cast("long").alias("custkey_checksum"),
+        )
+        .orderBy("segment")
+    )

@@ -90,6 +90,7 @@ _VERIFY_FIRST = (
     "near_dup_rate_by_source",
     "order_backlog_timeline",
     "supplier_lead_time_median",
+    "customer_rfm_segments",
     "user_event_diversity",
     "k_anonymity_audit",
     "event_value_resample_interp",
