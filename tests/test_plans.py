@@ -175,6 +175,7 @@ def test_no_cartesian_products_anywhere(spark):
         "recency_weighted_user_value",  # 1-row as-of instant frame
         "event_value_ks_test",          # 1-row sample-size frames
         "source_distinctive_terms",     # 1-row corpus token-total frame
+        "customer_rfm_segments",        # 1-row as-of instant frame
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []
