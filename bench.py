@@ -232,15 +232,32 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # The full per-query map (120+ entries) once made the stdout line so
+    # long the driver tail-truncated it (BENCH_r02.json parsed: null).
+    # Keep the printed line SHORT — totals, sf, ETL, and the slowest
+    # queries — and write the complete map to BENCH_QUERIES.json.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     out = {
         "metric": "headline_queries_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_file": "BENCH_QUERIES.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if osm_etl_sec is not None:
         out["osm_etl_shatin_sec"] = osm_etl_sec
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_QUERIES.json"),
+        "w",
+    ) as f:
+        json.dump({"sf": out["sf"], "total_sec": total,
+                   "osm_etl_shatin_sec": osm_etl_sec, "queries": timings},
+                  f, indent=1, sort_keys=True)
     print(json.dumps(out))
 
 

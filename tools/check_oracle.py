@@ -54,6 +54,16 @@ def compare(mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
         return problems
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Driver hashes RENDERED values, so an int column on one side and a
+        # float on the other (e.g. DuckDB HUGEINT -> float64) hash-differs
+        # even when numerically identical. Flag dtype-kind drift hard.
+        kinds = {av.dtype.kind, bv.dtype.kind}
+        if "f" in kinds and kinds & {"i", "u"}:
+            problems.append(
+                f"col {c}: DTYPE-MISMATCH spark={av.dtype}"
+                f" oracle={bv.dtype} (driver hash would differ"
+                f" — cast the oracle, e.g. HUGEINT -> BIGINT)"
+            )
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = pd.to_numeric(av, errors="coerce").astype(float)
             bv = pd.to_numeric(bv, errors="coerce").astype(float)
@@ -102,6 +112,18 @@ def main() -> int:
             failures += 1
             continue
         problems = compare(mine, ora)
+        # Type-strict sweep: any HUGEINT/INT128 oracle output column renders
+        # as float driver-side and hash-fails even on identical values.
+        try:
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            huge = [r[0] for r in desc if "HUGEINT" in str(r[1]).upper()
+                    or "INT128" in str(r[1]).upper()]
+            if huge:
+                problems.append(
+                    f"oracle HUGEINT column(s) {huge} — CAST(... AS BIGINT) required"
+                )
+        except Exception:
+            pass  # DESCRIBE can't wrap every statement shape; value compare stands
         if problems:
             failures += 1
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")

@@ -1251,6 +1251,55 @@ def prefix_filter_pairs(
     )
 
 
+def containment_candidates(
+    sh: DataFrame, threshold_num: int = 4, threshold_den: int = 5
+) -> DataFrame:
+    """Candidate pairs for the containment join via an asymmetric
+    prefix filter — exact recall for C(A→B) = |A∩B|/|A| ≥ num/den
+    where A is the smaller side.
+
+    C ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so the intersection cannot avoid
+    A's ``|A| − ⌈t·|A|⌉ + 1`` RAREST shingles (global (df, shingle)
+    order — pigeonhole on the complement). Joining each doc's prefix
+    against the FULL index of every other doc therefore finds every
+    qualifying pair; taking prefixes from both sides covers either
+    ordering of sizes. Hot boilerplate shingles rank LAST in the
+    (df, shingle) order and never enter a prefix, so the df² blowup of
+    the symmetric inverted-index join cannot occur on the prefix side
+    of this join — per-shingle cost is df_prefix·df, with df_prefix ≈ 0
+    exactly where df is large.
+    """
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "shingle")
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    wn = Window.partitionBy("id")
+    pref = ranked.withColumn("rn", F.row_number().over(w)).withColumn(
+        "sz", F.count("*").over(wn)
+    )
+    p = (
+        F.col("sz")
+        - F.expr(
+            f"({threshold_num} * sz + {threshold_den} - 1) div {threshold_den}"
+        )
+        + 1
+    )
+    prefix = pref.filter(F.col("rn") <= p).select(
+        F.col("id").alias("pid"), "shingle"
+    )
+    joined = prefix.join(
+        sh.select(F.col("id").alias("oid"), "shingle"), "shingle"
+    ).filter(F.col("pid") != F.col("oid"))
+    return (
+        joined.select(
+            F.least("pid", "oid").alias("id_a"),
+            F.greatest("pid", "oid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def containment_pairs(
     shingles: DataFrame,
     threshold_num: int = 4,

@@ -120,8 +120,16 @@ def bucket_digest(df: DataFrame, cols: list, bucket_hex: int = 2) -> DataFrame:
     XOR alone cancels on duplicate-pair insertions; COUNT+SUM alone
     miss swapped field values that preserve totals — together they are
     the standard reconciliation triple.
+
+    NULLs serialize as the sentinel ``\\N`` (concat_ws would silently
+    SKIP a null column, making rows that differ only in which column is
+    null hash identically — and diverging from engines whose ``||``
+    null-propagates).
     """
-    h = F.md5(F.concat_ws("|", *cols))
+    sentinel = F.lit("\\N")
+    canon = [F.coalesce(F.col(c).cast("string") if isinstance(c, str)
+                        else c.cast("string"), sentinel) for c in cols]
+    h = F.md5(F.concat_ws("|", *canon))
     val48 = F.conv(F.substring(h, bucket_hex + 1, 12), 16, 10).cast("long")
     return (
         df.select(

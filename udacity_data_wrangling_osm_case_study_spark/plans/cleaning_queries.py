@@ -499,13 +499,16 @@ def customers_asof_version(spark, sf_dir):
     """
     WITH rows_h AS (
         SELECT md5(
-            CAST(l_orderkey AS VARCHAR) || '|' ||
-            CAST(l_partkey AS VARCHAR) || '|' ||
-            CAST(l_suppkey AS VARCHAR) || '|' ||
-            CAST(l_linenumber AS VARCHAR) || '|' ||
-            CAST(CAST(ROUND(l_quantity) AS BIGINT) AS VARCHAR) || '|' ||
-            CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
-            || '|' || l_returnflag || '|' || l_linestatus
+            COALESCE(CAST(l_orderkey AS VARCHAR), '\\N') || '|' ||
+            COALESCE(CAST(l_partkey AS VARCHAR), '\\N') || '|' ||
+            COALESCE(CAST(l_suppkey AS VARCHAR), '\\N') || '|' ||
+            COALESCE(CAST(l_linenumber AS VARCHAR), '\\N') || '|' ||
+            COALESCE(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS VARCHAR), '\\N')
+            || '|' ||
+            COALESCE(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+                     '\\N')
+            || '|' || COALESCE(l_returnflag, '\\N')
+            || '|' || COALESCE(l_linestatus, '\\N')
         ) AS h
         FROM lineitem
     ),

@@ -502,7 +502,7 @@ def source_slot_allocation(spark, sf_dir):
     pairs AS (
         SELECT id_a, id_b FROM inter
         JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-        WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+        WHERE 3 * inter >= sa.sz + sb.sz
     ),
     edges AS (SELECT id_a AS s, id_b AS d FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
@@ -542,7 +542,10 @@ def leakage_safe_split(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
+    # Pair generation via the prefix-filter index (exact recall at
+    # J ≥ 1/2, integer predicate) — the uncapped inverted-index join
+    # goes df² on one hot boilerplate shingle at corpus scale.
+    pairs = dedup.prefix_filter_pairs(sh, 1, 2).select("id_a", "id_b")
     return sampling.leakage_safe_split(docs, pairs).orderBy("id")
 
 

@@ -67,23 +67,33 @@ def exact_dedup_prefix_groups(spark, sf_dir):
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
         GROUP BY a.id, b.id
     )
-    SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
-           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    SELECT id_a, id_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.sz AS BIGINT) AS size_a,
+           CAST(sb.sz AS BIGINT) AS size_b,
+           CAST(inter * 10000 // (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_bp
     FROM inter
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
-    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    WHERE 3 * inter >= sa.sz + sb.sz
     ORDER BY id_a, id_b
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Exact word-3-gram Jaccard near-dup pairs via the inverted-index
-    (shingle) self-join — cost scales with per-shingle df², never
-    corpus². The shingle frame feeds three plan branches (sizes + both
-    join sides); cache it so the explode runs once."""
+    """Exact word-3-gram Jaccard near-dup pairs (J ≥ 1/2, integer
+    cross-multiplied) via PPJoin-style prefix filtering: each doc
+    indexes only its rarest shingles, so boilerplate-hot shingles never
+    generate candidates — the df² failure mode of a plain inverted
+    index is structurally impossible, with recall exactly 100%. The
+    oracle is the FULL inverted-index join: a cross-algorithm match.
+    The shingle frame feeds several plan branches; cache it so the
+    explode runs once."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    return dedup.jaccard_pairs(sh, min_jaccard=0.5).orderBy("id_a", "id_b")
+    return (
+        dedup.prefix_filter_pairs(sh, threshold_num=1, threshold_den=2)
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -287,7 +297,7 @@ def embedding_near_dupes(spark, sf_dir):
     pairs AS (
         SELECT id_a, id_b FROM inter
         JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-        WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+        WHERE 3 * inter >= sa.sz + sb.sz
     ),
     edges AS (SELECT id_a AS s, id_b AS d FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
@@ -303,10 +313,13 @@ def embedding_near_dupes(spark, sf_dir):
 def dedup_clusters(spark, sf_dir):
     """Near-dup pairs → transitive clusters via iterative min-label
     propagation (each cluster labeled by its minimum doc id — the
-    keeper). Oracle: recursive-CTE transitive closure."""
+    keeper). Pair generation goes through the prefix-filter index
+    (exact recall, no df² inverted-index blowup on boilerplate-heavy
+    corpora). Oracle: recursive-CTE transitive closure over the FULL
+    inverted-index pairs — a cross-algorithm match."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
+    pairs = dedup.prefix_filter_pairs(sh, 1, 2).select("id_a", "id_b")
     return dedup.connected_components(pairs).orderBy("id")
 
 
@@ -353,7 +366,7 @@ def benchmark_contamination(spark, sf_dir):
     pairs AS (
         SELECT id_a, id_b FROM inter
         JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-        WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+        WHERE 3 * inter >= sa.sz + sb.sz
     ),
     edges AS (SELECT id_a AS s, id_b AS d FROM pairs
               UNION SELECT id_b, id_a FROM pairs),
@@ -390,7 +403,7 @@ def dedup_survivors(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
+    pairs = dedup.prefix_filter_pairs(sh, 1, 2).select("id_a", "id_b")
     comp = dedup.connected_components(pairs)
     sized = comp.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
@@ -841,10 +854,16 @@ def containment_dupes(spark, sf_dir):
     quote inside a 10× larger page has J ≈ 0.1 but C = 1.0). Same
     inverted-index pair statistics as ``ngram_jaccard_pairs``
     (operators.dedup.containment_pairs reuses the (inter, size, size)
-    triple); only the projection and the integer threshold differ."""
+    triple); only the projection and the integer threshold differ.
+    Candidates come from the containment-adapted prefix filter (each
+    doc's rarest ``(1−t)·|S|+1`` shingles joined against the full
+    index — exact recall by pigeonhole, no df² blowup on hot
+    shingles); the oracle is the FULL inverted-index join, so this is
+    a cross-algorithm match."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    return dedup.containment_pairs(sh, 4, 5).orderBy(
+    cand = dedup.containment_candidates(sh, 4, 5).localCheckpoint(eager=True)
+    return dedup.containment_pairs(sh, 4, 5, candidates=cand).orderBy(
         "contained_id", "container_id"
     )
 
@@ -962,8 +981,12 @@ def weighted_jaccard_pairs(spark, sf_dir):
     cross-multiplied threshold (≥ 1/2), basis-point output."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
+    # Candidates via the prefix-filter index at the SAME integer
+    # threshold as the oracle's candidate CTE (13·I ≥ 3·(szₐ+sz_b) ⇔
+    # 10·I ≥ 3·union) — no float ≥ 0.3 gate, and no uncapped
+    # inverted-index join (df² on hot shingles).
     cand = (
-        dedup.jaccard_pairs(sh, min_jaccard=0.3)
+        dedup.prefix_filter_pairs(sh, threshold_num=3, threshold_den=10)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
@@ -1050,7 +1073,7 @@ def near_dup_rate_by_source(spark, sf_dir):
     basis points."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    pairs = dedup.jaccard_pairs(sh, min_jaccard=0.5).select("id_a", "id_b")
+    pairs = dedup.prefix_filter_pairs(sh, 1, 2).select("id_a", "id_b")
     duped = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))

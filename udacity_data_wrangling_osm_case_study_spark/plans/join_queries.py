@@ -1133,7 +1133,7 @@ def balance_band_pairs(spark, sf_dir):
         GROUP BY r_name, n_name
     )
     SELECT r_name, n_name,
-           rev_c,
+           CAST(rev_c AS BIGINT) AS rev_c,
            CAST(rev_c * 10000 // SUM(rev_c) OVER (PARTITION BY r_name)
                 AS BIGINT) AS share_of_region_bp,
            CAST(SUM(rev_c) OVER (PARTITION BY r_name) * 10000
@@ -1235,6 +1235,10 @@ def audience_overlap_bitmap(spark, sf_dir):
             .cast("long")
             .alias("co_users")
         )
+        # Two types can share a user_id div-64 block with no common user;
+        # the naive self-join oracle has no row for such pairs, so drop the
+        # popcount-zero rows to match its pair set exactly.
+        .filter(F.col("co_users") > 0)
         .orderBy("type_a", "type_b")
     )
 

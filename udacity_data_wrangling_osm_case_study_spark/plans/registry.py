@@ -47,63 +47,23 @@ _QUERY_MODULES = (
 _loaded = False
 
 # Names surfaced first to the driver's correctness harness. The harness
-# walks ``queries()`` in insertion order with a bounded budget (round 1
-# recorded exactly the first 50 names). Priority within that budget:
-# (1) the 19 queries the round-1 VERDICT explicitly listed as
-# driver-unattested (text analysis / kNN / multimodal / contamination),
-# (2) the newest session's operators, (3) every other never-attested
-# name; the originally-attested 50 follow in registration order.
+# walks ``queries()`` in insertion order with a bounded budget
+# (~50 names/round; rounds 1 and 2 covered 100 unique names, zero
+# overlap). Round-3 priority: (1) the three queries whose DuckDB
+# oracles returned HUGEINT columns and hash-failed / would hash-fail
+# (fixed this round — re-attestation proves the fix), (2) the two
+# round-1 hash-fails fixed pre-r2 but never re-attested, (3) every
+# never-attested name (r01 ∪ r02 complement, 90 names); the
+# already-attested names follow in registration order.
 _VERIFY_FIRST = (
-    "benchmark_contamination",
-    "char_census",
-    "corpus_token_stats",
-    "doc_chunks",
-    "doc_profiles",
-    "embedding_near_dupes_arrow",
-    "json_props_udtf",
-    "knn_bruteforce",
-    "knn_ivf",
-    "lang_id_confusion",
-    "media_features",
-    "media_metadata",
-    "pii_term_scrub",
-    "props_key_histogram",
-    "regex_token_count",
-    "repetition_quality",
-    "tfidf_top_terms",
-    "top_words",
-    "train_val_test_split",
-    "event_value_ks_test",
-    "rolling_active_users_exact",
-    "telemetry_debounce",
-    "theilsen_user_trend",
-    "loo_target_encoding",
-    "corpus_release_manifest",
-    "audience_overlap_bitmap",
-    "value_log2_histogram",
-    "monotonic_counter_repair",
-    "embedding_standardize",
-    "source_distinctive_terms",
-    "media_shared_frames",
-    "annotator_agreement_kappa",
-    "weighted_jaccard_pairs",
-    "near_dup_rate_by_source",
-    "order_backlog_timeline",
-    "supplier_lead_time_median",
-    "customer_rfm_segments",
-    "user_event_diversity",
-    "k_anonymity_audit",
-    "event_value_resample_interp",
-    "lineitem_bucket_checksums",
-    "media_near_dupes",
-    "record_linkage_matches",
-    "ann_rank_overlap_rbo",
-    "containment_dupes",
+    # (1) HUGEINT oracle fixes (VERDICT r2 items 1-3)
     "nation_revenue_share",
-    "bloom_prefilter_contamination",
-    "leakage_safe_split",
-    "hard_negative_mining",
-    "mlm_masked_docs",
+    "json_props_udtf",
+    "event_value_cusum",
+    # (2) round-1 fails, fixed, never re-attested
+    "approx_distinct_users",
+    "approx_event_value_p95",
+    # (3) never-attested names, prior priority order preserved
     "next_event_training_pairs",
     "cumulative_unique_users",
     "events_quality_report",
@@ -111,7 +71,6 @@ _VERIFY_FIRST = (
     "source_token_l1_drift",
     "balance_band_pairs",
     "event_value_ewma",
-    "event_value_cusum",
     "keyword_search_topk",
     "part_2hop_reach",
     "event_value_trend",

@@ -198,7 +198,8 @@ def event_value_ewma(spark, sf_dir):
                CAST(ROUND(value * 100) AS BIGINT) AS cents
         FROM events
     ),
-    t AS (SELECT user_id, SUM(cents) // COUNT(*) AS target_c FROM c GROUP BY user_id),
+    t AS (SELECT user_id, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS target_c
+          FROM c GROUP BY user_id),
     p AS (
         SELECT c.user_id, c.ts, c.event_id, t.target_c,
                SUM(c.cents - t.target_c) OVER (

@@ -23,7 +23,8 @@ from udacity_data_wrangling_osm_case_study_spark.plans.registry import register,
         FROM events
     )
     SELECT key, COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS total
+           CAST(SUM(CAST(TRUNC(CAST(json_extract_string(props, '$.' || key)
+                AS DOUBLE)) AS BIGINT)) AS BIGINT) AS total
     FROM kv GROUP BY key ORDER BY key
     """,
 )
