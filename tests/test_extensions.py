@@ -1244,6 +1244,38 @@ def test_prefix_filter_exact_recall_vs_full_index(docs):
     assert got[(1, 4)] == 10000
 
 
+def test_similarity_pairs_both_physical_paths_agree(docs):
+    """The cost-based pair join must return identical results whether
+    the df-skew probe picks the inverted index or the prefix filter —
+    forced here by setting the gate to always/never trip."""
+    sh = dedup.word_shingles(docs)
+    via_inverted = {
+        (r.id_a, r.id_b, r.inter, r.size_a, r.size_b, r.jaccard_bp)
+        for r in dedup.similarity_pairs(sh, 1, 2, max_df2_ratio=10**9).collect()
+    }
+    via_prefix = {
+        (r.id_a, r.id_b, r.inter, r.size_a, r.size_b, r.jaccard_bp)
+        for r in dedup.similarity_pairs(sh, 1, 2, max_df2_ratio=0).collect()
+    }
+    assert via_inverted == via_prefix
+    assert via_inverted  # the fixture corpus has planted dup pairs
+
+
+def test_containment_adaptive_both_paths_agree(docs):
+    sh = dedup.word_shingles(docs)
+    direct = {
+        tuple(r) for r in dedup.containment_pairs(sh, 4, 5).collect()
+    }
+    via_prefix = {
+        tuple(r)
+        for r in dedup.containment_pairs_adaptive(
+            sh, 4, 5, max_df2_ratio=0
+        ).collect()
+    }
+    assert direct == via_prefix
+    assert direct
+
+
 def test_payload_byte_grams_positions_and_short_drop(spark):
     df = spark.createDataFrame(
         [(1, "abcdef"), (2, "abc")], ["doc_id", "text"]

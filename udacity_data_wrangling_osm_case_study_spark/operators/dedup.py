@@ -1172,24 +1172,40 @@ def prefix_filter_pairs(
     size_a, size_b, jaccard_bp) for pairs with J ≥ t — verified with
     exact intersection counts restricted to candidates (integer
     cross-multiplied threshold, no float compare).
+
+    Every stage after the first projection works on a 60-bit hash of
+    the shingle, not the string: the df join, the per-doc rank sort,
+    the candidate join, and both verify joins then shuffle 8-byte longs
+    instead of ~20-char strings (the same trick — and the same
+    collision analysis — as :func:`jaccard_pairs`; the (df, g) order is
+    just as valid a common total order as (df, shingle)).
     """
     from pyspark.sql import Window
 
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = sh.join(dfreq, "shingle")
-    w = Window.partitionBy("id").orderBy("df", "shingle")
+    hashed = sh.select("id", shingle_hash().alias("g"))
+    dfreq = hashed.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = hashed.join(dfreq, "g")
+    w = Window.partitionBy("id").orderBy("df", "g")
     wn = Window.partitionBy("id")
     pref = ranked.withColumn("rn", F.row_number().over(w)).withColumn(
         "sz", F.count("*").over(wn)
     )
-    p = (
+    # Probing prefix (t-based) and the SHORTER indexing prefix
+    # (t' = 2t/(1+t), PPJoin): a qualifying pair's MINIMUM shared token
+    # sits inside the larger doc's probing prefix AND the smaller doc's
+    # indexing prefix (pigeonhole on each side's required overlap), so
+    # joining probe-prefix × index-prefix in both directions keeps
+    # recall exactly 100% while the index side indexes ~(1−t′)·|S|
+    # tokens instead of ~(1−t)·|S| — quadratically fewer collisions.
+    num, den = threshold_num, threshold_den
+    p_lp = F.col("sz") - F.expr(f"({num} * sz + {den} - 1) div {den}") + 1
+    p_li = (
         F.col("sz")
-        - F.expr(
-            f"({threshold_num} * sz + {threshold_den} - 1) div {threshold_den}"
-        )
+        - F.expr(f"(2 * {num} * sz + {num} + {den} - 1) div ({num} + {den})")
         + 1
     )
-    prefix = pref.filter(F.col("rn") <= p).select("id", "shingle", "sz")
+    probe = pref.filter(F.col("rn") <= p_lp).select("id", "g", "rn", "sz")
+    index = pref.filter(F.col("rn") <= p_li).select("id", "g", "rn", "sz")
     # PPJoin length filter at the collision stage: J ≥ t forces
     # I ≥ t/(1+t)·(szₐ+sz_b) and I ≤ min(szₐ, sz_b), so any pair with
     # num·(szₐ+sz_b) > (num+den)·min(szₐ, sz_b) can never qualify —
@@ -1198,50 +1214,139 @@ def prefix_filter_pairs(
     size_ok = threshold_num * (F.col("sz_a") + F.col("sz_b")) <= (
         threshold_num + threshold_den
     ) * F.least("sz_a", "sz_b")
+    # Positional filter: after the matched token, only
+    # min(szₐ−rnₐ, sz_b−rn_b) tokens can still intersect, so the
+    # overlap is ≤ 1 + that. ubound is largest at the minimum shared
+    # token — which is guaranteed to be a matched row — so dropping
+    # rows whose ubound falls below the required overlap
+    # ⌈t/(1+t)·(szₐ+sz_b)⌉ before the dedup cannot drop a qualifying
+    # pair (integer cross-multiplied, exact).
+    pos_ok = (threshold_num + threshold_den) * (
+        1 + F.least(F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b"))
+    ) >= threshold_num * (F.col("sz_a") + F.col("sz_b"))
     cand = (
-        prefix.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
-        .join(
-            prefix.select(
-                F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b")
-            ),
-            "shingle",
+        probe.select(
+            F.col("id").alias("pid"), "g",
+            F.col("rn").alias("prn"), F.col("sz").alias("psz"),
         )
-        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
+        .join(
+            index.select(
+                F.col("id").alias("iid"), "g",
+                F.col("rn").alias("irn"), F.col("sz").alias("isz"),
+            ),
+            "g",
+        )
+        .filter(F.col("pid") != F.col("iid"))
+        .select(
+            F.least("pid", "iid").alias("id_a"),
+            F.greatest("pid", "iid").alias("id_b"),
+            F.when(F.col("pid") < F.col("iid"), F.col("prn"))
+            .otherwise(F.col("irn")).alias("rn_a"),
+            F.when(F.col("pid") < F.col("iid"), F.col("irn"))
+            .otherwise(F.col("prn")).alias("rn_b"),
+            F.when(F.col("pid") < F.col("iid"), F.col("psz"))
+            .otherwise(F.col("isz")).alias("sz_a"),
+            F.when(F.col("pid") < F.col("iid"), F.col("isz"))
+            .otherwise(F.col("psz")).alias("sz_b"),
+        )
+        .filter(size_ok & pos_ok)
         .select("id_a", "id_b")
         .distinct()
     )
-    # Exact verify touches only candidate documents: the candidate
-    # pair set is materialized once (it is referenced three times —
-    # id restriction + both sides of the intersection join; Spark has
-    # no common-subplan sharing across DAG branches), then the shingle
-    # frame is semi-joined down to ids appearing in any pair before
-    # the two intersection joins — the full corpus (docs × shingles
-    # rows) never enters the verify shuffles, only the rare-token
-    # collision set does (same candidate-restriction the inverted-
-    # index path uses).
+    # Exact verify, docvec form: each candidate DOC's hash set is
+    # collected into one array row (docs ≪ pairs ≪ shingle collisions),
+    # the pair frame joins those two small per-doc relations, and the
+    # intersection count is a row-local array_intersect — no shingle-
+    # level explode ever re-enters a shuffle, so verify cost is
+    # O(|pairs| · avg_set) compute with only doc-keyed joins (the same
+    # merge-verify every set-similarity system runs after candidate
+    # generation). The candidate pair set is materialized once (it is
+    # referenced twice; Spark has no common-subplan sharing across DAG
+    # branches).
     cand = cand.localCheckpoint(eager=True)
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_c = sh.join(cand_ids, "id", "left_semi")
-    inter = (
-        cand.join(sh_c.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh_c.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    docvecs = (
+        hashed.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("g").alias("v"), F.count("*").alias("sz"))
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    out = inter.join(
-        sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a")), "id_a"
-    ).join(
-        sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b")), "id_b"
+    out = (
+        cand.join(
+            docvecs.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("sz").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            docvecs.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("sz").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("va", "vb")).cast("long"))
     )
     keep = (threshold_den + threshold_num) * F.col("inter") >= threshold_num * (
         F.col("size_a") + F.col("size_b")
     )
     return out.filter(keep).select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.expr("inter * 10000 div (size_a + size_b - inter)").alias("jaccard_bp"),
+    )
+
+
+def similarity_pairs(
+    sh: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_df2_ratio: int = 64,
+) -> DataFrame:
+    """Exact set-similarity self-join with a COST-BASED physical choice
+    — the adaptive front door for the J ≥ num/den pair queries.
+
+    The two exact strategies have opposite cost profiles: the inverted-
+    index join's collision count is Σ_s df(s)² (optimal on low-skew
+    corpora, quadratic the moment one boilerplate shingle goes hot),
+    while PPJoin prefix filtering pays fixed extra passes (df ranking,
+    prefix windows, candidate dedup) to make the hot-shingle blowup
+    structurally impossible. Neither dominates — so, AQE-style, one
+    cheap aggregate over the df distribution (a metadata-scale action:
+    two longs) picks the plan: inverted index while
+    ``Σdf² ≤ max_df2_ratio · Σdf`` (collision rows per shingle row
+    bounded), prefix filter beyond it. Both paths are EXACT at the
+    integer cross-multiplied threshold, so the choice never changes
+    the result — only the plan.
+
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard_bp), the
+    :func:`prefix_filter_pairs` schema.
+    """
+    stats = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.sum(F.col("df") * F.col("df")).alias("s2"),
+            F.sum("df").alias("s1"),
+        )
+        .first()
+    )
+    if stats.s2 is not None and stats.s2 > max_df2_ratio * stats.s1:
+        return prefix_filter_pairs(sh, threshold_num, threshold_den)
+    scored = jaccard_pairs(sh)
+    keep = (threshold_den + threshold_num) * F.col("inter") >= threshold_num * (
+        F.col("size_a") + F.col("size_b")
+    )
+    return scored.filter(keep).select(
         "id_a",
         "id_b",
         "inter",
@@ -1268,12 +1373,16 @@ def containment_candidates(
     the symmetric inverted-index join cannot occur on the prefix side
     of this join — per-shingle cost is df_prefix·df, with df_prefix ≈ 0
     exactly where df is large.
+
+    All joins and the rank sort run on the 60-bit shingle hash (see
+    :func:`prefix_filter_pairs` for the collision analysis).
     """
     from pyspark.sql import Window
 
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = sh.join(dfreq, "shingle")
-    w = Window.partitionBy("id").orderBy("df", "shingle")
+    hashed = sh.select("id", shingle_hash().alias("g"))
+    dfreq = hashed.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = hashed.join(dfreq, "g")
+    w = Window.partitionBy("id").orderBy("df", "g")
     wn = Window.partitionBy("id")
     pref = ranked.withColumn("rn", F.row_number().over(w)).withColumn(
         "sz", F.count("*").over(wn)
@@ -1286,10 +1395,10 @@ def containment_candidates(
         + 1
     )
     prefix = pref.filter(F.col("rn") <= p).select(
-        F.col("id").alias("pid"), "shingle"
+        F.col("id").alias("pid"), "g"
     )
     joined = prefix.join(
-        sh.select(F.col("id").alias("oid"), "shingle"), "shingle"
+        hashed.select(F.col("id").alias("oid"), "g"), "g"
     ).filter(F.col("pid") != F.col("oid"))
     return (
         joined.select(
@@ -1298,6 +1407,34 @@ def containment_candidates(
         )
         .distinct()
     )
+
+
+def containment_pairs_adaptive(
+    sh: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_df2_ratio: int = 64,
+) -> DataFrame:
+    """Cost-based front door for the containment join — same adaptive
+    physical choice as :func:`similarity_pairs`: full inverted index on
+    low-skew corpora, :func:`containment_candidates` prefix filtering
+    (exact recall) when the df distribution says hot shingles would
+    make the collision count quadratic. Result-identical either way.
+    """
+    stats = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.sum(F.col("df") * F.col("df")).alias("s2"),
+            F.sum("df").alias("s1"),
+        )
+        .first()
+    )
+    cand = None
+    if stats.s2 is not None and stats.s2 > max_df2_ratio * stats.s1:
+        cand = containment_candidates(sh, threshold_num, threshold_den)
+        cand = cand.localCheckpoint(eager=True)
+    return containment_pairs(sh, threshold_num, threshold_den, candidates=cand)
 
 
 def containment_pairs(

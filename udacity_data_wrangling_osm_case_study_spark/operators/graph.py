@@ -21,6 +21,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def copurchase_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_items_per_group: int = 64,
+) -> DataFrame:
+    """Co-occurrence pair stream: for every group, all (a, b) item
+    pairs with a < b — one output row per (group, pair). The edge
+    builder for co-purchase / co-occurrence graphs.
+
+    A self-join on the group key shuffles the fact table twice and
+    emits k² rows per group through the join machinery; this instead
+    aggregates each group's DISTINCT items into one sorted array (one
+    shuffle, map-side combinable) and expands the pairs ROW-LOCALLY
+    with nested higher-order transforms — the k² work happens in
+    codegen on one row, never through a shuffle.
+
+    ``max_items_per_group`` bounds the dense-group tail: a group with
+    k items emits k(k−1)/2 pairs, so one pathological basket (a
+    crawler order with 10⁴ parts) would otherwise dominate the whole
+    edge build at corpus scale. Groups are truncated to their
+    ``max_items_per_group`` LOWEST-keyed items (deterministic); set it
+    above the natural maximum (TPC-H orders have ≤ 7 lineitems) and
+    the cap is semantically a no-op — it exists to bound the tail, not
+    to sample.
+    """
+    base = df.groupBy(group_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("items")
+    )
+    if max_items_per_group is not None:
+        base = base.select(
+            group_col, F.slice("items", 1, max_items_per_group).alias("items")
+        )
+    n = F.size("items")
+    items = F.col("items")
+    starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.flatten(
+        F.transform(
+            starts,
+            lambda i: F.transform(
+                F.slice(items, i + 1, n - i),
+                lambda x: F.struct(
+                    F.element_at(items, i).alias("src"), x.alias("dst")
+                ),
+            ),
+        )
+    )
+    return base.select(
+        group_col, F.explode(pairs).alias("p")
+    ).select(group_col, F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Count triangles in an undirected simple graph.
 
@@ -115,7 +169,10 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, n_iter: int = 3, damping_pct: int = 85
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    edge_partitions: int | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank over an undirected simple graph.
 
@@ -130,13 +187,13 @@ def pagerank(
     bit-identical in any engine: no float summation order, no libm.
     The standard float formulation differs only by sub-micro rounding.
 
-    Plan shape per iteration: one broadcast-or-shuffle join of the
-    edge list with the (vertex, rank) frame and one groupBy(dst) with
-    map-side combine — the classic Pregel superstep as two relational
-    ops. ``n_iter`` is small and fixed (ranks stabilize geometrically;
-    3-5 suffices for ordering), so the lineage stays shallow — for
-    long chains, localCheckpoint per round like
-    ``dedup.connected_components``.
+    Plan shape per iteration: the src-partitioned edge checkpoint
+    joins the (vertex, rank) frame — only the vertex side moves — and
+    one groupBy(dst) with map-side combine: the classic Pregel
+    superstep as two relational ops. ``n_iter`` is small and fixed
+    (ranks stabilize geometrically; 3-5 suffices for ordering), so the
+    lineage stays shallow — for long chains, localCheckpoint per round
+    like ``dedup.connected_components``.
 
     Returns (v, rank_micro).
     """
@@ -150,6 +207,26 @@ def pagerank(
     sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
+    # Pregel layout, materialized ONCE: the BIG edge frame is hash-
+    # partitioned by src and checkpointed as a plan leaf — the stored
+    # blocks carry hashpartitioning(src) (LogicalRDD preserves
+    # outputPartitioning), so no superstep ever re-exchanges the edge
+    # side; each superstep shuffles only the vertex-sized rank frame
+    # into it (shuffle-hash hint — a broadcast would be rebuilt per
+    # superstep and stops being valid once the vertex set outgrows the
+    # driver). The checkpoint also collapses the edge-build subtree,
+    # which would otherwise appear n_iter+2 times in the plan and be
+    # re-analyzed on every Dataset creation (classic-mode PySpark) —
+    # same rationale as dedup.connected_components' per-round
+    # checkpoint. Default partition count is defaultParallelism/4:
+    # supersteps are short scan+partial-agg tasks, so fewer, fatter
+    # partitions beat task-launch overhead; pass ``edge_partitions``
+    # explicitly for graphs whose edge count warrants more.
+    spark = edges.sparkSession
+    parts = edge_partitions or max(
+        2, spark.sparkContext.defaultParallelism // 4
+    )
+    sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
     outdeg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = F.lit((100 - damping_pct) * 10_000).cast("long")
     # Carry outdeg INSIDE the rank frame: each superstep then needs one
@@ -162,7 +239,7 @@ def pagerank(
     )
     for _ in range(n_iter):
         contrib = sym.join(
-            ranks.withColumnRenamed("v", "src"), "src"
+            ranks.withColumnRenamed("v", "src").hint("shuffle_hash"), "src"
         ).select("dst", F.expr("r DIV outdeg").alias("c"))
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = sums.join(

@@ -542,10 +542,10 @@ def leakage_safe_split(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    # Pair generation via the prefix-filter index (exact recall at
-    # J ≥ 1/2, integer predicate) — the uncapped inverted-index join
-    # goes df² on one hot boilerplate shingle at corpus scale.
-    pairs = dedup.prefix_filter_pairs(sh, 1, 2).select("id_a", "id_b")
+    # Pair generation via the cost-based exact pair join (inverted
+    # index on low-skew corpora, prefix filter under df² boilerplate
+    # skew — result-identical either way).
+    pairs = dedup.similarity_pairs(sh, 1, 2).select("id_a", "id_b")
     return sampling.leakage_safe_split(docs, pairs).orderBy("id")
 
 

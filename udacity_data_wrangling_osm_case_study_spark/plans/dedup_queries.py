@@ -81,19 +81,18 @@ def exact_dedup_prefix_groups(spark, sf_dir):
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs (J ≥ 1/2, integer
-    cross-multiplied) via PPJoin-style prefix filtering: each doc
-    indexes only its rarest shingles, so boilerplate-hot shingles never
-    generate candidates — the df² failure mode of a plain inverted
-    index is structurally impossible, with recall exactly 100%. The
-    oracle is the FULL inverted-index join: a cross-algorithm match.
-    The shingle frame feeds several plan branches; cache it so the
-    explode runs once."""
+    cross-multiplied) via the cost-based pair join
+    (operators.dedup.similarity_pairs): a one-aggregate df-skew probe
+    picks the inverted-index join on low-skew corpora and PPJoin
+    prefix filtering when hot boilerplate shingles would make the
+    collision count df²-quadratic — both exact, result-identical.
+    The oracle is always the FULL inverted-index join, so whenever the
+    prefix path runs this is a cross-algorithm match. The shingle
+    frame feeds several plan branches; cache it so the explode runs
+    once."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    return (
-        dedup.prefix_filter_pairs(sh, threshold_num=1, threshold_den=2)
-        .orderBy("id_a", "id_b")
-    )
+    return dedup.similarity_pairs(sh, 1, 2).orderBy("id_a", "id_b")
 
 
 @register(
@@ -313,13 +312,14 @@ def embedding_near_dupes(spark, sf_dir):
 def dedup_clusters(spark, sf_dir):
     """Near-dup pairs → transitive clusters via iterative min-label
     propagation (each cluster labeled by its minimum doc id — the
-    keeper). Pair generation goes through the prefix-filter index
-    (exact recall, no df² inverted-index blowup on boilerplate-heavy
-    corpora). Oracle: recursive-CTE transitive closure over the FULL
-    inverted-index pairs — a cross-algorithm match."""
+    keeper). Pair generation goes through the cost-based exact pair
+    join (similarity_pairs: inverted index on low-skew corpora, prefix
+    filtering under boilerplate df² skew — result-identical). Oracle:
+    recursive-CTE transitive closure over the FULL inverted-index
+    pairs."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    pairs = dedup.prefix_filter_pairs(sh, 1, 2).select("id_a", "id_b")
+    pairs = dedup.similarity_pairs(sh, 1, 2).select("id_a", "id_b")
     return dedup.connected_components(pairs).orderBy("id")
 
 
@@ -403,7 +403,7 @@ def dedup_survivors(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    pairs = dedup.prefix_filter_pairs(sh, 1, 2).select("id_a", "id_b")
+    pairs = dedup.similarity_pairs(sh, 1, 2).select("id_a", "id_b")
     comp = dedup.connected_components(pairs)
     sized = comp.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
@@ -855,15 +855,15 @@ def containment_dupes(spark, sf_dir):
     inverted-index pair statistics as ``ngram_jaccard_pairs``
     (operators.dedup.containment_pairs reuses the (inter, size, size)
     triple); only the projection and the integer threshold differ.
-    Candidates come from the containment-adapted prefix filter (each
-    doc's rarest ``(1−t)·|S|+1`` shingles joined against the full
-    index — exact recall by pigeonhole, no df² blowup on hot
-    shingles); the oracle is the FULL inverted-index join, so this is
-    a cross-algorithm match."""
+    Pair generation is cost-based (containment_pairs_adaptive): the
+    full inverted index on low-skew corpora, or the containment-
+    adapted prefix filter (each doc's rarest ``(1−t)·|S|+1`` shingles
+    joined against the full index — exact recall by pigeonhole) when
+    the df distribution says hot shingles would go quadratic. The
+    oracle is always the full inverted-index join."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    cand = dedup.containment_candidates(sh, 4, 5).localCheckpoint(eager=True)
-    return dedup.containment_pairs(sh, 4, 5, candidates=cand).orderBy(
+    return dedup.containment_pairs_adaptive(sh, 4, 5).orderBy(
         "contained_id", "container_id"
     )
 
@@ -981,12 +981,12 @@ def weighted_jaccard_pairs(spark, sf_dir):
     cross-multiplied threshold (≥ 1/2), basis-point output."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    # Candidates via the prefix-filter index at the SAME integer
-    # threshold as the oracle's candidate CTE (13·I ≥ 3·(szₐ+sz_b) ⇔
-    # 10·I ≥ 3·union) — no float ≥ 0.3 gate, and no uncapped
-    # inverted-index join (df² on hot shingles).
+    # Candidates via the cost-based exact pair join at the SAME
+    # integer threshold as the oracle's candidate CTE
+    # (10·I ≥ 3·union) — no float ≥ 0.3 gate, and the prefix-filter
+    # path engages under df² boilerplate skew.
     cand = (
-        dedup.prefix_filter_pairs(sh, threshold_num=3, threshold_den=10)
+        dedup.similarity_pairs(sh, 3, 10)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
@@ -1073,7 +1073,7 @@ def near_dup_rate_by_source(spark, sf_dir):
     basis points."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
-    pairs = dedup.prefix_filter_pairs(sh, 1, 2).select("id_a", "id_b")
+    pairs = dedup.similarity_pairs(sh, 1, 2).select("id_a", "id_b")
     duped = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))

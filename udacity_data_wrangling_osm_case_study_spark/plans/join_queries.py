@@ -572,16 +572,8 @@ def part_copurchase_triangles(spark, sf_dir):
     from udacity_data_wrangling_osm_case_study_spark.operators import graph
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+    edges = graph.copurchase_pairs(li, "l_orderkey", "l_partkey").select(
+        "src", "dst"
     )
     return graph.triangle_count(edges)
 
@@ -655,12 +647,12 @@ def part_pagerank(spark, sf_dir):
     from udacity_data_wrangling_osm_case_study_spark.operators import graph
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    # Edge build via per-order array expansion (one shuffle + row-local
+    # k² in codegen) instead of the fact-fact self-join, with the
+    # dense-order fan-out cap — see graph.copurchase_pairs.
+    edges = graph.copurchase_pairs(li, "l_orderkey", "l_partkey").select(
+        "src", "dst"
+    )
     return (
         graph.pagerank(edges, n_iter=3)
         .select(F.col("v").alias("part"), "rank_micro")
@@ -712,16 +704,12 @@ def part_2hop_reach(spark, sf_dir):
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a, b = op.alias("a"), op.alias("b")
+    # Per-order pair expansion emits each (src, dst) once per sharing
+    # order (collect_set dedupes within the order), so the support
+    # count is a plain groupBy over the pair stream.
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+        graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= 2)
         .select("src", "dst")
