@@ -147,6 +147,7 @@ HEADLINE = [
     "order_backlog_timeline",
     "supplier_lead_time_median",
     "customer_rfm_segments",
+    "cdc_apply_snapshot",
 ]
 
 

@@ -958,3 +958,103 @@ def monotonic_counter_repair(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "cdc_apply_snapshot",
+    """
+    WITH base AS (
+        SELECT c_custkey AS custkey, c_name AS name,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+    )
+    SELECT custkey, name, bal_c FROM (
+        SELECT custkey, name,
+               CASE WHEN custkey % 5 = 0 THEN bal_c - 2500
+                    WHEN custkey % 7 = 0 THEN bal_c + 5000
+                    ELSE bal_c END AS bal_c
+        FROM base WHERE custkey % 13 <> 0
+        UNION ALL
+        SELECT custkey + 10000000, 'new_' || CAST(custkey AS VARCHAR),
+               CAST(custkey AS BIGINT)
+        FROM base WHERE custkey % 11 = 0
+    ) ORDER BY custkey
+    """,
+)
+def cdc_apply_snapshot(spark, sf_dir):
+    """Batch twin of the streaming CDC consumer
+    (streaming/cdc_apply.py): two deterministic change batches run
+    through the SAME collapse + MERGE operators the foreachBatch sink
+    uses — within-batch netting (highest seq per key wins, incl. a
+    decoy early update and an update-then-delete key), whole-row
+    UPDATE SET *, inserts, and tombstone deletes — and the final
+    snapshot is returned. The oracle states the closed-form NET effect
+    of both batches (batch-2 updates replace batch-1's, deletes beat
+    same-batch updates), so any drift in collapse order, tombstone
+    handling, or merge precedence breaks the value match. Each merge
+    is one full-outer key shuffle; at scale the snapshot side stops
+    shuffling with a bucketed layout (operators/layout.py)."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import upsert
+    from udacity_data_wrangling_osm_case_study_spark.streaming import cdc_apply
+
+    base = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    dead = F.lit(False).alias("dead")
+
+    # Batch 1 (uncollapsed): a decoy seq-1 update that the seq-2 row
+    # must shadow, plus inserts in a disjoint key range.
+    b1 = (
+        base.filter(F.col("custkey") % 7 == 0)
+        .select(
+            "custkey", "name",
+            (F.col("bal_c") + 99999).alias("bal_c"),
+            dead, F.lit(1).alias("seq"),
+        )
+        .unionByName(
+            base.filter(F.col("custkey") % 7 == 0).select(
+                "custkey", "name",
+                (F.col("bal_c") + 5000).alias("bal_c"),
+                dead, F.lit(2).alias("seq"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("custkey") % 11 == 0).select(
+                (F.col("custkey") + 10000000).alias("custkey"),
+                F.concat(F.lit("new_"), F.col("custkey").cast("string")).alias(
+                    "name"
+                ),
+                F.col("custkey").cast("long").alias("bal_c"),
+                dead, F.lit(1).alias("seq"),
+            )
+        )
+    )
+    s1 = upsert.merge_upsert(
+        base, cdc_apply.collapse_changes(b1, "custkey"), "custkey", "dead"
+    )
+
+    # Batch 2 (uncollapsed): updates (seq 1) and deletes (seq 2) —
+    # keys divisible by both 5 and 13 must net to the delete.
+    b2 = (
+        base.filter(F.col("custkey") % 5 == 0)
+        .select(
+            "custkey", "name",
+            (F.col("bal_c") - 2500).alias("bal_c"),
+            dead, F.lit(1).alias("seq"),
+        )
+        .unionByName(
+            base.filter(F.col("custkey") % 13 == 0).select(
+                "custkey",
+                F.lit(None).cast("string").alias("name"),
+                F.lit(None).cast("long").alias("bal_c"),
+                F.lit(True).alias("dead"),
+                F.lit(2).alias("seq"),
+            )
+        )
+    )
+    s2 = upsert.merge_upsert(
+        s1, cdc_apply.collapse_changes(b2, "custkey"), "custkey", "dead"
+    )
+    return s2.select("custkey", "name", "bal_c").orderBy("custkey")

@@ -64,6 +64,8 @@ _VERIFY_FIRST = (
     "approx_distinct_users",
     "approx_event_value_p95",
     # (3) never-attested names, prior priority order preserved
+    # (round-3 additions first)
+    "cdc_apply_snapshot",
     "next_event_training_pairs",
     "cumulative_unique_users",
     "events_quality_report",

@@ -55,6 +55,21 @@ def read_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(target_dir, f"v{version}"))
 
 
+def collapse_changes(
+    batch_df: DataFrame, key: str, seq_col: str = "seq"
+) -> DataFrame:
+    """Collapse a change batch to the LATEST row per key (highest
+    ``seq_col``) — the within-batch netting rule: a batch that updates
+    then deletes a key must net out to the delete. Pure function; the
+    streaming sink and the batch twin query share it."""
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col))
+    return (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", seq_col)
+    )
+
+
 def apply_cdc_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -66,12 +81,7 @@ def apply_cdc_batch(
 ) -> None:
     """Merge one change batch into the snapshot (the foreachBatch body,
     callable directly for tests/backfills)."""
-    w = Window.partitionBy(key).orderBy(F.desc(seq_col))
-    latest = (
-        batch_df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", seq_col)
-    )
+    latest = collapse_changes(batch_df, key, seq_col)
     target = read_snapshot(spark, target_dir)
     if target is None:
         # First batch: an empty snapshot with the change-row schema
