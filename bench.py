@@ -148,6 +148,9 @@ HEADLINE = [
     "supplier_lead_time_median",
     "customer_rfm_segments",
     "cdc_apply_snapshot",
+    "orders_status_priority_cube",
+    "dsir_importance_weights",
+    "embedding_random_projection",
 ]
 
 

@@ -750,3 +750,41 @@ def pq_adc_topk(
         .orderBy(F.desc("cosine_bp"), "id")
         .limit(k)
     )
+
+
+def jl_signs(k: int, dim: int) -> list[list[int]]:
+    """Deterministic Rademacher (+/-1) projection matrix for
+    Johnson-Lindenstrauss dimensionality reduction (Achlioptas 2003:
+    +/-1 entries give the same distance-preservation guarantees as
+    Gaussians). Same md5-coordinate derivation as
+    :func:`srp_hyperplanes` — reproducible anywhere, inlinable as
+    literals into both the engine plan and a SQL oracle — but returned
+    as ints because the projection is evaluated in exact integer
+    arithmetic over milli-quantized components."""
+    import hashlib
+
+    def rad(j: int, i: int) -> int:
+        digest = hashlib.md5(f"jl:{j}:{i}".encode()).digest()
+        return 1 if digest[0] & 1 else -1
+
+    return [[rad(j, i) for i in range(dim)] for j in range(k)]
+
+
+def jl_project_milli(vec, signs: list[list[int]]):
+    """Row-local JL projection of a float vector: each output component
+    is the exact BIGINT dot product of the milli-quantized input with
+    one +/-1 row of ``signs`` — integer addition commutes, so the
+    result is bit-identical in any engine and any evaluation order
+    (a float dot product would ride on summation order). Returns an
+    array<long> column of length len(signs); zero shuffle."""
+    milli = F.transform(
+        vec, lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    return F.transform(
+        F.lit(signs),
+        lambda row: F.aggregate(
+            F.zip_with(milli, row, lambda x, s: x * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )

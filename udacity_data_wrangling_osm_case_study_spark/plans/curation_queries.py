@@ -634,3 +634,79 @@ def corpus_release_manifest(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH norm AS (SELECT doc_id AS id,
+                  string_split({_NORM}, ' ') AS toks FROM documents),
+    tok AS (SELECT id, unnest(toks) AS tok FROM norm),
+    feat AS (
+        SELECT id,
+               CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 1024 AS f
+        FROM tok
+    ),
+    stats AS (
+        SELECT f,
+               COUNT(*) FILTER (WHERE id % 11 = 0) AS ct,
+               COUNT(*) FILTER (WHERE id % 11 <> 0) AS cr
+        FROM feat GROUP BY f
+    ),
+    scored AS (
+        SELECT id,
+               CAST(SUM(len(CAST(ct + 1 AS VARCHAR))
+                        - len(CAST(cr + 1 AS VARCHAR))) AS BIGINT) AS dsir_score,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM feat JOIN stats USING (f)
+        WHERE id % 11 <> 0 GROUP BY id
+    )
+    SELECT id AS doc_id, dsir_score, n_tokens
+    FROM scored ORDER BY dsir_score DESC, doc_id LIMIT 100
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR-style importance resampling weights (Xie et al. 2023): each
+    raw-pool document scored by how much more its HASHED unigram
+    features look like the target distribution than the raw
+    distribution — Σ over token occurrences of
+    log p_target(f) − log p_raw(f), on the repo's integer digit-count
+    log10 scale (same convention as ``unigram_surprisal``), with the
+    eval-set stand-in (doc_id % 11) as the target. Hashing tokens into
+    a FIXED 1024-bucket feature space is the DSIR scale trick: the
+    per-feature stats table is 1024 rows regardless of corpus size, so
+    the scoring join is a broadcast and the whole weighting is one
+    corpus scan + one tiny aggregate. Top-100 by (score, id)."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(dedup.normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    feat = tok.select(
+        "id",
+        (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long") % 1024)
+        .alias("f"),
+    )
+    stats = feat.groupBy("f").agg(
+        F.count_if(F.col("id") % 11 == 0).alias("ct"),
+        F.count_if(F.col("id") % 11 != 0).alias("cr"),
+    )
+    digits = lambda c: F.length((c + 1).cast("string"))  # noqa: E731
+    scored = (
+        feat.filter(F.col("id") % 11 != 0)
+        .join(F.broadcast(stats), "f")
+        .groupBy("id")
+        .agg(
+            F.sum(digits(F.col("ct")) - digits(F.col("cr")))
+            .cast("long")
+            .alias("dsir_score"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        scored.select(F.col("id").alias("doc_id"), "dsir_score", "n_tokens")
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(100)
+    )

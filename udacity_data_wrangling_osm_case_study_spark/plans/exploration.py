@@ -658,3 +658,56 @@ def incremental_agg_maintenance(spark, sf_dir):
         )
         .orderBy("yr", "mo")
     )
+
+
+@register(
+    "orders_status_priority_cube",
+    """
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def orders_status_priority_cube(spark, sf_dir):
+    """Multi-dimensional rollup in ONE pass: the full CUBE over
+    (status, priority) — every grouping set (detail, two marginals,
+    grand total) computed by a single Expand + aggregate, instead of
+    four scans UNIONed together. ``grouping()`` distinguishes a real
+    NULL group from a cube subtotal (here surfaced as the 'ALL'
+    sentinel plus an explicit grouping id, so the output carries no
+    NULLs). Exact integer cents; at scale the Expand multiplies rows
+    by the number of grouping sets BEFORE the shuffle, but map-side
+    partial aggregation collapses them to |groups| per partition —
+    one shuffle regardless of cube width."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g1"),
+            F.grouping("o_orderpriority").alias("g2"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("revenue_c"),
+        )
+        .select(
+            F.when(F.col("g1") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.when(F.col("g2") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            (F.col("g1") * 2 + F.col("g2")).cast("long").alias("gid"),
+            "n_orders",
+            "revenue_c",
+        )
+        .orderBy("gid", "status", "priority")
+    )

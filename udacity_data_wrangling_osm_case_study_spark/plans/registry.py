@@ -66,6 +66,9 @@ _VERIFY_FIRST = (
     # (3) never-attested names, prior priority order preserved
     # (round-3 additions first)
     "cdc_apply_snapshot",
+    "orders_status_priority_cube",
+    "dsir_importance_weights",
+    "embedding_random_projection",
     "next_event_training_pairs",
     "cumulative_unique_users",
     "events_quality_report",

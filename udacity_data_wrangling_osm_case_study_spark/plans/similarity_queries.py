@@ -1010,3 +1010,52 @@ def media_shared_frames(spark, sf_dir):
         .filter(F.col("n_media") > 1)
         .orderBy("frame_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# JL random projection (feature reduction beside the PQ/SQ compression arms)
+# ---------------------------------------------------------------------------
+
+_JL_K, _JL_DIM = 8, 64
+_JL_SIGNS = similarity.jl_signs(_JL_K, _JL_DIM)
+
+_JL_SIGNS_SQL = ", ".join(
+    "({j}, [{row}])".format(j=j, row=",".join(str(x) for x in row))
+    for j, row in enumerate(_JL_SIGNS)
+)
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+    WITH s AS (SELECT * FROM (VALUES {_JL_SIGNS_SQL}) AS t(j, srow))
+    SELECT vec_id, CAST(j AS INT) AS j,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+                i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                     * srow[i])) AS BIGINT) AS comp_milli
+    FROM embeddings, s
+    ORDER BY vec_id, j
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction: every 64-dim
+    embedding projected to 8 components through a deterministic
+    Rademacher matrix (the cheap distance-preserving reduction a
+    retrieval pipeline runs before clustering or coarse search; the
+    same matrix family SRP-LSH uses for sign bits, here kept as full
+    dot products). The matrix is an inline literal in BOTH the plan
+    and the oracle — no RNG state, no artifact — and the projection is
+    exact BIGINT arithmetic over milli-quantized components
+    (operators.similarity.jl_project_milli), so values are
+    bit-identical across engines. Row-local map, zero shuffle, scales
+    with the scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                similarity.jl_project_milli(F.col("embedding"), _JL_SIGNS)
+            ).alias("j", "comp_milli"),
+        )
+        .orderBy("vec_id", "j")
+    )
