@@ -151,6 +151,8 @@ HEADLINE = [
     "orders_status_priority_cube",
     "dsir_importance_weights",
     "embedding_random_projection",
+    "hybrid_search_rrf",
+    "rake_keyphrases",
 ]
 
 

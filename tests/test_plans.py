@@ -176,6 +176,7 @@ def test_no_cartesian_products_anywhere(spark):
         "event_value_ks_test",          # 1-row sample-size frames
         "source_distinctive_terms",     # 1-row corpus token-total frame
         "customer_rfm_segments",        # 1-row as-of instant frame
+        "hybrid_search_rrf",            # 1-row query vector + BM25 stats
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

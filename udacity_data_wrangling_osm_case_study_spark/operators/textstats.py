@@ -531,3 +531,61 @@ def bpe_encode(
             F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-shaped relevance of every document against a fixed term
+    set — (doc_id, n_terms_matched, score_scaled), unsorted. k1=1.2,
+    b=0.75; the idf is the rational Robertson core ((N−df)/df,
+    integer-scaled) rather than its log — a monotone transform per
+    term, so ranking is preserved while the whole score stays exact
+    integer arithmetic in both engines (a float log differs in ulps
+    across libms).
+
+    Shape at scale: tokenize → explode → per-(doc, term) counts (one
+    shuffle on doc_id×term, map-side combinable after the term filter
+    prunes the explode); df and corpus stats are tiny frames broadcast
+    back; scoring is row-local. This is the inverted-index probe shape
+    — at real scale the tf frame IS the posting list, bucketed by
+    term. Callers order + truncate (TakeOrderedAndProject)."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+
+    toks = F.split(dedup.normalize_text(F.col(text_col)), " ")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("n_tokens"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(n_tokens) * 1000 div count(*)").alias("avgdl_milli"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.expr(
+                "((n_docs - df) * 1000000 div df)"
+                " * (tf * 1000)"
+                " div (tf * 1000"
+                "      + (1200 * (250 + (750 * (n_tokens * 1000000"
+                "                               div avgdl_milli)) div 1000))"
+                "        div 1000)"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms_matched"),
+        F.sum("contrib").cast("bigint").alias("score_scaled"),
+    )

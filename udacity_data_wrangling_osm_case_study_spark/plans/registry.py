@@ -69,6 +69,8 @@ _VERIFY_FIRST = (
     "orders_status_priority_cube",
     "dsir_importance_weights",
     "embedding_random_projection",
+    "hybrid_search_rrf",
+    "rake_keyphrases",
     "next_event_training_pairs",
     "cumulative_unique_users",
     "events_quality_report",

@@ -1059,3 +1059,125 @@ def embedding_random_projection(spark, sf_dir):
         )
         .orderBy("vec_id", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical BM25 + vector cosine
+# ---------------------------------------------------------------------------
+
+_RRF_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH d AS (SELECT doc_id, string_split({_RRF_NORM}, ' ') AS toks
+               FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS n_tokens FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     SUM(n_tokens) * 1000 // COUNT(*) AS avgdl_milli FROM dl),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+        WHERE term IN ('spark', 'merge', 'window')
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    lex_scored AS (
+        SELECT tf.doc_id,
+               SUM(((s.n_docs - df.df) * 1000000 // df.df)
+                   * (tf.tf * 1000)
+                   // (tf.tf * 1000
+                       + (1200 * (250 + (750 * (dl.n_tokens * 1000000
+                                                // s.avgdl_milli)) // 1000))
+                         // 1000)) AS score_scaled
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats s GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id)
+                   AS rnk
+        FROM lex_scored QUALIFY rnk <= 50
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+          WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id <> 0),
+    sem_scored AS (
+        SELECT e.vec_id AS doc_id, {_COS_BP} AS cosine_bp FROM e, q
+    ),
+    sem AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine_bp DESC, doc_id)
+                   AS rnk
+        FROM sem_scored QUALIFY rnk <= 50
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               CAST(COALESCE(1000000 // (60 + lex.rnk), 0)
+                    + COALESCE(1000000 // (60 + sem.rnk), 0) AS BIGINT)
+                   AS rrf_ppm,
+               CAST(COALESCE(lex.rnk, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(sem.rnk, 0) AS BIGINT) AS sem_rank
+        FROM lex FULL JOIN sem USING (doc_id)
+    )
+    SELECT doc_id, rrf_ppm, lex_rank, sem_rank
+    FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval — the RAG-serving shape: a lexical BM25 ranking
+    (operators.textstats.bm25_scores, fixed 3-term query) and a dense
+    cosine ranking (query = vector 0, embeddings keyed by doc id) are
+    fused with reciprocal-rank fusion, RRF(d) = Σ 1/(k + rank_d),
+    k=60 (Cormack et al. 2009) — integer ppm floor division, so the
+    fusion is exact in both engines and needs only RANKS, never
+    cross-modality score calibration. Each arm is top-50 via
+    TakeOrderedAndProject; the fusion is a full outer join of two
+    ≤50-row frames — at scale the arms prune independently (posting
+    lists / ANN index) and fusion cost stays O(k)."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import textstats
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    lex50 = (
+        textstats.bm25_scores(docs, ["spark", "merge", "window"])
+        .orderBy(F.desc("score_scaled"), "doc_id")
+        .limit(50)
+    )
+    lex = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_scaled"), "doc_id"))
+        .alias("lex_rnk"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_vec(F.col("embedding"))
+    q = emb.filter(F.col("vec_id") == 0).select(v.alias("q"))
+    e = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), v.alias("v")
+    )
+    bp = F.round(similarity.cosine(F.col("v"), F.col("q")) * 10000).cast(
+        "bigint"
+    )
+    sem50 = (
+        e.crossJoin(F.broadcast(q))
+        .select("doc_id", bp.alias("cosine_bp"))
+        .orderBy(F.desc("cosine_bp"), "doc_id")
+        .limit(50)
+    )
+    sem = sem50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine_bp"), "doc_id"))
+        .alias("sem_rnk"),
+    )
+    rrf = lambda r: F.coalesce(  # noqa: E731
+        F.expr(f"1000000 div (60 + {r})"), F.lit(0)
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        (rrf("lex_rnk") + rrf("sem_rnk")).cast("long").alias("rrf_ppm"),
+        F.coalesce("lex_rnk", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("sem_rnk", F.lit(0)).cast("long").alias("sem_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_ppm"), "doc_id").limit(10)

@@ -993,45 +993,12 @@ def keyword_search_topk(spark, sf_dir):
     prunes the explode); df and corpus stats are tiny frames broadcast
     back; scoring is row-local; top-10 is TakeOrderedAndProject, never
     a global sort. This is the inverted-index probe shape — at real
-    scale the tf frame IS the posting list, bucketed by term."""
+    scale the tf frame IS the posting list, bucketed by term.
+    Scoring lives in operators.textstats.bm25_scores (shared with the
+    hybrid RRF fusion query)."""
     docs = table(spark, sf_dir, "documents")
-    terms = ["spark", "merge", "window"]
-    toks = F.split(textstats.normalize_text(F.col("text")), " ")
-    d = docs.select("doc_id", toks.alias("toks"))
-    dl = d.select("doc_id", F.size("toks").alias("n_tokens"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        F.expr("sum(n_tokens) * 1000 div count(*)").alias("avgdl_milli"),
-    )
-    tf = (
-        d.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "contrib",
-            F.expr(
-                "((n_docs - df) * 1000000 div df)"
-                " * (tf * 1000)"
-                " div (tf * 1000"
-                "      + (1200 * (250 + (750 * (n_tokens * 1000000"
-                "                               div avgdl_milli)) div 1000))"
-                "        div 1000)"
-            ),
-        )
-    )
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_terms_matched"),
-            F.sum("contrib").cast("bigint").alias("score_scaled"),
-        )
+        textstats.bm25_scores(docs, ["spark", "merge", "window"])
         .orderBy(F.desc("score_scaled"), "doc_id")
         .limit(10)
     )
@@ -1441,4 +1408,115 @@ def annotator_agreement_kappa(spark, sf_dir):
         .cast("long")
         .alias("kappa_num"),
         (F.col("n") * F.col("n") - pe_scaled).cast("long").alias("kappa_den"),
+    )
+
+
+@register(
+    "rake_keyphrases",
+    f"""
+    WITH d AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+    pos AS (
+        SELECT id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+               unnest(toks) AS tok
+        FROM d
+    ),
+    content AS (
+        SELECT id, pos, tok,
+               pos - ROW_NUMBER() OVER (PARTITION BY id ORDER BY pos) AS grp
+        FROM pos
+        WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to', 'in') AND tok <> ''
+    ),
+    phrase_len AS (
+        SELECT id, grp, COUNT(*) AS plen FROM content GROUP BY id, grp
+    ),
+    word_stats AS (
+        SELECT tok,
+               COUNT(*) AS freq,
+               SUM(plen) AS deg
+        FROM content JOIN phrase_len USING (id, grp)
+        GROUP BY tok
+    ),
+    word_score AS (
+        SELECT tok, deg * 1000 // freq AS w_milli FROM word_stats
+    ),
+    phrase_scored AS (
+        SELECT c.id, c.grp,
+               string_agg(c.tok, ' ' ORDER BY c.pos) AS phrase,
+               SUM(w.w_milli) AS score_milli
+        FROM content c JOIN word_score w USING (tok)
+        GROUP BY c.id, c.grp
+    )
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(score_milli) AS BIGINT) AS score_milli
+    FROM phrase_scored
+    WHERE len(string_split(phrase, ' ')) >= 2
+    GROUP BY phrase
+    ORDER BY score_milli DESC, phrase
+    LIMIT 20
+    """,
+)
+def rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are the maximal stopword-free token runs — found with the
+    gaps-and-islands rewrite (pos − row_number over content tokens is
+    constant within a run, so phrase assembly is one window + one
+    groupBy, no self-join) — and each phrase scores Σ deg(w)/freq(w)
+    over its words, where deg counts co-occurring phrase words
+    corpus-wide. Integer milli floor per word keeps the score exact in
+    both engines; identical phrases collapse with occurrence counts
+    (their scores are equal by construction — word stats are global).
+    Top-20 multi-word phrases. Everything is explode + two windows +
+    three groupBys: scan-shaped at any corpus size."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(textstats.normalize_text(F.col("text")), " ")
+    pos = docs.select(
+        F.col("doc_id").alias("id"), F.posexplode(toks).alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    content = (
+        pos.filter(
+            ~F.col("tok").isin(textstats.STOPWORDS) & (F.col("tok") != "")
+        )
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("id").orderBy("pos")),
+        )
+    )
+    phrase_len = content.groupBy("id", "grp").agg(F.count("*").alias("plen"))
+    word_stats = (
+        content.join(phrase_len, ["id", "grp"])
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+    )
+    word_score = word_stats.select(
+        "tok", F.expr("deg * 1000 div freq").alias("w_milli")
+    )
+    phrase_scored = (
+        content.join(F.broadcast(word_score), "tok")
+        .groupBy("id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("w_milli").alias("score_milli"),
+        )
+    )
+    return (
+        phrase_scored.filter(F.size(F.split(F.col("phrase"), " ")) >= 2)
+        .groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("score_milli").cast("long").alias("score_milli"),
+        )
+        .orderBy(F.desc("score_milli"), "phrase")
+        .limit(20)
     )
