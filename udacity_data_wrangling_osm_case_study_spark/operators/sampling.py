@@ -215,3 +215,43 @@ def leakage_safe_split(
     return train_val_test_split(
         labeled, key_col="comp", val_pct=val_pct, test_pct=test_pct, salt=salt
     )
+
+
+def weighted_bottom_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    integer cousin of the A-ES exponential-jumps reservoir (Efraimidis
+    & Spirtsis: keep the k items with the best hash^(1/w) priority).
+    Here the priority is ``md5_48(salt || id) div w`` on BIGINTs:
+    monotone in the same uniform draw, so heavier items win
+    proportionally more often, and floor division keeps the order
+    bit-identical in any engine (the float pow formulation rides on
+    libm). One row-local hash + one TakeOrderedAndProject — no global
+    sort, no RNG state; re-salting gives independent samples.
+
+    Returns the k sampled rows as (id, weight, priority), ascending
+    priority.
+    """
+    pr = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+        .withColumn("priority", pr)
+        .withColumn("priority", F.expr("priority div weight"))
+        .orderBy("priority", "id")
+        .limit(k)
+    )

@@ -710,3 +710,30 @@ def dsir_importance_weights(spark, sf_dir):
         .orderBy(F.desc("dsir_score"), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "weighted_doc_sample",
+    """
+    WITH w AS (
+        SELECT doc_id AS id, n_chars AS weight,
+               CAST(('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)),
+                                    1, 12)) AS BIGINT) // n_chars AS priority
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT id, CAST(weight AS BIGINT) AS weight,
+           CAST(priority AS BIGINT) AS priority
+    FROM w ORDER BY priority, id LIMIT 50
+    """,
+)
+def weighted_doc_sample(spark, sf_dir):
+    """Deterministic length-weighted sampling without replacement
+    (operators.sampling.weighted_bottom_k — the integer A-ES
+    bottom-k): keep the 50 documents with the smallest
+    ``md5_48(salt||id) div n_chars`` priority, so longer documents are
+    proportionally likelier while the draw stays reproducible and
+    engine-portable (no RNG state, no float pow). One row-local hash
+    + TakeOrderedAndProject — never a global sort; re-salting yields
+    independent samples for successive epochs."""
+    docs = table(spark, sf_dir, "documents")
+    return sampling.weighted_bottom_k(docs, "doc_id", "n_chars", k=50)
