@@ -214,11 +214,65 @@ def test_multimodal_feature_plumbing(spark):
     assert len(feats[1].feature) == multimodal.FEATURE_DIM
 
 
+@pytest.mark.skipif(
+    multimodal.HAS_PIL, reason="with PIL installed the real branch runs instead"
+)
 def test_multimodal_stub_gate(spark):
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     media = multimodal.documents_as_media(df)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def _tiny_png(r: int, g: int, b: int, w: int = 4, h: int = 2) -> bytes:
+    """Hand-assembled valid solid-color RGB PNG (pure stdlib — the
+    fixture stays real even on rigs without any codec library)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes([r, g, b]) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(not multimodal.HAS_PIL, reason="PIL not installed")
+def test_multimodal_real_decode_branch(spark):
+    """decode_stub=False routes through PIL on a real PNG payload:
+    the 8-dim descriptor must reflect actual decoded pixels, and the
+    real resize branch must emit a decodable PNG with recomputed
+    metadata."""
+    png = _tiny_png(10, 200, 30)
+    media = spark.createDataFrame(
+        [(1, png, "image/png", len(png), "x")],
+        "media_id long, payload binary, media_type string, n_bytes int, checksum string",
+    )
+    feats = {
+        r.media_id: r.feature
+        for r in multimodal.extract_features(media, decode_stub=False).collect()
+    }
+    w, h, ch, mr, mg, mb, _std, aspect = feats[1]
+    assert (w, h, ch) == (4.0, 2.0, 3.0)
+    assert (mr, mg, mb) == (10.0, 200.0, 30.0)
+    assert aspect == 2.0
+    out = multimodal.resize_media(media, target_bytes=12, decode_stub=False).collect()[0]
+    assert out.payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert out.n_bytes == len(out.payload)
+    import hashlib
+
+    assert out.checksum == hashlib.md5(bytes(out.payload)).hexdigest()
 
 
 def test_word_shingles_short_doc_is_empty(spark):
@@ -1052,6 +1106,40 @@ def test_bpe_train_matches_reference(spark):
     assert got_syms == want_syms
     # merged symbols must reconstruct their words exactly
     assert all("".join(s) == w for w, s in got_syms.items())
+
+
+def test_bpe_train_batched_matches_sequential(spark):
+    """The merge_batch>1 fast path must be bit-identical to the
+    sequential trainer — including the adversarial cases the batch
+    rule exists for: self-pairs (aaa → merging (a,a) spawns (aa,a)
+    pairs bounded by its own count), overlapping top pairs, and
+    count ties at the batch boundary."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    words = {}
+    for _ in range(60):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 8)))
+        words[w] = words.get(w, 0) + rng.randrange(1, 5)
+    # force the documented adversaries
+    words["aaaa"] = 9
+    words["aaab"] = 9
+    words["abab"] = 7
+    rows = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(sorted(words.items()))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want_merges, want_syms = _bpe_reference(
+        {w: c for w, c in words.items()}, 12
+    )
+    for batch in (1, 3, 8):
+        merges_df, sym_df = textstats.bpe_train(df, n_merges=12, merge_batch=batch)
+        got = [
+            (r.step, r.left, r.right, r.merged, r.pair_count)
+            for r in merges_df.orderBy("step").collect()
+        ]
+        assert got == want_merges, f"merge_batch={batch}"
+        got_syms = {r.w: list(r.syms) for r in sym_df.collect()}
+        assert got_syms == want_syms, f"merge_batch={batch}"
 
 
 def test_new_operators_tolerate_empty_inputs(spark):

@@ -280,3 +280,33 @@ def test_ewma_single_sort_window(spark):
 
     p = _plan(spark, "event_value_ewma")
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
+
+
+def test_bench_manifest_covers_registry():
+    """Every registered query is either benched (HEADLINE) or named in
+    BENCH_EXCLUDED with a reason — a new registry entry can't silently
+    skip the bench, and neither list carries stale names."""
+    import importlib.util
+    import os
+
+    bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )
+    spec = importlib.util.spec_from_file_location("bench_manifest", bench_path)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    queries, _ = registry.load_all()
+    headline, excluded = set(bench.HEADLINE), set(bench.BENCH_EXCLUDED)
+    assert len(bench.HEADLINE) == len(headline), "duplicate HEADLINE names"
+    assert not headline & excluded, sorted(headline & excluded)
+    registered = set(queries)
+    assert registered - (headline | excluded) == set(), (
+        "registered but neither benched nor excluded: "
+        f"{sorted(registered - (headline | excluded))}"
+    )
+    assert (headline | excluded) - registered == set(), (
+        "stale bench names: "
+        f"{sorted((headline | excluded) - registered)}"
+    )
+    assert all(bench.BENCH_EXCLUDED.values()), "empty exclusion reason"

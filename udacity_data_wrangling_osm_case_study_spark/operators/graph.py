@@ -25,7 +25,7 @@ def copurchase_pairs(
     df: DataFrame,
     group_col: str,
     item_col: str,
-    max_items_per_group: int = 64,
+    max_items_per_group: int | None = None,
 ) -> DataFrame:
     """Co-occurrence pair stream: for every group, all (a, b) item
     pairs with a < b — one output row per (group, pair). The edge
@@ -38,14 +38,13 @@ def copurchase_pairs(
     with nested higher-order transforms — the k² work happens in
     codegen on one row, never through a shuffle.
 
-    ``max_items_per_group`` bounds the dense-group tail: a group with
-    k items emits k(k−1)/2 pairs, so one pathological basket (a
-    crawler order with 10⁴ parts) would otherwise dominate the whole
-    edge build at corpus scale. Groups are truncated to their
-    ``max_items_per_group`` LOWEST-keyed items (deterministic); set it
-    above the natural maximum (TPC-H orders have ≤ 7 lineitems) and
-    the cap is semantically a no-op — it exists to bound the tail, not
-    to sample.
+    ``max_items_per_group`` (opt-in, default None = no cap) bounds the
+    dense-group tail: a group with k items emits k(k−1)/2 pairs, so
+    one pathological basket (a crawler order with 10⁴ parts) would
+    otherwise dominate the whole edge build at corpus scale. When set,
+    groups are truncated to their ``max_items_per_group`` LOWEST-keyed
+    items (deterministic) — an explicit, caller-visible result change,
+    which is why it is not on by default.
     """
     base = df.groupBy(group_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("items")
@@ -195,6 +194,14 @@ def pagerank(
     lineage stays shallow — for long chains, localCheckpoint per round
     like ``dedup.connected_components``.
 
+    Storage lifecycle: the edge frame is localCheckpoint(eager=False)ed
+    — no Spark job runs at call time; the MEMORY_AND_DISK blocks
+    materialize at the caller's first action and live as long as the
+    returned frame's lineage is reachable. Dereference the result (or
+    everything derived from it) and Spark's ContextCleaner reclaims the
+    blocks; long-lived sessions that loop over pagerank calls should
+    not retain stale result frames.
+
     Returns (v, rank_micro).
     """
     und = (
@@ -226,7 +233,10 @@ def pagerank(
     parts = edge_partitions or max(
         2, spark.sparkContext.defaultParallelism // 4
     )
-    sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
+    # eager=False: defer block materialization to the caller's first
+    # action (no hidden job at call time); blocks are reclaimed by the
+    # ContextCleaner once the returned lineage is unreachable.
+    sym = sym.repartition(parts, "src").localCheckpoint(eager=False)
     outdeg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = F.lit((100 - damping_pct) * 10_000).cast("long")
     # Carry outdeg INSIDE the rank frame: each superstep then needs one

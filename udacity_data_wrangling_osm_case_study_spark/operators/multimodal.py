@@ -5,12 +5,15 @@ metadata struct; decode / feature-extraction happens in Arrow-batched
 ``mapInPandas`` stages so the Python boundary is crossed once per
 record batch, not per row.
 
-The actual codec step is STUBBED here (no image/audio libraries in
-this environment): ``decode_stub=True`` produces a deterministic fake
-feature vector from the payload bytes; ``decode_stub=False`` raises
-``NotImplementedError`` at the point where a real decoder (PIL,
-torchaudio, ffmpeg) would be called. The Spark-side plumbing — schema,
-partitioning, Arrow batch shape, UDF signature — is real and tested.
+The codec step routes by availability: ``decode_stub=True`` (the
+default everywhere the registry's oracle queries run) produces a
+deterministic fake feature vector from the payload bytes;
+``decode_stub=False`` decodes for real through PIL when it is
+importable — the skipif-guarded test exercises that branch on a real
+PNG — and raises ``NotImplementedError`` otherwise (audio/video would
+route through torchaudio/ffmpeg the same way). The Spark-side plumbing
+— schema, partitioning, Arrow batch shape, UDF signature — is real and
+tested in both modes.
 """
 
 from __future__ import annotations
@@ -20,6 +23,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # codec detection at import; the stub is the fallback, never the mask
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised in codec-less rigs
+    _PILImage = None
+    HAS_PIL = False
 
 FEATURE_DIM = 8
 
@@ -51,18 +62,46 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     would run, one batch at a time, bounded memory per executor.
     """
 
+    def _decode_real(payload: bytes) -> list[float]:
+        # Real image decode: 8-dim deterministic descriptor
+        # (w, h, channels, mean R/G/B, pixel std, aspect).
+        import io
+
+        import numpy as np
+
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        arr = np.asarray(img, dtype=np.float64)
+        h, w = arr.shape[0], arr.shape[1]
+        means = arr.reshape(-1, 3).mean(axis=0)
+        return [
+            float(w),
+            float(h),
+            3.0,
+            float(means[0]),
+            float(means[1]),
+            float(means[2]),
+            float(arr.std()),
+            float(w) / float(h),
+        ]
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
+            if not decode_stub and not HAS_PIL:
                 raise NotImplementedError(
                     "real media decode requires codec libraries (PIL/ffmpeg) "
                     "not present in this environment"
                 )
-            feats = [
-                [float(len(p)), float(p[0] if len(p) else 0)]
-                + [float(p[i % len(p)]) if len(p) else 0.0 for i in range(FEATURE_DIM - 2)]
-                for p in pdf["payload"]
-            ]
+            if decode_stub:
+                feats = [
+                    [float(len(p)), float(p[0] if len(p) else 0)]
+                    + [
+                        float(p[i % len(p)]) if len(p) else 0.0
+                        for i in range(FEATURE_DIM - 2)
+                    ]
+                    for p in pdf["payload"]
+                ]
+            else:
+                feats = [_decode_real(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -123,17 +162,33 @@ def resize_media(
     """
     import hashlib
 
+    def _resize_real(payload: bytes) -> bytes:
+        # Real path: decode, downsample to a square thumbnail whose
+        # uncompressed RGB size approximates target_bytes, re-encode
+        # PNG (deterministic: PIL's PNG writer is compress-level
+        # stable for a fixed input).
+        import io
+
+        edge = max(1, int((target_bytes / 3) ** 0.5))
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        out = io.BytesIO()
+        img.resize((edge, edge)).save(out, format="PNG")
+        return out.getvalue()
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
+            if not decode_stub and not HAS_PIL:
                 raise NotImplementedError(
                     "real media resize requires codec libraries (PIL/ffmpeg) "
                     "not present in this environment"
                 )
-            resized = [
-                bytes(p)[:target_bytes].ljust(target_bytes, b"\0")
-                for p in pdf["payload"]
-            ]
+            if decode_stub:
+                resized = [
+                    bytes(p)[:target_bytes].ljust(target_bytes, b"\0")
+                    for p in pdf["payload"]
+                ]
+            else:
+                resized = [_resize_real(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -224,15 +224,19 @@ def weighted_bottom_k(
     k: int,
     salt: str = "wsample",
 ) -> DataFrame:
-    """Deterministic weighted sampling without replacement — the
-    integer cousin of the A-ES exponential-jumps reservoir (Efraimidis
-    & Spirtsis: keep the k items with the best hash^(1/w) priority).
-    Here the priority is ``md5_48(salt || id) div w`` on BIGINTs:
-    monotone in the same uniform draw, so heavier items win
-    proportionally more often, and floor division keeps the order
-    bit-identical in any engine (the float pow formulation rides on
-    libm). One row-local hash + one TakeOrderedAndProject — no global
-    sort, no RNG state; re-salting gives independent samples.
+    """Weight-biased deterministic sample without replacement, in the
+    SHAPE of an A-ES bottom-k reservoir (Efraimidis & Spiliopoulou:
+    keep the k items with the best priority derived from one uniform
+    draw per item). The priority here is ``md5_48(salt || id) div w``
+    on BIGINTs — monotone decreasing in w for a fixed draw, so heavier
+    items are selected more often, but NOT distributionally equivalent
+    to the proportional u^(1/w) priority (pairwise win probability is
+    1 − w_j/(2·w_i) for w_i ≥ w_j, not w_i/(w_i+w_j)). The integer
+    form is chosen because floor division keeps the order bit-identical
+    in any engine (the float pow formulation rides on libm); use a
+    fixed-point u^(1/w) if calibrated proportional inclusion matters.
+    One row-local hash + one TakeOrderedAndProject — no global sort, no
+    RNG state; re-salting gives independent samples.
 
     Returns the k sampled rows as (id, weight, priority), ascending
     priority.

@@ -398,6 +398,7 @@ def bpe_train(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_pair_count: int = 2,
+    merge_batch: int = 4,
 ):
     """Distributed BPE merge training (Sennrich et al. 2016) — the
     iterative half of subword tokenization (``subword_vocab`` is the
@@ -414,12 +415,30 @@ def bpe_train(
     Scale shape: the corpus collapses to the distinct-word vocabulary
     up front (vocab « corpus at web scale) and every round after that
     touches only the vocab frame: one pair-explode + map-side-combined
-    groupBy for the counts, ONE argmax row collected to the driver
+    groupBy for the counts, ONE top-(k+1) collect to the driver
     (bounded metadata, the same posture as IVF probe-cell selection),
-    and a row-local fold applying the merge. The symbol frame is
-    ``localCheckpoint``ed per round — ten rounds of nested array folds
-    would otherwise stack into one enormous expression tree (same
-    lineage-cut rule as ``similarity.train_quantizer``).
+    and a row-local fold applying the round's merges. The symbol frame
+    is ``localCheckpoint``ed per round — many rounds of nested array
+    folds would otherwise stack into one enormous expression tree
+    (same lineage-cut rule as ``similarity.train_quantizer``).
+
+    ``merge_batch`` amortizes the driver round-trip: each round applies
+    up to that many merges at once, chosen so the result is PROVABLY
+    identical to the one-merge-per-round sequential algorithm. The
+    batch is the maximal prefix of the (count desc, pair asc)-sorted
+    pair list that is (a) pairwise symbol-disjoint — disjoint merges
+    neither create, destroy, nor recount each other's occurrences, and
+    a single greedy left fold applies them exactly as sequential
+    passes would — and (b) strictly above the first rejected pair's
+    count: every pair a batch merge could spawn or recount derives
+    from a pair sharing a symbol with an accepted one, and all of
+    those rank at or below the rejection point, so no new or changed
+    pair can overtake (or tie) a later batch member before its
+    sequential turn. Self-pairs (a, a) merge only solo: merging one
+    spawns (aa, a) pairs bounded by its OWN count rather than the
+    rejected count, which breaks guarantee (b) for any batch-mate.
+    A singleton batch is the sequential step itself, so the fallback
+    is always exact.
 
     Returns ``(merges_df, symbols_df)``: the ordered merge table
     (step, left, right, merged, pair_count) and the final per-word
@@ -438,7 +457,9 @@ def bpe_train(
     sym = words.select("w", "cnt", chars.alias("syms")).localCheckpoint()
     merges = []
     spark = df.sparkSession
-    for step in range(n_merges):
+    step = 0
+    while step < n_merges:
+        k = min(max(int(merge_batch), 1), n_merges - step)
         pair_structs = F.transform(
             F.sequence(F.lit(1), F.size("syms") - 1),
             lambda i: F.struct(
@@ -452,25 +473,68 @@ def bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("c"))
         )
-        top = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
-        if not top or top[0].c < min_pair_count:
+        # k+1 candidates: up to k acceptances plus the first rejected
+        # pair's count (the batch-validity floor). TakeOrderedAndProject
+        # — bounded driver metadata, one round-trip per BATCH.
+        limit = k + 1
+        cand = pairs.orderBy(F.desc("c"), "a", "b").limit(limit).collect()
+        if not cand or cand[0].c < min_pair_count:
             break
-        a, b, c = top[0].a, top[0].b, top[0].c
-        merged = a + b
-        merges.append((step, a, b, merged, int(c)))
-        apply_merge = F.aggregate(
-            "syms",
-            F.expr("CAST(array() AS array<string>)"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (s == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
+        accepted: list = []
+        used: set = set()
+        stop_c = None  # count at the first rejected position
+        for r in cand:
+            if len(accepted) == k or r.a in used or r.b in used:
+                stop_c = r.c
+                break
+            if r.a == r.b:
+                if accepted:  # self-pairs merge solo (see docstring)
+                    stop_c = r.c
+                    break
+                accepted.append(r)
+                stop_c = cand[1].c if len(cand) > 1 else None
+                break
+            accepted.append(r)
+            used.add(r.a)
+            used.add(r.b)
+        if stop_c is None and len(cand) == limit:
+            # list may be truncated: unseen pairs count <= the last
+            # collected one — use it as the (conservative) floor.
+            stop_c = cand[-1].c
+        if len(accepted) > 1:
+            floor = max(
+                stop_c if stop_c is not None else 0, min_pair_count - 1
+            )
+            kept = [r for r in accepted if r.c > floor]
+            batch = kept if kept else [accepted[0]]
+        else:
+            batch = accepted
+        plan = [(r.a, r.b, r.a + r.b, int(r.c)) for r in batch]
+        for a, b, merged, c in plan:
+            merges.append((step, a, b, merged, c))
+            step += 1
+
+        def make_fold(fold_plan):
+            def fold(acc, s):
+                out = F.concat(acc, F.array(s))
+                for a, b, merged, _ in reversed(fold_plan):
+                    out = F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(a))
+                        & (s == F.lit(b)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(merged)),
+                        ),
+                    ).otherwise(out)
+                return out
+
+            return fold
+
+        apply_merges = F.aggregate(
+            "syms", F.expr("CAST(array() AS array<string>)"), make_fold(plan)
         )
-        sym = sym.select("w", "cnt", apply_merge.alias("syms")).localCheckpoint()
+        sym = sym.select("w", "cnt", apply_merges.alias("syms")).localCheckpoint()
     merges_df = spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
     )

@@ -615,6 +615,109 @@ def cms_heavy_hitters(spark, sf_dir):
 
 
 @register(
+    "cms_user_event_counts",
+    """
+    WITH params AS (
+        SELECT * FROM (VALUES (0, 823117, 105943), (1, 544231, 700417),
+                              (2, 921023, 331777), (3, 687101, 964981))
+               p(d, a, b)
+    ),
+    h AS (
+        SELECT event_type, user_id, d,
+               ((a * (user_id % 2147483647) + b) % 2147483647) % 256 AS bucket
+        FROM events, params
+    ),
+    counters AS (
+        SELECT event_type, d, bucket, COUNT(*) AS c FROM h GROUP BY ALL
+    ),
+    exact AS (
+        SELECT event_type, user_id, COUNT(*) AS exact_n
+        FROM events GROUP BY ALL
+    ),
+    probes AS (SELECT DISTINCT event_type, user_id, d, bucket FROM h),
+    est AS (
+        SELECT p.event_type, p.user_id, MIN(c.c) AS est_n
+        FROM probes p
+        JOIN counters c USING (event_type, d, bucket)
+        GROUP BY ALL
+    )
+    SELECT e.event_type AS event_type, e.user_id AS user_id, exact_n, est_n,
+           est_n - exact_n AS overcount
+    FROM exact e JOIN est USING (event_type, user_id)
+    ORDER BY est_n DESC, event_type, user_id LIMIT 20
+    """,
+)
+def cms_user_event_counts_batch(spark, sf_dir):
+    """Batch twin of the custom stateful streaming operator
+    ``streaming.events_stream.cms_user_event_counts`` — one count-min
+    grid per event_type over the user dimension, with the streaming
+    module's EXACT pairwise-independent hash family (constants imported
+    from it, so the two can never drift apart). The stream's terminal
+    state after absorbing the whole table equals this batch sketch;
+    this registry entry gives the family the oracle attestation the
+    per-batch parity tests can't (DuckDB recomputes the identical
+    integer sketch bit-for-bit).
+
+    Scale shape: counter build = one groupBy (event_type, d, bucket)
+    with map-side combine — state is types x d x w counters regardless
+    of corpus size; probes join the broadcast counter table."""
+    from udacity_data_wrangling_osm_case_study_spark.streaming.events_stream import (
+        CMS_WIDTH,
+        _CMS_A,
+        _CMS_B,
+        _CMS_P,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    params = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.lit(a).alias("a"),
+                    F.lit(b).alias("b"),
+                )
+                for d, (a, b) in enumerate(zip(_CMS_A, _CMS_B))
+            ]
+        )
+    ).alias("p")
+    hashed = ev.select("event_type", "user_id", params).select(
+        "event_type",
+        "user_id",
+        F.col("p.d").alias("d"),
+        (
+            (F.col("p.a") * (F.col("user_id") % _CMS_P) + F.col("p.b"))
+            % _CMS_P
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    counters = hashed.groupBy("event_type", "d", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("exact_n")
+    )
+    probes = hashed.distinct()
+    est = (
+        probes.join(F.broadcast(counters), ["event_type", "d", "bucket"])
+        .groupBy("event_type", "user_id")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        exact.join(est, ["event_type", "user_id"])
+        .select(
+            "event_type",
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_n"), "event_type", "user_id")
+        .limit(20)
+    )
+
+
+@register(
     "incremental_agg_maintenance",
     """
     SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,

@@ -648,8 +648,9 @@ def part_pagerank(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # Edge build via per-order array expansion (one shuffle + row-local
-    # k² in codegen) instead of the fact-fact self-join, with the
-    # dense-order fan-out cap — see graph.copurchase_pairs.
+    # k² in codegen) instead of the fact-fact self-join; no fan-out cap
+    # needed (TPC-H orders carry ≤ 7 lineitems) — see
+    # graph.copurchase_pairs for the opt-in dense-group bound.
     edges = graph.copurchase_pairs(li, "l_orderkey", "l_partkey").select(
         "src", "dst"
     )

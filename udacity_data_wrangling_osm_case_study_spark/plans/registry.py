@@ -48,68 +48,13 @@ _loaded = False
 
 # Names surfaced first to the driver's correctness harness. The harness
 # walks ``queries()`` in insertion order with a bounded budget
-# (~50 names/round; rounds 1 and 2 covered 100 unique names, zero
-# overlap). Round-3 priority: (1) the three queries whose DuckDB
-# oracles returned HUGEINT columns and hash-failed / would hash-fail
-# (fixed this round — re-attestation proves the fix), (2) the two
-# round-1 hash-fails fixed pre-r2 but never re-attested, (3) every
-# never-attested name (r01 ∪ r02 complement, 90 names); the
-# already-attested names follow in registration order.
+# (~50 names/round; rounds 1-3 attested 146 distinct names, all green).
+# Round-4 priority: exactly the 51 names never driver-attested through
+# round 3 (registry ∖ (r01 ∪ r02 ∪ r03)), prior relative order
+# preserved, then any round-4 additions; already-attested names follow
+# in registration order.
 _VERIFY_FIRST = (
-    # (1) HUGEINT oracle fixes (VERDICT r2 items 1-3)
-    "nation_revenue_share",
-    "json_props_udtf",
-    "event_value_cusum",
-    # (2) round-1 fails, fixed, never re-attested
-    "approx_distinct_users",
-    "approx_event_value_p95",
-    # (3) never-attested names, prior priority order preserved
-    # (round-3 additions first)
-    "cdc_apply_snapshot",
-    "orders_status_priority_cube",
-    "dsir_importance_weights",
-    "embedding_random_projection",
-    "hybrid_search_rrf",
-    "rake_keyphrases",
-    "next_event_training_pairs",
-    "cumulative_unique_users",
-    "events_quality_report",
-    "recency_weighted_user_value",
-    "source_token_l1_drift",
-    "balance_band_pairs",
-    "event_value_ewma",
-    "keyword_search_topk",
-    "part_2hop_reach",
-    "event_value_trend",
-    "embedding_covariance",
-    "source_quantile_normalize",
-    "partkey_skew_report",
-    "multitouch_attribution",
-    "event_value_median_histogram",
-    "event_value_time_weighted_avg",
-    "source_slot_allocation",
-    "sorted_neighborhood_pairs",
-    "bpe_encode_fixed",
-    "customers_asof_version",
-    "phrase_search",
-    "part_similarity_topk",
-    "quantity_weighted_median_price",
-    "event_hourly_seasonality",
-    "order_price_tiers",
-    "prefix_filter_jaccard_pairs",
-    "nearest_click_alignment",
-    "top_session_paths",
-    "event_value_resample_locf",
-    "session_peak_concurrency",
-    "stratified_doc_sample",
-    "event_transition_matrix",
-    "event_value_mad_outliers",
-    "part_pareto_frontier",
-    "incremental_agg_maintenance",
-    "rolling_distinct_users",
-    "semantic_dedup",
-    "cms_heavy_hitters",
-    "sq_codes",
+    # never driver-attested through round 3 (51 names)
     "bigram_surprisal",
     "hot_ngrams",
     "lsh_tuning_report",
@@ -160,6 +105,9 @@ _VERIFY_FIRST = (
     "simhash_near_pairs",
     "knn_srp_lsh",
     "media_frame_sample",
+    "weighted_doc_sample",
+    # round-4 additions (never attested, newest work first)
+    "cms_user_event_counts",
 )
 
 
@@ -187,11 +135,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     same file.
     """
     if name == "events":
-        # Defensive: the harness may hand us a vanilla session — both
-        # confs are runtime-settable. UTC makes the NTZ→LTZ cast a
-        # wall-clock identity (and matches the DuckDB oracle).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # The harness may hand us a vanilla session; bring it into the
+        # engine's documented conf contract (no-op for get_spark
+        # sessions — see session._SESSION_CONTRACT).
+        from udacity_data_wrangling_osm_case_study_spark.session import ensure_session_contract
+
+        ensure_session_contract(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in ("documents", "embeddings"):
         # These tables ship as ONE small parquet file (one row group →

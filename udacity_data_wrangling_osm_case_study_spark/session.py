@@ -70,3 +70,32 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+# Session-wide contract: every session running this engine's plans MUST
+# have these two runtime confs. ``get_spark`` bakes them in at build
+# time; foreign sessions (the driver's harness hands us vanilla ones)
+# are brought into contract by ``ensure_session_contract`` exactly once
+# per differing key. No other code in the package writes session confs.
+_SESSION_CONTRACT = {
+    # UTC makes NTZ→LTZ casts a wall-clock identity and matches the
+    # DuckDB oracle's naive reading of the same parquet files.
+    "spark.sql.session.timeZone": "UTC",
+    # Some driver-testdata generations write events.ts as
+    # TIMESTAMP(NANOS), which the vectorized parquet reader rejects;
+    # reading as raw int64 nanos (converted losslessly at the source)
+    # is safe for the MICROS generation too, where it is a no-op.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_contract(spark: SparkSession) -> None:
+    """Idempotently bring a session into the engine's conf contract.
+
+    Sessions built by :func:`get_spark` already satisfy it (the writes
+    below are skipped); only foreign sessions are mutated, and only for
+    keys whose current value differs.
+    """
+    for key, want in _SESSION_CONTRACT.items():
+        if spark.conf.get(key, None) != want:
+            spark.conf.set(key, want)
