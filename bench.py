@@ -153,6 +153,9 @@ HEADLINE = [
     "embedding_random_projection",
     "hybrid_search_rrf",
     "rake_keyphrases",
+    "salted_priority_revenue",
+    "cogrouped_entity_profile",
+    "negative_sampling_pairs",
 ]
 
 

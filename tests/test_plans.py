@@ -177,6 +177,7 @@ def test_no_cartesian_products_anywhere(spark):
         "source_distinctive_terms",     # 1-row corpus token-total frame
         "customer_rfm_segments",        # 1-row as-of instant frame
         "hybrid_search_rrf",            # 1-row query vector + BM25 stats
+        "negative_sampling_pairs",      # 25-row brand-vocabulary dim
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

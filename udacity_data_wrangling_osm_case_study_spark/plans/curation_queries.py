@@ -737,3 +737,89 @@ def weighted_doc_sample(spark, sf_dir):
     independent samples for successive epochs."""
     docs = table(spark, sf_dir, "documents")
     return sampling.weighted_bottom_k(docs, "doc_id", "n_chars", k=50)
+
+
+@register(
+    "negative_sampling_pairs",
+    """
+    WITH seen AS (
+        SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS brand
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    custs AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+    cand AS (
+        SELECT c.custkey, b.brand
+        FROM custs c CROSS JOIN brands b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM seen s
+            WHERE s.custkey = c.custkey AND s.brand = b.brand
+        )
+    ),
+    ranked AS (
+        SELECT custkey, brand,
+               ROW_NUMBER() OVER (
+                   PARTITION BY custkey
+                   ORDER BY md5('neg' || CAST(custkey AS VARCHAR) || ':' || brand),
+                            brand
+               ) AS rnk
+        FROM cand
+    )
+    SELECT custkey, brand AS neg_brand, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 2
+    ORDER BY custkey, rnk
+    """,
+)
+def negative_sampling_pairs(spark, sf_dir):
+    """Deterministic negative sampling — the contrastive-training
+    staple: for every customer, 2 pseudo-random brands they have NEVER
+    purchased, drawn by salted-hash ranking so every engine (and every
+    epoch re-salt) reproduces the same negatives with no RNG state.
+
+    Scale shape: the positive set reduces to DISTINCT (entity, item)
+    first; the candidate space is entity x item-VOCABULARY (brands —
+    bounded and broadcast), never entity x item-instances; the
+    anti-join removes positives; one per-entity hash-ranked window
+    picks K. At 100 TB the item vocabulary stays dimension-sized, so
+    the only big shuffles are the distinct and the window's hash
+    partition — both map-side combinable or key-local. With a vocab
+    too big to broadcast, the same plan runs as a shuffle anti-join;
+    nothing else changes."""
+    ords = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    seen = (
+        ords.join(li, ords.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("custkey", "brand")
+        .distinct()
+    )
+    custs = ords.select("custkey").distinct()
+    brands = part.select("brand").distinct()
+    cand = custs.crossJoin(F.broadcast(brands)).join(
+        seen, ["custkey", "brand"], "left_anti"
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("custkey").orderBy(
+            F.md5(
+                F.concat(
+                    F.lit("neg"),
+                    F.col("custkey").cast("string"),
+                    F.lit(":"),
+                    F.col("brand"),
+                )
+            ),
+            "brand",
+        )
+    )
+    return (
+        cand.select("custkey", F.col("brand").alias("neg_brand"), rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("custkey", "rnk")
+    )

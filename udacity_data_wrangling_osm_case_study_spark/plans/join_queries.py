@@ -1314,3 +1314,114 @@ def customer_rfm_segments(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "salted_priority_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def salted_priority_revenue(spark, sf_dir):
+    """Fact-fact join under MANUAL skew salting (operators.skew.
+    salted_join): the medium side is replicated n_salts ways and the
+    big side scattered across the replicas, so one pathological hot
+    orderkey becomes n_salts even partitions. The green oracle row
+    proves the salt is routing-only — the result is bit-identical to
+    the plain join. This is the fallback for the two skew cases AQE's
+    runtime splitting can't fix (a single key exceeding executor
+    memory, or a skewed side feeding a stateful operator); everywhere
+    else the session's AQE skew-join handles it with zero replication
+    cost. Decimal-exact revenue per the registry's determinism rules."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import skew
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        skew.salted_join(li, ords, ["l_orderkey"], n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "cogrouped_entity_profile",
+    """
+    WITH e AS (
+        SELECT user_id AS id, COUNT(*) AS n_events,
+               MIN(event_id) AS first_event_id
+        FROM events GROUP BY user_id
+    ),
+    o AS (
+        SELECT o_custkey AS id, COUNT(*) AS n_orders,
+               MAX(o_orderkey) AS last_orderkey
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.id, o.id) AS id,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(first_event_id, -1) AS BIGINT) AS first_event_id,
+           CAST(COALESCE(last_orderkey, -1) AS BIGINT) AS last_orderkey
+    FROM e FULL OUTER JOIN o ON e.id = o.id
+    ORDER BY id
+    """,
+)
+def cogrouped_entity_profile(spark, sf_dir):
+    """Two-sided keyed alignment through ``cogroup().applyInPandas`` —
+    the Spark surface for per-entity feature engineering that needs
+    BOTH of an entity's row groups in one Python/Arrow callback
+    (sequence alignment, per-user model scoring, custom sessionization
+    across tables). Each key's events and orders arrive as two pandas
+    frames after ONE co-partitioning shuffle per side — never a
+    row-multiplying join, never a driver collect. The feature code
+    here (counts + order-independent min/max, so the output is
+    engine-deterministic) stands in for arbitrary per-entity logic;
+    the full-outer contract (either side may be empty) is the part
+    worth testing. Oracle: two group-bys full-outer-joined."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("id"), "event_id"
+    )
+    ords = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("id"), "o_orderkey"
+    )
+
+    def profile(key, events_pdf, orders_pdf):
+        return pd.DataFrame(
+            {
+                "id": [key[0]],
+                "n_events": [len(events_pdf)],
+                "n_orders": [len(orders_pdf)],
+                "first_event_id": [
+                    int(events_pdf["event_id"].min()) if len(events_pdf) else -1
+                ],
+                "last_orderkey": [
+                    int(orders_pdf["o_orderkey"].max()) if len(orders_pdf) else -1
+                ],
+            }
+        )
+
+    out = ev.groupBy("id").cogroup(ords.groupBy("id")).applyInPandas(
+        profile,
+        schema="id bigint, n_events bigint, n_orders bigint, "
+        "first_event_id bigint, last_orderkey bigint",
+    )
+    return out.orderBy("id")

@@ -108,6 +108,9 @@ _VERIFY_FIRST = (
     "weighted_doc_sample",
     # round-4 additions (never attested, newest work first)
     "cms_user_event_counts",
+    "salted_priority_revenue",
+    "cogrouped_entity_profile",
+    "negative_sampling_pairs",
 )
 
 
