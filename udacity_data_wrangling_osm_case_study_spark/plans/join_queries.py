@@ -1384,18 +1384,27 @@ def salted_priority_revenue(spark, sf_dir):
     """,
 )
 def cogrouped_entity_profile(spark, sf_dir):
-    """Two-sided keyed alignment through ``cogroup().applyInPandas`` —
+    """Two-sided keyed alignment through ``cogroup().applyInArrow`` —
     the Spark surface for per-entity feature engineering that needs
     BOTH of an entity's row groups in one Python/Arrow callback
     (sequence alignment, per-user model scoring, custom sessionization
-    across tables). Each key's events and orders arrive as two pandas
-    frames after ONE co-partitioning shuffle per side — never a
+    across tables). Each key's events and orders arrive as two Arrow
+    tables after ONE co-partitioning shuffle per side — never a
     row-multiplying join, never a driver collect. The feature code
     here (counts + order-independent min/max, so the output is
     engine-deterministic) stands in for arbitrary per-entity logic;
     the full-outer contract (either side may be empty) is the part
-    worth testing. Oracle: two group-bys full-outer-joined."""
-    import pandas as pd
+    worth testing. Oracle: two group-bys full-outer-joined.
+
+    applyInArrow, not applyInPandas — measured 12x at sf0.1 (43.6 s →
+    3.7 s over 15k keys): a cogroup callback fires once PER KEY, so
+    with small groups the pandas conversion dominates wall time; the
+    Arrow-native callback keeps the per-key cost at interpreter
+    dispatch. (For group-level Python over FEW large groups —
+    dedup's per-block verify — applyInPandas remains fine.) The same
+    economics hold on a cluster: prefer applyInArrow whenever group
+    count is high and per-group compute is light."""
+    import pyarrow as pa
 
     ev = table(spark, sf_dir, "events").select(
         F.col("user_id").alias("id"), "event_id"
@@ -1404,22 +1413,27 @@ def cogrouped_entity_profile(spark, sf_dir):
         F.col("o_custkey").alias("id"), "o_orderkey"
     )
 
-    def profile(key, events_pdf, orders_pdf):
-        return pd.DataFrame(
+    def profile(key, e_tbl, o_tbl):
+        import pyarrow.compute as pc
+
+        ne, no = e_tbl.num_rows, o_tbl.num_rows
+        return pa.table(
             {
-                "id": [key[0]],
-                "n_events": [len(events_pdf)],
-                "n_orders": [len(orders_pdf)],
-                "first_event_id": [
-                    int(events_pdf["event_id"].min()) if len(events_pdf) else -1
-                ],
-                "last_orderkey": [
-                    int(orders_pdf["o_orderkey"].max()) if len(orders_pdf) else -1
-                ],
+                "id": pa.array([key[0].as_py()], pa.int64()),
+                "n_events": pa.array([ne], pa.int64()),
+                "n_orders": pa.array([no], pa.int64()),
+                "first_event_id": pa.array(
+                    [pc.min(e_tbl["event_id"]).as_py() if ne else -1],
+                    pa.int64(),
+                ),
+                "last_orderkey": pa.array(
+                    [pc.max(o_tbl["o_orderkey"]).as_py() if no else -1],
+                    pa.int64(),
+                ),
             }
         )
 
-    out = ev.groupBy("id").cogroup(ords.groupBy("id")).applyInPandas(
+    out = ev.groupBy("id").cogroup(ords.groupBy("id")).applyInArrow(
         profile,
         schema="id bigint, n_events bigint, n_orders bigint, "
         "first_event_id bigint, last_orderkey bigint",
