@@ -156,6 +156,9 @@ HEADLINE = [
     "salted_priority_revenue",
     "cogrouped_entity_profile",
     "negative_sampling_pairs",
+    "user_activity_gaps",
+    "feature_hash_crosses",
+    "l_diversity_report",
 ]
 
 

@@ -823,3 +823,106 @@ def negative_sampling_pairs(spark, sf_dir):
         .filter(F.col("rnk") <= 2)
         .orderBy("custkey", "rnk")
     )
+
+
+@register(
+    "feature_hash_crosses",
+    """
+    WITH crossed AS (
+        SELECT event_type || ':' || CAST(date_part('hour', ts) AS VARCHAR)
+                   AS cr
+        FROM events
+    ),
+    hashed AS (
+        SELECT cr,
+               CAST(('0x' || substr(md5('fh' || cr), 1, 8)) AS BIGINT) % 64
+                   AS bucket,
+               CASE WHEN substr(md5('fh' || cr), 9, 1) BETWEEN '0' AND '7'
+                    THEN 1 ELSE -1 END AS sgn
+        FROM crossed
+    )
+    SELECT bucket,
+           CAST(SUM(sgn) AS BIGINT) AS feat_val,
+           CAST(COUNT(DISTINCT cr) AS BIGINT) AS n_crosses
+    FROM hashed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def feature_hash_crosses(spark, sf_dir):
+    """The hashing trick (Weinberger et al. 2009) over a categorical
+    CROSS feature (event_type x hour-of-day): each cross hashes to one
+    of D=64 buckets with a deterministic md5-derived sign, and the
+    bucket value is the signed count — unbounded categorical
+    vocabularies become a fixed-width vector with no dictionary to
+    build, ship, or keep consistent across training runs. The signed
+    hash makes collisions cancel in expectation (the property that
+    lets D stay small).
+
+    Scale shape: one row-local projection (hash + sign) then one
+    64-group map-side-combinable aggregate — the feature vector of a
+    100 TB event log costs exactly one scan; no vocabulary shuffle, no
+    distinct. ``n_crosses`` per bucket exposes the collision load the
+    sign trick is absorbing."""
+    ev = table(spark, sf_dir, "events")
+    cr = F.concat(
+        F.col("event_type"), F.lit(":"), F.hour("ts").cast("string")
+    )
+    h = F.md5(F.concat(F.lit("fh"), cr))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 64).alias(
+        "bucket"
+    )
+    sgn = F.when(F.substring(h, 9, 1) <= "7", F.lit(1)).otherwise(F.lit(-1))
+    return (
+        ev.select(cr.alias("cr"), bucket, sgn.alias("sgn"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("sgn").cast("long").alias("feat_val"),
+            F.countDistinct("cr").cast("long").alias("n_crosses"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "l_diversity_report",
+    """
+    WITH labeled AS (
+        SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    )
+    SELECT segment, nationkey,
+           CAST(COUNT(*) AS BIGINT) AS k_count,
+           CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct
+    FROM labeled
+    GROUP BY segment, nationkey
+    ORDER BY segment, nationkey
+    """,
+)
+def l_diversity_report(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al. 2007) — the privacy
+    check one notch past k-anonymity (``k_anonymity_audit``): within
+    every quasi-identifier group (segment, nation), how many DISTINCT
+    sensitive values (account-balance band) appear. A group can be
+    k-anonymous yet leak everything if all k members share one
+    sensitive value; l_distinct is that leak's measure, and release
+    tooling gates on min(l). Banding uses FLOOR division so negative
+    balances band consistently in both engines.
+
+    One groupBy over the quasi-identifier with a count + distinct-count
+    — at 100 TB, the same two map-side-combinable aggregates as any
+    profile query (countDistinct expands to a two-stage exact distinct
+    under AQE; a sketch swap is one line if approximate l suffices)."""
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .groupBy("segment", "nationkey")
+        .agg(
+            F.count("*").cast("long").alias("k_count"),
+            F.countDistinct("bal_band").cast("long").alias("l_distinct"),
+        )
+        .orderBy("segment", "nationkey")
+    )

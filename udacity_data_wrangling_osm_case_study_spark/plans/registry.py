@@ -111,6 +111,9 @@ _VERIFY_FIRST = (
     "salted_priority_revenue",
     "cogrouped_entity_profile",
     "negative_sampling_pairs",
+    "user_activity_gaps",
+    "feature_hash_crosses",
+    "l_diversity_report",
 )
 
 

@@ -1002,3 +1002,87 @@ def supplier_lead_time_median(spark, sf_dir):
         F.col("n").cast("long").alias("n_shipments"),
         F.col("median").cast("long").alias("median_lead_days"),
     ).orderBy("suppkey")
+
+
+@register(
+    "user_activity_gaps",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    span AS (
+        SELECT user_id, MIN(d) AS d0, MAX(d) AS d1, COUNT(*) AS n_active
+        FROM days GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+                             AS DATE) AS d
+        FROM span
+    ),
+    missing AS (
+        SELECT s.user_id, s.d
+        FROM spine s LEFT JOIN days dd ON dd.user_id = s.user_id AND dd.d = s.d
+        WHERE dd.d IS NULL
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INT) AS grp
+        FROM missing
+    ),
+    runs AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp),
+    gaps AS (
+        SELECT user_id, SUM(len) AS n_gap_days, MAX(len) AS max_gap_len
+        FROM runs GROUP BY user_id
+    )
+    SELECT s.user_id AS user_id,
+           CAST(n_active AS BIGINT) AS n_active_days,
+           CAST(COALESCE(n_gap_days, 0) AS BIGINT) AS n_gap_days,
+           CAST(COALESCE(max_gap_len, 0) AS BIGINT) AS max_gap_len
+    FROM span s LEFT JOIN gaps g ON g.user_id = s.user_id
+    ORDER BY user_id
+    """,
+)
+def user_activity_gaps(spark, sf_dir):
+    """Calendar-spine gap analysis — the missing-data shape every
+    telemetry pipeline needs: per user, the days inside their own
+    [first, last] activity span with NO events, plus the longest
+    consecutive dark streak (gaps-and-islands via the date-minus-
+    row-number grouping trick, all date/int arithmetic, engine-exact).
+
+    Scale shape: activity reduces to DISTINCT (user, day) first — the
+    spine explodes per USER-SPAN-DAY (entities x days, not events),
+    the anti-join removes active days, and the islands window
+    partitions by user (key-local, never single-partition). A 100 TB
+    event table enters exactly one map-side-combinable distinct; the
+    spine frame is dimension-scale."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    span = days.groupBy("user_id").agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        F.count("*").alias("n_active"),
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    missing = spine.join(days, ["user_id", "d"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        missing.withColumn("grp", F.date_sub("d", F.row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+    )
+    gaps = runs.groupBy("user_id").agg(
+        F.sum("len").alias("n_gap_days"), F.max("len").alias("max_gap_len")
+    )
+    return (
+        span.join(gaps, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("n_active").cast("long").alias("n_active_days"),
+            F.coalesce("n_gap_days", F.lit(0)).cast("long").alias("n_gap_days"),
+            F.coalesce("max_gap_len", F.lit(0)).cast("long").alias("max_gap_len"),
+        )
+        .orderBy("user_id")
+    )
