@@ -159,6 +159,7 @@ HEADLINE = [
     "user_activity_gaps",
     "feature_hash_crosses",
     "l_diversity_report",
+    "part_random_walk_pairs",
 ]
 
 

@@ -1589,3 +1589,34 @@ def test_session7_operators_tolerate_empty_inputs(spark):
     docs_one = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
     out = sampling.leakage_safe_split(docs_one, empty_pairs).collect()
     assert len(out) == 1 and out[0].comp == 1
+
+
+def test_random_walks_deterministic_and_edge_valid(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (4, 1), (1, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = graph.random_walks(df, n_steps=3)
+    rows = {(r.anchor, r.step): r.context for r in out.collect()}
+    # one walker per vertex, one position per step
+    assert len(rows) == 4 * 3 and out.count() == 12
+    # every step follows an actual edge of the graph
+    edge_set = set(edges)
+    pos = {a: a for a in (1, 2, 3, 4)}
+    for step in (1, 2, 3):
+        for a in (1, 2, 3, 4):
+            nxt = rows[(a, step)]
+            assert (pos[a], nxt) in edge_set, (a, step, pos[a], nxt)
+            pos[a] = nxt
+    # partitioning-invariant (salted hash, no RNG state)
+    rows2 = {
+        (r.anchor, r.step): r.context
+        for r in graph.random_walks(df.repartition(5), n_steps=3).collect()
+    }
+    assert rows == rows2
+    # re-salting yields a different (still edge-valid) corpus
+    rows3 = {
+        (r.anchor, r.step): r.context
+        for r in graph.random_walks(df, n_steps=3, salt="epoch2").collect()
+    }
+    assert rows3 != rows

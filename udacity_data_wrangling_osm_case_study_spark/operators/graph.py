@@ -260,3 +260,72 @@ def pagerank(
             (base + F.expr(f"{damping_pct} * s DIV 100")).alias("r"),
         )
     return ranks.select("v", F.col("r").alias("rank_micro"))
+
+
+def random_walks(
+    edges: DataFrame, n_steps: int = 3, salt: str = "walk"
+) -> DataFrame:
+    """Deterministic random-walk corpus generation — the positive-pair
+    sampler behind DeepWalk/node2vec-style graph embeddings (Perozzi et
+    al. 2014): one walker starts at every vertex and takes ``n_steps``
+    steps; each (anchor, step, visited) row is a skip-gram training
+    pair. The "randomness" is a salted md5 of (salt, step, anchor,
+    current) reduced mod degree — per-walker independent, yet
+    bit-identical across engines, reruns, and partitionings, so the
+    training corpus is reproducible with no RNG state. Re-salt for
+    additional epochs/walks per node.
+
+    Plan shape: edges reduce once to sorted adjacency arrays (the
+    standard neighbor-table layout); each step is ONE equi-join of the
+    walker frame (vertex-sized) against the adjacency table plus a
+    row-local element_at — k steps cost k vertex-sized shuffles, never
+    an edge-sized one. At web scale, hub adjacency arrays should be
+    capped/sampled (same opt-in economics as ``copurchase_pairs``);
+    uncapped here since callers pass bounded-degree graphs.
+
+    ``edges``: directed (src, dst); pass both directions for undirected
+    graphs. Vertices with no out-edges start no walk and absorb none
+    (the caller's symmetrization decides dead-end semantics).
+
+    Returns (anchor, step, context), steps 1..n_steps.
+    """
+    adj = edges.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("nb")
+    )
+    walk = adj.select(F.col("src").alias("anchor"), F.col("src").alias("cur"))
+    outs = []
+    for step in range(1, n_steps + 1):
+        joined = walk.join(adj.withColumnRenamed("src", "cur"), "cur")
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit(str(step)),
+                        F.lit(":"),
+                        F.col("anchor").cast("string"),
+                        F.lit(":"),
+                        F.col("cur").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = F.element_at(
+            "nb", (h % F.size("nb")).cast("int") + F.lit(1)
+        )
+        walk = joined.select("anchor", nxt.alias("cur"))
+        outs.append(
+            walk.select(
+                "anchor",
+                F.lit(step).alias("step"),
+                F.col("cur").alias("context"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result

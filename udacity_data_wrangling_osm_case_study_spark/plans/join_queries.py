@@ -1439,3 +1439,71 @@ def cogrouped_entity_profile(spark, sf_dir):
         "first_event_id bigint, last_orderkey bigint",
     )
     return out.orderBy("id")
+
+
+@register(
+    "part_random_walk_pairs",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+    ),
+    adj AS (
+        SELECT src, list(dst ORDER BY dst) AS nb, COUNT(*) AS deg
+        FROM e GROUP BY src
+    ),
+    w0 AS (SELECT src AS anchor, src AS cur FROM adj),
+    w1 AS (
+        SELECT anchor,
+               nb[CAST(CAST(('0x' || substr(md5('walk1:'
+                       || CAST(anchor AS VARCHAR) || ':'
+                       || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % deg AS INT) + 1] AS cur
+        FROM w0 JOIN adj ON adj.src = w0.cur
+    ),
+    w2 AS (
+        SELECT anchor,
+               nb[CAST(CAST(('0x' || substr(md5('walk2:'
+                       || CAST(anchor AS VARCHAR) || ':'
+                       || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % deg AS INT) + 1] AS cur
+        FROM w1 JOIN adj ON adj.src = w1.cur
+    ),
+    w3 AS (
+        SELECT anchor,
+               nb[CAST(CAST(('0x' || substr(md5('walk3:'
+                       || CAST(anchor AS VARCHAR) || ':'
+                       || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % deg AS INT) + 1] AS cur
+        FROM w2 JOIN adj ON adj.src = w2.cur
+    )
+    SELECT anchor, step, context FROM (
+        SELECT anchor, 1 AS step, cur AS context FROM w1
+        UNION ALL SELECT anchor, 2, cur FROM w2
+        UNION ALL SELECT anchor, 3, cur FROM w3
+    ) ORDER BY anchor, step
+    """,
+)
+def part_random_walk_pairs(spark, sf_dir):
+    """DeepWalk-style skip-gram corpus over the part co-purchase graph
+    (operators.graph.random_walks): one 3-step deterministic walk per
+    part, each (anchor, step, visited) row a positive training pair
+    for graph embeddings. The md5-salted step choice makes the corpus
+    bit-identical across engines — the oracle replays all three steps
+    as unrolled CTE hops over the same sorted adjacency lists, so the
+    green row attests the walk itself, not just counts."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = graph.copurchase_pairs(li, "l_orderkey", "l_partkey").select(
+        "src", "dst"
+    ).distinct()
+    sym = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return graph.random_walks(sym, n_steps=3, salt="walk").orderBy(
+        "anchor", "step"
+    )

@@ -114,6 +114,7 @@ _VERIFY_FIRST = (
     "user_activity_gaps",
     "feature_hash_crosses",
     "l_diversity_report",
+    "part_random_walk_pairs",
 )
 
 
