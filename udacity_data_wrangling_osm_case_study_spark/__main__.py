@@ -21,7 +21,9 @@ def _etl(args) -> None:
     from udacity_data_wrangling_osm_case_study_spark.operators import pipeline
 
     spark = get_spark(app_name="osmspark-etl")
-    tables = pipeline.build_tables(spark, args.osm, args.psi)
+    tables = pipeline.build_tables(
+        spark, args.osm, args.psi, include_relations=args.relations
+    )
     if args.format == "parquet":
         pipeline.write_parquet(tables, args.out)
     else:
@@ -88,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--psi", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--format", choices=["csv", "parquet"], default="csv")
+    p.add_argument(
+        "--relations",
+        action="store_true",
+        help="also emit relations/relations_members/relations_tags "
+        "(extension; the reference drops <relation> elements)",
+    )
     p.set_defaults(fn=_etl)
 
     p = sub.add_parser("audit-names", help="bilingual street-name audit")

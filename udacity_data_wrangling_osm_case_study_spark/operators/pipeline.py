@@ -29,6 +29,7 @@ def build_tables(
     persist: bool = True,
     shard_dir: str | None = None,
     shard_bytes: int = 128 * 1024 * 1024,
+    include_relations: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns the 6-table dict: nodes, nodes_tags, ways, ways_nodes,
     ways_tags, update_history.
@@ -39,6 +40,14 @@ def build_tables(
     the element-aligned splitter first (sources/osm_split.py): Spark's
     XML source doesn't split within one file, so sharding is what makes
     the parse scale with cores/executors.
+
+    ``include_relations=True`` adds three EXTENSION tables the
+    reference drops on the floor (it requests only node/way —
+    parse_clean_and_csv.py:250): relations, relations_members
+    (document-ordered, like ways_nodes), relations_tags (same
+    problem-key filter and first-colon split as the other tag tables).
+    Off by default so the default output stays byte-comparable to the
+    reference's six-table contract.
     """
     if shard_dir is not None:
         from udacity_data_wrangling_osm_case_study_spark.sources import osm_split
@@ -78,7 +87,7 @@ def build_tables(
     )
     history = cleaning.update_history(node_phone_ids, way_phone_ids, way_name_ids)
 
-    return {
+    tables = {
         "nodes": nodes,
         "nodes_tags": nodes_tags.select("id", "key", "value", "type"),
         "ways": ways,
@@ -86,6 +95,14 @@ def build_tables(
         "ways_tags": ways_tags,
         "update_history": history,
     }
+    if include_relations:
+        rel_raw = osm_xml.read_relations_raw(spark, osm_path)
+        if persist:
+            rel_raw = rel_raw.persist(StorageLevel.MEMORY_AND_DISK)
+        tables["relations"] = shape.shape_relations(rel_raw)
+        tables["relations_members"] = shape.shape_relation_members(rel_raw)
+        tables["relations_tags"] = shape.shape_tags(rel_raw)
+    return tables
 
 
 def write_csv(tables: dict[str, DataFrame], out_dir: str) -> None:

@@ -58,6 +58,30 @@ def shape_way_nodes(ways_raw: DataFrame) -> DataFrame:
     )
 
 
+def shape_relations(relations_raw: DataFrame) -> DataFrame:
+    """``relations(id, user, uid, version, changeset, timestamp)`` —
+    EXTENSION (the reference drops <relation> elements); same attribute
+    whitelist as ways."""
+    return relations_raw.select(*[_typed(f) for f in WAY_FIELDS])
+
+
+def shape_relation_members(relations_raw: DataFrame) -> DataFrame:
+    """``relations_members(id, member_type, member_ref, role,
+    position)`` — the relation analog of ``ways_nodes``: ``posexplode``
+    preserves member document order (role semantics like route stop
+    sequence depend on it) with zero shuffle."""
+    return relations_raw.select(
+        F.expr("try_cast(_id AS bigint)").alias("id"),
+        F.posexplode("member").alias("position", "m"),
+    ).select(
+        "id",
+        F.col("m._type").alias("member_type"),
+        F.expr("try_cast(m._ref AS bigint)").alias("member_ref"),
+        F.col("m._role").alias("role"),
+        "position",
+    )
+
+
 def shape_tags(raw: DataFrame, with_pos: bool = False) -> DataFrame:
     """EAV tags table ``(id, key, value, type)`` for nodes or ways.
 

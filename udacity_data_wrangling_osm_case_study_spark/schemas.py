@@ -63,6 +63,32 @@ OSM_WAY_SCHEMA = StructType(
     ]
 )
 
+# Nested <member type=".." ref=".." role=".."/> child of <relation>.
+MEMBER_CHILD = StructType(
+    [
+        StructField("_type", StringType(), True),
+        StructField("_ref", LongType(), True),
+        StructField("_role", StringType(), True),
+    ]
+)
+
+# rowTag='relation'. EXTENSION beyond the reference, which requests only
+# node/way elements (parse_clean_and_csv.py:250) and silently drops
+# relations — a full OSM engine needs routes/multipolygons, so the
+# engine models them as three more tables mirroring the way family.
+OSM_RELATION_SCHEMA = StructType(
+    [
+        StructField("_id", LongType(), True),
+        StructField("_user", StringType(), True),
+        StructField("_uid", LongType(), True),
+        StructField("_version", IntegerType(), True),
+        StructField("_changeset", LongType(), True),
+        StructField("_timestamp", StringType(), True),
+        StructField("member", ArrayType(MEMBER_CHILD), True),
+        StructField("tag", ArrayType(TAG_CHILD), True),
+    ]
+)
+
 # rowTag='Row' over the PSI official bilingual street list
 # (child *elements*, so no attribute prefix).
 PSI_ROW_SCHEMA = StructType(

@@ -47,6 +47,17 @@ def read_ways_raw(
     return _read_xml(spark, osm_path, "way", schema)
 
 
+def read_relations_raw(spark: SparkSession, osm_path: str) -> DataFrame:
+    """Raw <relation> elements: attributes + nested member/tag arrays.
+
+    EXTENSION: the reference requests only node/way from its parser
+    (parse_clean_and_csv.py:250) and drops relations on the floor;
+    this read gives routes/multipolygons the same one-pass, pinned-
+    schema scan as the other element types.
+    """
+    return _read_xml(spark, osm_path, "relation", schemas.OSM_RELATION_SCHEMA)
+
+
 def read_official_streets_raw(spark: SparkSession, psi_path: str) -> DataFrame:
     """The PSI official bilingual street list, one row per <Row> (S2).
 
