@@ -160,6 +160,7 @@ HEADLINE = [
     "feature_hash_crosses",
     "l_diversity_report",
     "part_random_walk_pairs",
+    "weighted_doc_sample_aes",
 ]
 
 

@@ -1620,3 +1620,47 @@ def test_random_walks_deterministic_and_edge_valid(spark):
         for r in graph.random_walks(df, n_steps=3, salt="epoch2").collect()
     }
     assert rows3 != rows
+
+
+def test_negln_micro_48_tracks_real_log(spark):
+    """The integer micro-nat -ln(u) must track math.log within the
+    documented half-mantissa-cell bound (~0.2% relative) across the
+    full 48-bit range, including the n<9 small-h regime and h=0."""
+    import math
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import sampling as s
+
+    hs = [0, 1, 2, 3, 255, 256, 257, 65535, 2**24 + 12345,
+          2**47 - 1, 2**47, 2**48 - 1, 987654321987]
+    df = spark.createDataFrame([(h,) for h in hs], ["h"])
+    got = {
+        r.h: r.v
+        for r in df.select(
+            "h", s.negln_micro_48(F.col("h")).alias("v")
+        ).collect()
+    }
+    for h in hs:
+        hh = max(h, 1)
+        want = -math.log(hh / 2.0**48) * 1_000_000
+        # absolute slack of ln(1 + 1/512)*1e6 ≈ 1951 micro-nats
+        assert abs(got[h] - want) <= 1960, (h, got[h], want)
+
+
+def test_weighted_bottom_k_aes_deterministic(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import sampling as s
+
+    rows = [(i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    a = [r.id for r in s.weighted_bottom_k_aes(df, "doc_id", "w", 20).collect()]
+    b = [
+        r.id
+        for r in s.weighted_bottom_k_aes(
+            df.repartition(7), "doc_id", "w", 20
+        ).collect()
+    ]
+    assert a == b and len(a) == 20
+    c = [
+        r.id
+        for r in s.weighted_bottom_k_aes(df, "doc_id", "w", 20, salt="e2").collect()
+    ]
+    assert set(c) != set(a)  # re-salt draws an independent sample

@@ -259,3 +259,93 @@ def weighted_bottom_k(
         .orderBy("priority", "id")
         .limit(k)
     )
+
+
+# 256-entry micro-nat table: _LN_TABLE[f] = round(ln(1 + (f + 0.5)/256) * 1e6)
+# (midpoint of each mantissa cell, so quantization is centered). Module-level
+# ints, NOT Columns — safe at import time.
+_LN_TABLE = [
+    round(__import__("math").log(1.0 + (f + 0.5) / 256.0) * 1_000_000)
+    for f in range(256)
+]
+_LN2_MICRO = 693_147  # round(ln(2) * 1e6)
+
+
+def negln_micro_48(hash48: Column) -> Column:
+    """Exact-integer micro-nat approximation of ``-ln(u)`` for
+    ``u = h / 2^48``, ``h`` a 48-bit hash draw (h=0 clamped to 1).
+
+    Decomposition: with n = bit-length(h) and 8-bit mantissa cell
+    f = floor(h·2^(9−n)) − 256, ``ln(h) ≈ (n−1)·ln2 + T[f]`` and
+    ``-ln(u) = 48·ln2 − ln(h)``. Bit-length comes from the length of
+    the binary string (the same engine-exact floor-log2 used by
+    value_log2_histogram — float log2 is ulp-wrong at cell edges). The
+    mantissa cell IS computed through doubles, but every step is
+    IEEE-exact, not merely close: h < 2^48 fits the 53-bit mantissa,
+    2^(9−n) is a power of two (scaling by it changes only the
+    exponent), so h·2^(9−n) is the exact real value and floor of it is
+    the exact shift — bit-identical in any engine. T is a 256-int
+    literal array. Max quantization error is half a mantissa cell,
+    ~0.2% relative.
+    """
+    h = F.greatest(hash48, F.lit(1))
+    n = F.length(F.bin(h))  # bit length of h (h >= 1)
+    f = (
+        F.floor(
+            h.cast("double") * F.pow(F.lit(2.0), (F.lit(9) - n).cast("double"))
+        ).cast("long")
+        - 256
+    )
+    tbl = F.array(*[F.lit(v) for v in _LN_TABLE])
+    ln_h = (n - 1).cast("long") * _LN2_MICRO + F.element_at(
+        tbl, f.cast("int") + 1
+    )
+    return F.lit(48 * _LN2_MICRO).cast("long") - ln_h
+
+
+def weighted_bottom_k_aes(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "aes",
+) -> DataFrame:
+    """PROPORTIONAL weighted sample without replacement — true A-ES
+    (Efraimidis & Spiliopoulou 2006) up to 8-bit mantissa quantization:
+    keep the k items with the smallest ``-ln(u)/w``, the exponential-
+    race formulation equivalent to max-k on u^(1/w), so pairwise
+    selection odds are w_i/(w_i + w_j) (the calibrated property the
+    ``weighted_bottom_k`` integer shortcut trades away).
+
+    Engine portability: ``-ln(u)`` is the exact-integer micro-nat
+    approximation (:func:`negln_micro_48` — binary-string bit-length +
+    a 256-int literal table, no libm), and the only float op is ONE
+    IEEE division of two exact integers (negln/w), identical in every
+    engine; ties break on id. One row-local hash + one
+    TakeOrderedAndProject; re-salt per epoch.
+
+    Returns the k sampled rows as (id, weight, negln_micro).
+    """
+    h48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+        .withColumn("negln_micro", negln_micro_48(h48))
+    )
+    return (
+        base.orderBy(
+            (F.col("negln_micro").cast("double") / F.col("weight").cast("double")),
+            "id",
+        )
+        .limit(k)
+        .select("id", "weight", "negln_micro")
+    )

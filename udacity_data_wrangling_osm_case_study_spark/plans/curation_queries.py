@@ -926,3 +926,50 @@ def l_diversity_report(spark, sf_dir):
         )
         .orderBy("segment", "nationkey")
     )
+
+
+def _aes_oracle() -> str:
+    # The oracle embeds the SAME 256-entry micro-nat table the operator
+    # uses (imported, not copied), so the two cannot drift.
+    from udacity_data_wrangling_osm_case_study_spark.operators.sampling import (
+        _LN2_MICRO,
+        _LN_TABLE,
+    )
+
+    tbl = ", ".join(str(v) for v in _LN_TABLE)
+    return f"""
+    WITH base AS (
+        SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+               GREATEST(CAST(('0x' || substr(md5('aes'
+                   || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT), 1) AS h
+        FROM documents WHERE n_chars > 0
+    ),
+    m AS (SELECT id, weight, h, length(bin(h)) AS n FROM base),
+    p AS (
+        SELECT id, weight,
+               CAST(48 * {_LN2_MICRO} AS BIGINT)
+               - (CAST(n - 1 AS BIGINT) * {_LN2_MICRO}
+                  + [{tbl}][CAST(FLOOR(CAST(h AS DOUBLE)
+                        * POWER(2, 9 - n)) AS INT) - 255]) AS negln_micro
+        FROM m
+    )
+    SELECT id, weight, negln_micro
+    FROM p
+    ORDER BY CAST(negln_micro AS DOUBLE) / CAST(weight AS DOUBLE), id
+    LIMIT 50
+    """
+
+
+@register("weighted_doc_sample_aes", _aes_oracle())
+def weighted_doc_sample_aes(spark, sf_dir):
+    """PROPORTIONAL weighted corpus sample — true A-ES bottom-k
+    (smallest -ln(u)/w ≡ largest u^(1/w)), the calibrated companion to
+    ``weighted_doc_sample``'s integer shortcut: pairwise selection odds
+    are w_i/(w_i+w_j), so token-weighted subcorpora stay unbiased.
+    -ln(u) is the exact-integer micro-nat approximation
+    (operators.sampling.negln_micro_48 — binary-string bit-length + a
+    256-int table, no libm); the only float op is one IEEE division of
+    two exact integers, identical in every engine. The oracle replays
+    the same fixed-point pipeline from the same imported table."""
+    docs = table(spark, sf_dir, "documents")
+    return sampling.weighted_bottom_k_aes(docs, "doc_id", "n_chars", k=50)

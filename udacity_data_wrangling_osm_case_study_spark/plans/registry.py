@@ -115,6 +115,7 @@ _VERIFY_FIRST = (
     "feature_hash_crosses",
     "l_diversity_report",
     "part_random_walk_pairs",
+    "weighted_doc_sample_aes",
 )
 
 
