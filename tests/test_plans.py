@@ -283,6 +283,36 @@ def test_ewma_single_sort_window(spark):
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
 
 
+def test_iterative_operators_scan_budget(spark):
+    """Multi-superstep operators must checkpoint their loop-carried
+    frames: Spark has no cross-branch common-subplan elimination, so an
+    un-persisted k-step loop re-executes its whole upstream once per
+    branch (random_walks regressed exactly this way — 18 fact scans in
+    a 3-step plan). After the lineage cut, the final plan's leaves are
+    checkpointed RDD blocks; the number of parquet-scan NODES left in
+    the plan bounds how much upstream any branch can recompute. Budget
+    2 covers the one legitimate pre-checkpoint subtree a plan may
+    retain (e.g. an edge build whose two union branches scan the fact
+    twice before AQE exchange reuse); anything above means a loop
+    stopped checkpointing. kmeans_step's budget is 3: a SINGLE Lloyd
+    step reads the corpus in three fixed roles (seeds, assignment,
+    component-0) regardless of iteration count — the looped trainer
+    (train_quantizer) checkpoints per round and never widens this."""
+    import re
+
+    budgets = {
+        "part_pagerank": 2,           # pagerank supersteps
+        "kmeans_step": 3,             # single Lloyd step, 3 fixed roles
+        "dedup_survivors": 2,         # connected-components label prop
+        "part_random_walk_pairs": 2,  # DeepWalk step loop
+        "subword_vocab": 2,           # BPE merge rounds
+    }
+    for name, budget in budgets.items():
+        p = _plan(spark, name)
+        n = len(re.findall(r"\(\d+\) Scan parquet", p))
+        assert n <= budget, f"{name}: {n} parquet scan nodes — loop recompute?"
+
+
 def test_bench_manifest_covers_registry():
     """Every registered query is either benched (HEADLINE) or named in
     BENCH_EXCLUDED with a reason — a new registry entry can't silently

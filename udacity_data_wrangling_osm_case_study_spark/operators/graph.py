@@ -263,17 +263,21 @@ def pagerank(
 
 
 def random_walks(
-    edges: DataFrame, n_steps: int = 3, salt: str = "walk"
+    edges: DataFrame,
+    n_steps: int = 3,
+    salt: str = "walk",
+    edge_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic random-walk corpus generation — the positive-pair
     sampler behind DeepWalk/node2vec-style graph embeddings (Perozzi et
     al. 2014): one walker starts at every vertex and takes ``n_steps``
     steps; each (anchor, step, visited) row is a skip-gram training
-    pair. The "randomness" is a salted md5 of (salt, step, anchor,
-    current) reduced mod degree — per-walker independent, yet
-    bit-identical across engines, reruns, and partitionings, so the
-    training corpus is reproducible with no RNG state. Re-salt for
-    additional epochs/walks per node.
+    pair. The "randomness" is a salted md5 of ``salt:step:anchor:cur``
+    (every field delimited — distinct (salt, step) pairs can never
+    collide into one hash input) reduced mod degree — per-walker
+    independent, yet bit-identical across engines, reruns, and
+    partitionings, so the training corpus is reproducible with no RNG
+    state. Re-salt for additional epochs/walks per node.
 
     Plan shape: edges reduce once to sorted adjacency arrays (the
     standard neighbor-table layout); each step is ONE equi-join of the
@@ -283,24 +287,52 @@ def random_walks(
     capped/sampled (same opt-in economics as ``copurchase_pairs``);
     uncapped here since callers pass bounded-degree graphs.
 
+    Storage lifecycle (mirrors ``pagerank``): Spark has no cross-branch
+    common-subplan elimination, so the k union branches would otherwise
+    each re-execute the whole upstream — measured at 18 fact scans /
+    0 ReusedExchange for a 3-step walk before this was fixed. The
+    adjacency table is hash-partitioned on ``src`` and
+    localCheckpoint(eager=False)ed ONCE (a plan leaf whose stored
+    blocks carry hashpartitioning(src), surviving the rename to
+    ``cur`` via alias-aware output partitioning — the adjacency side
+    never re-exchanges); each step's walker frame is likewise lazily
+    checkpointed so step i+1 and the union branch both read step i's
+    blocks instead of recomputing the prefix. No job runs at call
+    time; blocks materialize at the caller's first action and are
+    reclaimed by the ContextCleaner once the returned lineage is
+    unreachable.
+
     ``edges``: directed (src, dst); pass both directions for undirected
     graphs. Vertices with no out-edges start no walk and absorb none
     (the caller's symmetrization decides dead-end semantics).
 
     Returns (anchor, step, context), steps 1..n_steps.
     """
-    adj = edges.groupBy("src").agg(
-        F.sort_array(F.collect_set("dst")).alias("nb")
+    spark = edges.sparkSession
+    parts = edge_partitions or max(
+        2, spark.sparkContext.defaultParallelism // 4
+    )
+    adj = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nb"))
+        .repartition(parts, "src")
+        .localCheckpoint(eager=False)
     )
     walk = adj.select(F.col("src").alias("anchor"), F.col("src").alias("cur"))
     outs = []
     for step in range(1, n_steps + 1):
-        joined = walk.join(adj.withColumnRenamed("src", "cur"), "cur")
+        # shuffle_hash on the walker side: the checkpointed adjacency
+        # blocks stay in place (no sort, no re-exchange); only the
+        # vertex-sized walker frame moves.
+        joined = walk.hint("shuffle_hash").join(
+            adj.withColumnRenamed("src", "cur"), "cur"
+        )
         h = F.conv(
             F.substring(
                 F.md5(
                     F.concat(
                         F.lit(salt),
+                        F.lit(":"),
                         F.lit(str(step)),
                         F.lit(":"),
                         F.col("anchor").cast("string"),
@@ -317,7 +349,9 @@ def random_walks(
         nxt = F.element_at(
             "nb", (h % F.size("nb")).cast("int") + F.lit(1)
         )
-        walk = joined.select("anchor", nxt.alias("cur"))
+        walk = joined.select("anchor", nxt.alias("cur")).localCheckpoint(
+            eager=False
+        )
         outs.append(
             walk.select(
                 "anchor",

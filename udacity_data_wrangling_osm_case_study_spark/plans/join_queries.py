@@ -1458,7 +1458,7 @@ def cogrouped_entity_profile(spark, sf_dir):
     w0 AS (SELECT src AS anchor, src AS cur FROM adj),
     w1 AS (
         SELECT anchor,
-               nb[CAST(CAST(('0x' || substr(md5('walk1:'
+               nb[CAST(CAST(('0x' || substr(md5('walk:1:'
                        || CAST(anchor AS VARCHAR) || ':'
                        || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT)
                    % deg AS INT) + 1] AS cur
@@ -1466,7 +1466,7 @@ def cogrouped_entity_profile(spark, sf_dir):
     ),
     w2 AS (
         SELECT anchor,
-               nb[CAST(CAST(('0x' || substr(md5('walk2:'
+               nb[CAST(CAST(('0x' || substr(md5('walk:2:'
                        || CAST(anchor AS VARCHAR) || ':'
                        || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT)
                    % deg AS INT) + 1] AS cur
@@ -1474,7 +1474,7 @@ def cogrouped_entity_profile(spark, sf_dir):
     ),
     w3 AS (
         SELECT anchor,
-               nb[CAST(CAST(('0x' || substr(md5('walk3:'
+               nb[CAST(CAST(('0x' || substr(md5('walk:3:'
                        || CAST(anchor AS VARCHAR) || ':'
                        || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT)
                    % deg AS INT) + 1] AS cur
