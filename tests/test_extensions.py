@@ -1112,8 +1112,11 @@ def test_bpe_train_batched_matches_sequential(spark):
     """The merge_batch>1 fast path must be bit-identical to the
     sequential trainer — including the adversarial cases the batch
     rule exists for: self-pairs (aaa → merging (a,a) spawns (aa,a)
-    pairs bounded by its own count), overlapping top pairs, and
-    count ties at the batch boundary."""
+    pairs bounded by its own count), overlapping top pairs, count
+    ties at the batch boundary, and string-aliased merged symbols
+    (a candidate whose symbol equals another candidate's
+    concatenation — (a,'bc') vs ('abc',d) — must not be batched as
+    if disjoint)."""
     import random
 
     rng = random.Random(7)
@@ -1126,6 +1129,12 @@ def test_bpe_train_batched_matches_sequential(spark):
     words["aaaa"] = 9
     words["aaab"] = 9
     words["abab"] = 7
+    # string-aliasing pressure: once (b,c)→'bc' and (a,'bc')→'abc'
+    # merge, candidates over 'abc' coexist with pairs whose
+    # concatenation spells 'abc' from different splits
+    words["abcd"] = 8
+    words["eabc"] = 8
+    words["bcbc"] = 6
     rows = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(sorted(words.items()))]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     want_merges, want_syms = _bpe_reference(

@@ -429,7 +429,11 @@ def bpe_train(
     pair list that is (a) pairwise symbol-disjoint — disjoint merges
     neither create, destroy, nor recount each other's occurrences, and
     a single greedy left fold applies them exactly as sequential
-    passes would — and (b) strictly above the first rejected pair's
+    passes would; disjointness covers each accepted pair's MERGED
+    string too, so a later candidate whose symbol happens to equal an
+    earlier acceptance's concatenation (string aliasing: (a,'bc')
+    batched with ('abc',d)) is rejected rather than treated as
+    independent — and (b) strictly above the first rejected pair's
     count: every pair a batch merge could spawn or recount derives
     from a pair sharing a symbol with an accepted one, and all of
     those rank at or below the rejection point, so no new or changed
@@ -484,7 +488,16 @@ def bpe_train(
         used: set = set()
         stop_c = None  # count at the first rejected position
         for r in cand:
-            if len(accepted) == k or r.a in used or r.b in used:
+            # disjointness over inputs AND concatenation products, both
+            # directions: a pair touching any earlier acceptance's input
+            # or merged string — or whose own merged string aliases one —
+            # ends the batch (conservative; sequential semantics exact).
+            if (
+                len(accepted) == k
+                or r.a in used
+                or r.b in used
+                or (r.a + r.b) in used
+            ):
                 stop_c = r.c
                 break
             if r.a == r.b:
@@ -497,6 +510,9 @@ def bpe_train(
             accepted.append(r)
             used.add(r.a)
             used.add(r.b)
+            # the merged output string is a live symbol after this
+            # merge: block batch-mates that alias it (see docstring)
+            used.add(r.a + r.b)
         if stop_c is None and len(cand) == limit:
             # list may be truncated: unseen pairs count <= the last
             # collected one — use it as the (conservative) floor.
