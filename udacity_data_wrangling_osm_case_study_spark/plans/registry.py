@@ -48,65 +48,13 @@ _loaded = False
 
 # Names surfaced first to the driver's correctness harness. The harness
 # walks ``queries()`` in insertion order with a bounded budget
-# (~50 names/round; rounds 1-3 attested 146 distinct names, all green).
-# Round-4 priority: exactly the 51 names never driver-attested through
-# round 3 (registry ∖ (r01 ∪ r02 ∪ r03)), prior relative order
-# preserved, then any round-4 additions; already-attested names follow
-# in registration order.
+# (~50 names/round; rounds 1-4 attested 196 distinct names, all green).
+# Round-5 priority: the 10 names never driver-attested through round 4
+# (registry ∖ (r01 ∪ … ∪ r04)), then round-5 additions; already-attested
+# names follow in registration order.
 _VERIFY_FIRST = (
-    # never driver-attested through round 3 (51 names)
-    "bigram_surprisal",
-    "hot_ngrams",
-    "lsh_tuning_report",
-    "part_pagerank",
-    "classifier_auc",
-    "event_spikes",
-    "pmi_collocations",
-    "ann_recall_report",
-    "source_quality_calibration",
-    "bpe_pair_counts",
-    "knn_pq_adc",
-    "customer_snapshot_diff",
-    "classifier_calibration",
-    "part_association_rules",
-    "duplicated_span_share",
-    "subword_vocab",
-    "orders_column_profile",
-    "training_batch_manifest",
-    "trending_event_types",
-    "customer_geo_pairs",
-    "part_copurchase_triangles",
-    "orders_above_customer_avg",
-    "chunk_dedup_docs",
-    "source_overlap_matrix",
-    "unigram_surprisal",
-    "training_order_shuffle",
-    "incremental_dedup",
-    "quality_classifier",
-    "dedup_survivors",
-    "kmeans_step",
-    "pq_codes",
-    "fuzzy_typo_repair",
-    "top_parts_per_nation",
-    "salted_distinct_users",
-    "scd2_customer_history",
-    "winsorized_event_values",
-    "user_conversion_funnel",
-    "trailing_hour_user_value",
-    "weekly_cohort_retention",
-    "lineitem_metric_unpivot",
-    "corpus_curation_funnel",
-    "zorder_locality",
-    "sequence_packing",
-    "per_source_cap",
-    "source_temperature_mix",
-    "doc_fingerprints",
-    "fingerprint_near_pairs",
-    "simhash_near_pairs",
-    "knn_srp_lsh",
-    "media_frame_sample",
+    # never driver-attested through round 4 (10 names)
     "weighted_doc_sample",
-    # round-4 additions (never attested, newest work first)
     "cms_user_event_counts",
     "salted_priority_revenue",
     "cogrouped_entity_profile",
@@ -116,6 +64,8 @@ _VERIFY_FIRST = (
     "l_diversity_report",
     "part_random_walk_pairs",
     "weighted_doc_sample_aes",
+    # round-5 additions (never attested, newest work first)
+    "entity_profile_native",
 )
 
 
