@@ -155,6 +155,7 @@ HEADLINE = [
     "rake_keyphrases",
     "salted_priority_revenue",
     "cogrouped_entity_profile",
+    "entity_profile_native",
     "negative_sampling_pairs",
     "user_activity_gaps",
     "feature_hash_crosses",
@@ -323,32 +324,33 @@ def main() -> None:
     if os.path.exists(osm):
         osm_etl_sec = _bench_osm_etl(spark, osm, psi)
 
-    # Best of 2 runs per query: the first run includes plan compilation
-    # and JIT, the second is steady-state; reporting the min cuts GC
-    # noise without hiding real cost.
+    # Per-query adaptive timing: sample until the two fastest runs agree
+    # within 10% (min 2, max 4 passes), record the min. Single-shot and
+    # plain best-of-2 numbers drifted ~21% round-over-round on this rig
+    # (CPU steal / JVM GC state) and burned three verdict cycles
+    # adjudicating noise; requiring two concordant fast runs makes the
+    # recorded number reproducible on an immediate re-run while keeping
+    # wall time near the old best-of-2 cost for stable queries.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for attempt in range(4):
             t0 = time.time()
             queries[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        # Several dedup queries cache intermediate frames (shingles,
-        # candidate pairs) that stay referenced after collect; dropping
-        # them between queries keeps later timings free of GC pressure
-        # from dead caches.
-        spark.catalog.clearCache()
-        if best > 3.0:
-            # A sustained host stall (CPU steal on this rig) can land on
-            # both runs and freeze a 10x outlier into the record; one
-            # more attempt after a GC breather is cheap and only the
-            # slow-looking queries pay it.
-            spark._jvm.System.gc()
-            t0 = time.time()
-            queries[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
+            runs.append(time.time() - t0)
+            # Several dedup queries cache intermediate frames (shingles,
+            # candidate pairs) that stay referenced after collect;
+            # dropping them between passes keeps later timings free of
+            # GC pressure from dead caches.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+            if attempt >= 1:
+                fast2 = sorted(runs)[:2]
+                if fast2[1] <= fast2[0] * 1.10:
+                    break
+                # discordant fast pair — a host stall may have landed on
+                # a run; give the JVM a GC breather before resampling
+                spark._jvm.System.gc()
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     # The full per-query map (120+ entries) once made the stdout line so

@@ -300,19 +300,37 @@ def test_iterative_operators_scan_budget(spark):
     (train_quantizer) checkpoints per round and never widens this."""
     import re
 
-    budgets = {
-        "part_pagerank": 2,           # pagerank supersteps
-        "kmeans_step": 3,             # single Lloyd step, 3 fixed roles
-        "dedup_survivors": 2,         # connected-components label prop
-        "part_random_walk_pairs": 2,  # DeepWalk step loop
-        "subword_vocab": 2,           # BPE merge rounds
-    }
-    for name, budget in budgets.items():
+    registry.load_all()
+    assert registry.SCAN_BUDGETS, "no scan budgets registered"
+    for name, budget in registry.SCAN_BUDGETS.items():
         p = _plan(spark, name)
         n = len(re.findall(r"\(\d+\) Scan parquet", p))
         assert n <= budget, f"{name}: {n} parquet scan nodes — loop recompute?"
 
 
+@pytest.mark.guard
+def test_scan_budget_tags_cover_known_loops():
+    """Meta-assertion over the registry's scan_budget tags: the known
+    multi-superstep operators must stay enrolled (untagging one quietly
+    drops it from the loop-recompute sweep above), budgets are sane,
+    and every tagged name is a real registered query."""
+    registry.load_all()
+    known_loops = {
+        "part_pagerank",
+        "kmeans_step",
+        "dedup_survivors",
+        "part_random_walk_pairs",
+        "subword_vocab",
+    }
+    tagged = set(registry.SCAN_BUDGETS)
+    assert known_loops <= tagged, sorted(known_loops - tagged)
+    assert tagged <= set(registry.QUERIES), sorted(
+        tagged - set(registry.QUERIES)
+    )
+    assert all(1 <= b <= 4 for b in registry.SCAN_BUDGETS.values())
+
+
+@pytest.mark.guard
 def test_bench_manifest_covers_registry():
     """Every registered query is either benched (HEADLINE) or named in
     BENCH_EXCLUDED with a reason — a new registry entry can't silently

@@ -236,3 +236,40 @@ def test_value_band_join_negative_values(spark):
         ).collect()
     }
     assert got == {(1, 9), (2, 8)}
+
+
+def test_user_activity_gaps_span_cap(spark, tmp_path):
+    """The opt-in max_span_days cap bounds the per-user calendar spine
+    (gap metrics over the first N span days only) and reports the cut
+    via truncated_days; default (None) output is unchanged in schema
+    and values."""
+    from udacity_data_wrangling_osm_case_study_spark.plans.temporal_queries import (
+        user_activity_gaps,
+    )
+
+    sf = str(tmp_path)
+    # user 1: events on day 0 and day 9 (10-day span, 8 gap days);
+    # user 2: single day (no gaps, cap is a no-op)
+    spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 12)),
+            (1, datetime(2024, 1, 10, 12)),
+            (2, datetime(2024, 1, 5, 0)),
+        ],
+        ["user_id", "ts"],
+    ).write.parquet(f"{sf}/events.parquet")
+
+    base = {r.user_id: r for r in user_activity_gaps(spark, sf).collect()}
+    assert "truncated_days" not in base[1].asDict()
+    assert (base[1].n_active_days, base[1].n_gap_days, base[1].max_gap_len) == (
+        2, 8, 8
+    )
+
+    capped = {
+        r.user_id: r
+        for r in user_activity_gaps(spark, sf, max_span_days=4).collect()
+    }
+    # window = days 1-4: day 1 active, days 2-4 missing; 6 span days cut
+    r1 = capped[1]
+    assert (r1.n_gap_days, r1.max_gap_len, r1.truncated_days) == (3, 3, 6)
+    assert (capped[2].n_gap_days, capped[2].truncated_days) == (0, 0)

@@ -391,6 +391,7 @@ def benchmark_contamination(spark, sf_dir):
            MAX(CASE WHEN rn = 1 THEN n_chars END) AS keeper_chars
     FROM ranked GROUP BY comp ORDER BY comp
     """,
+    scan_budget=2,  # connected-components label propagation loop
 )
 def dedup_survivors(spark, sf_dir):
     """Cluster-representative selection — the decision step a dedup

@@ -636,6 +636,7 @@ def orders_above_customer_avg(spark, sf_dir):
     SELECT v AS part, CAST(r AS BIGINT) AS rank_micro
     FROM r3 ORDER BY rank_micro DESC, part LIMIT 20
     """,
+    scan_budget=2,  # pagerank supersteps
 )
 def part_pagerank(spark, sf_dir):
     """Iterative graph centrality: 3 integer-exact PageRank supersteps
@@ -1490,6 +1491,7 @@ def cogrouped_entity_profile(spark, sf_dir):
         UNION ALL SELECT anchor, 3, cur FROM w3
     ) ORDER BY anchor, step
     """,
+    scan_budget=2,  # DeepWalk step loop
 )
 def part_random_walk_pairs(spark, sf_dir):
     """DeepWalk-style skip-gram corpus over the part co-purchase graph

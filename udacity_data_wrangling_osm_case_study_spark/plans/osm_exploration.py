@@ -119,3 +119,58 @@ EXPLORATION_SQL: dict[str, str] = {
         ORDER BY l.length_m DESC, name LIMIT 10
     """,
 }
+
+# EXTENSION exploration over the opt-in relation tables
+# (``pipeline.build_tables(..., include_relations=True)`` — the
+# reference drops <relation> elements at parse_clean_and_csv.py:250).
+# Kept separate from EXPLORATION_SQL because the relations views only
+# exist when the extension is enabled.
+RELATIONS_EXPLORATION_SQL: dict[str, str] = {
+    # what kinds of relations exist (route / multipolygon / ...)
+    "relation_type_census": """
+        SELECT COALESCE(ty.relation_type, '(untyped)') AS relation_type,
+               COUNT(*) AS n_relations
+        FROM relations r
+        LEFT JOIN (
+            SELECT id, MIN(value) AS relation_type
+            FROM relations_tags WHERE key = 'type' GROUP BY id
+        ) ty ON ty.id = r.id
+        GROUP BY relation_type
+        ORDER BY n_relations DESC, relation_type
+    """,
+    # member-role census per relation type: how each relation kind is
+    # assembled from nodes/ways/relations and with which roles
+    "relation_member_roles": """
+        SELECT COALESCE(ty.relation_type, '(untyped)') AS relation_type,
+               m.member_type AS member_type,
+               CASE WHEN m.role IS NULL OR m.role = '' THEN '(none)'
+                    ELSE m.role END AS role,
+               COUNT(*) AS n_members
+        FROM relations_members m
+        LEFT JOIN (
+            SELECT id, MIN(value) AS relation_type
+            FROM relations_tags WHERE key = 'type' GROUP BY id
+        ) ty ON ty.id = m.id
+        GROUP BY relation_type, member_type, role
+        ORDER BY n_members DESC, relation_type, member_type, role
+    """,
+    # largest relations by member count, with their type and name
+    "largest_relations": """
+        SELECT m.id AS relation_id,
+               COALESCE(ty.relation_type, '(untyped)') AS relation_type,
+               nm.name AS name,
+               COUNT(*) AS n_members
+        FROM relations_members m
+        LEFT JOIN (
+            SELECT id, MIN(value) AS relation_type
+            FROM relations_tags WHERE key = 'type' GROUP BY id
+        ) ty ON ty.id = m.id
+        LEFT JOIN (
+            SELECT id, MIN(value) AS name
+            FROM relations_tags WHERE key = 'name' AND type = 'regular'
+            GROUP BY id
+        ) nm ON nm.id = m.id
+        GROUP BY relation_id, relation_type, name
+        ORDER BY n_members DESC, relation_id LIMIT 10
+    """,
+}

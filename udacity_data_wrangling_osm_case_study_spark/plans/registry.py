@@ -28,6 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Multi-superstep (loop-carried) queries declare a parquet-scan-node
+# budget at registration; tests/test_plans.py derives its scan-budget
+# sweep from this map, so a new iterative operator is enrolled in the
+# loop-recompute guard by construction (it cannot be forgotten the way
+# a hand-maintained test list can).
+SCAN_BUDGETS: dict[str, int] = {}
 
 _QUERY_MODULES = (
     "udacity_data_wrangling_osm_case_study_spark.plans.exploration",
@@ -69,13 +75,24 @@ _VERIFY_FIRST = (
 )
 
 
-def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optionally its DuckDB oracle SQL)."""
+def register(
+    name: str, oracle: str | None = None, scan_budget: int | None = None
+):
+    """Decorator: add a query (and optionally its DuckDB oracle SQL).
+
+    ``scan_budget`` marks a multi-superstep operator: the maximum number
+    of parquet-scan NODES its final physical plan may retain after the
+    loop's checkpoint lineage cuts (see SCAN_BUDGETS above). Every query
+    whose implementation loops over a frame it rebuilds per step MUST
+    pass one — the plan test sweeps the map.
+    """
 
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if scan_budget is not None:
+            SCAN_BUDGETS[name] = scan_budget
         return fn
 
     return deco

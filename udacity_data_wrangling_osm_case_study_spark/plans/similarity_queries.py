@@ -83,6 +83,11 @@ def knn_bruteforce(spark, sf_dir):
     FROM assign a JOIN v ON v.vec_id = a.id
     GROUP BY a.cell ORDER BY a.cell
     """,
+    # A SINGLE Lloyd step reads the corpus in three fixed roles (seeds,
+    # assignment, component-0) regardless of iteration count — the
+    # looped trainer (train_quantizer) checkpoints per round and never
+    # widens this.
+    scan_budget=3,
 )
 def kmeans_step(spark, sf_dir):
     """One distributed k-means (Lloyd) iteration — how the IVF coarse

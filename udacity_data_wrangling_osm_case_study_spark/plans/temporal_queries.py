@@ -1043,7 +1043,7 @@ def supplier_lead_time_median(spark, sf_dir):
     ORDER BY user_id
     """,
 )
-def user_activity_gaps(spark, sf_dir):
+def user_activity_gaps(spark, sf_dir, max_span_days=None):
     """Calendar-spine gap analysis — the missing-data shape every
     telemetry pipeline needs: per user, the days inside their own
     [first, last] activity span with NO events, plus the longest
@@ -1055,7 +1055,18 @@ def user_activity_gaps(spark, sf_dir):
     the anti-join removes active days, and the islands window
     partitions by user (key-local, never single-partition). A 100 TB
     event table enters exactly one map-side-combinable distinct; the
-    spine frame is dimension-scale."""
+    spine frame is dimension-scale.
+
+    ``max_span_days`` (opt-in, default None = no cap — the
+    ``copurchase_pairs`` dense-tail pattern) bounds the per-user spine:
+    one user with a 10-year span and 2 events otherwise emits ~3,650
+    spine rows, so a long-tailed identifier (a bot account, a reused
+    device id) can dominate the explode at corpus scale. When set, gap
+    metrics are computed over the FIRST ``max_span_days`` days of each
+    user's span only, and an extra ``truncated_days`` column reports
+    how many span days were cut (0 for untouched users) — an explicit,
+    caller-visible result change, which is why it is off by default
+    (the registered oracle row runs uncapped)."""
     ev = table(spark, sf_dir, "events")
     days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     span = days.groupBy("user_id").agg(
@@ -1063,8 +1074,16 @@ def user_activity_gaps(spark, sf_dir):
         F.max("d").alias("d1"),
         F.count("*").alias("n_active"),
     )
+    if max_span_days is not None:
+        if max_span_days < 1:
+            raise ValueError("max_span_days must be >= 1")
+        span = span.withColumn(
+            "d1_cap", F.least("d1", F.date_add("d0", max_span_days - 1))
+        ).withColumn("truncated_days", F.datediff("d1", "d1_cap"))
+    else:
+        span = span.withColumn("d1_cap", F.col("d1"))
     spine = span.select(
-        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+        "user_id", F.explode(F.sequence("d0", "d1_cap")).alias("d")
     )
     missing = spine.join(days, ["user_id", "d"], "left_anti")
     w = Window.partitionBy("user_id").orderBy("d")
@@ -1076,13 +1095,16 @@ def user_activity_gaps(spark, sf_dir):
     gaps = runs.groupBy("user_id").agg(
         F.sum("len").alias("n_gap_days"), F.max("len").alias("max_gap_len")
     )
+    cols = [
+        F.col("user_id"),
+        F.col("n_active").cast("long").alias("n_active_days"),
+        F.coalesce("n_gap_days", F.lit(0)).cast("long").alias("n_gap_days"),
+        F.coalesce("max_gap_len", F.lit(0)).cast("long").alias("max_gap_len"),
+    ]
+    if max_span_days is not None:
+        cols.append(F.col("truncated_days").cast("long").alias("truncated_days"))
     return (
         span.join(gaps, "user_id", "left")
-        .select(
-            "user_id",
-            F.col("n_active").cast("long").alias("n_active_days"),
-            F.coalesce("n_gap_days", F.lit(0)).cast("long").alias("n_gap_days"),
-            F.coalesce("max_gap_len", F.lit(0)).cast("long").alias("max_gap_len"),
-        )
+        .select(*cols)
         .orderBy("user_id")
     )

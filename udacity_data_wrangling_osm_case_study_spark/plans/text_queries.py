@@ -499,6 +499,7 @@ def unigram_surprisal(spark, sf_dir):
     FROM g GROUP BY gram
     ORDER BY total_count DESC, gram LIMIT 50
     """,
+    scan_budget=2,  # BPE merge-round loop
 )
 def subword_vocab(spark, sf_dir):
     """Subword vocab induction (the BPE/WordPiece candidate-mining
