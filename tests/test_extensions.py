@@ -1673,3 +1673,32 @@ def test_weighted_bottom_k_aes_deterministic(spark):
         for r in s.weighted_bottom_k_aes(df, "doc_id", "w", 20, salt="e2").collect()
     ]
     assert set(c) != set(a)  # re-salt draws an independent sample
+
+
+def test_random_walks_partition_validation_and_reliable_checkpoint(
+    spark, tmp_path
+):
+    """edge_partitions=0 is an error (not silently replaced by the
+    default); the reliable-checkpoint escape hatch for executor-churn
+    clusters yields the identical corpus as the local-checkpoint path."""
+    import pytest as _pytest
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with _pytest.raises(ValueError, match="edge_partitions"):
+        graph.random_walks(df, n_steps=2, edge_partitions=0)
+
+    local = {
+        (r.anchor, r.step): r.context
+        for r in graph.random_walks(df, n_steps=2).collect()
+    }
+    reliable = {
+        (r.anchor, r.step): r.context
+        for r in graph.random_walks(
+            df, n_steps=2,
+            reliable_checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    }
+    assert local == reliable and len(local) == 3 * 2

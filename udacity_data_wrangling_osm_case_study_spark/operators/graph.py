@@ -267,6 +267,7 @@ def random_walks(
     n_steps: int = 3,
     salt: str = "walk",
     edge_partitions: int | None = None,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Deterministic random-walk corpus generation — the positive-pair
     sampler behind DeepWalk/node2vec-style graph embeddings (Perozzi et
@@ -302,6 +303,16 @@ def random_walks(
     reclaimed by the ContextCleaner once the returned lineage is
     unreachable.
 
+    Cluster caveat (same as Spark's own ``localCheckpoint`` docs):
+    local checkpoints store executor-local, non-replicated blocks with
+    the lineage truncated — losing an executor after the first action
+    (including a dynamic-allocation scale-down) makes the returned
+    DataFrame unrecoverable and fails subsequent jobs on it. On a
+    cluster with executor churn, pass ``reliable_checkpoint_dir`` (or
+    pre-set ``sparkContext.setCheckpointDir``) to use reliable
+    ``checkpoint()`` snapshots on shared storage instead; single-node /
+    static-allocation callers keep the cheaper local path.
+
     ``edges``: directed (src, dst); pass both directions for undirected
     graphs. Vertices with no out-edges start no walk and absorb none
     (the caller's symmetrization decides dead-end semantics).
@@ -309,14 +320,35 @@ def random_walks(
     Returns (anchor, step, context), steps 1..n_steps.
     """
     spark = edges.sparkSession
-    parts = edge_partitions or max(
-        2, spark.sparkContext.defaultParallelism // 4
-    )
-    adj = (
+    if edge_partitions is None:
+        # spark.conf-based lookup keeps this Connect-compatible
+        # (sparkContext is unavailable under Spark Connect); the conf
+        # is unset in plain local[N] sessions, where the context's
+        # defaultParallelism is authoritative.
+        par = spark.conf.get("spark.default.parallelism", None)
+        if par is None:
+            try:
+                par = spark.sparkContext.defaultParallelism
+            except Exception:  # Spark Connect: no sparkContext
+                par = 8
+        parts = max(2, int(par) // 4)
+    else:
+        if edge_partitions < 1:
+            raise ValueError("edge_partitions must be >= 1")
+        parts = edge_partitions
+
+    if reliable_checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+
+    def _snapshot(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint_dir is not None:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
+    adj = _snapshot(
         edges.groupBy("src")
         .agg(F.sort_array(F.collect_set("dst")).alias("nb"))
         .repartition(parts, "src")
-        .localCheckpoint(eager=False)
     )
     walk = adj.select(F.col("src").alias("anchor"), F.col("src").alias("cur"))
     outs = []
@@ -349,9 +381,7 @@ def random_walks(
         nxt = F.element_at(
             "nb", (h % F.size("nb")).cast("int") + F.lit(1)
         )
-        walk = joined.select("anchor", nxt.alias("cur")).localCheckpoint(
-            eager=False
-        )
+        walk = _snapshot(joined.select("anchor", nxt.alias("cur")))
         outs.append(
             walk.select(
                 "anchor",
