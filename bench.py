@@ -162,6 +162,9 @@ HEADLINE = [
     "l_diversity_report",
     "part_random_walk_pairs",
     "weighted_doc_sample_aes",
+    "part_clustering_coeff",
+    "kmv_distinct_sketch",
+    "t_closeness_report",
 ]
 
 

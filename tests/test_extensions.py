@@ -1702,3 +1702,25 @@ def test_random_walks_partition_validation_and_reliable_checkpoint(
         ).collect()
     }
     assert local == reliable and len(local) == 3 * 2
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """Triangle 1-2-3 plus pendant 4-1: cc(1)=2/6, cc(2)=cc(3)=1,
+    vertex 4 (deg 1) excluded; wedge-only vertex graphs get cc 0."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], ["src", "dst"]
+    )
+    got = {
+        r.v: (r.deg, r.n_tri, r.cc_pm)
+        for r in graph.clustering_coefficient(edges).collect()
+    }
+    assert got == {1: (3, 1, 333), 2: (2, 1, 1000), 3: (2, 1, 1000)}
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    got2 = {
+        r.v: (r.deg, r.n_tri, r.cc_pm)
+        for r in graph.clustering_coefficient(path).collect()
+    }
+    assert got2 == {2: (2, 0, 0)}

@@ -178,6 +178,7 @@ def test_no_cartesian_products_anywhere(spark):
         "customer_rfm_segments",        # 1-row as-of instant frame
         "hybrid_search_rrf",            # 1-row query vector + BM25 stats
         "negative_sampling_pairs",      # 25-row brand-vocabulary dim
+        "t_closeness_report",           # 1-row global band-distribution frame
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

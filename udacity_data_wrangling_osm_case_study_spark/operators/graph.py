@@ -86,6 +86,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     endpoint (bounded fan-out by construction), and a closing
     inner join against the oriented edge set.
     """
+    closed, _ = _closed_triangles(edges)
+    return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def _closed_triangles(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared degree-ordered wedge enumeration: returns (closed, deg)
+    where ``closed`` holds one row per triangle with its three corners
+    in columns (u, v, w) and ``deg`` the undirected vertex degrees."""
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -123,7 +131,43 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     closed = wedges.join(
         oriented.select(F.col("u").alias("v"), "w"), ["v", "w"], "left_semi"
     )
-    return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    return closed, deg
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient — how tightly each
+    vertex's neighborhood is interlinked (Watts & Strogatz 1998):
+    cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the density signal behind
+    community detection and spam/bot neighborhood screens.
+
+    Same degree-ordered wedge enumeration as ``triangle_count`` (hub-
+    safe: wedge fan-out bounded by the orientation), but each closed
+    triangle emits its three corners ROW-LOCALLY (one explode of a
+    3-element array — no extra join) before a vertex-keyed rollup.
+    Output in integer permille (cc_pm, exact integer division) so the
+    value is bit-identical across engines.
+
+    Returns (v, deg, n_tri, cc_pm) for vertices with deg >= 2 (cc is
+    undefined below that).
+    """
+    closed, deg = _closed_triangles(edges)
+    tri = (
+        closed.select(F.explode(F.array("u", "v", "w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "v", "left")
+        .select(
+            "v",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            F.expr(
+                "2 * coalesce(n_tri, 0L) * 1000 DIV (deg * (deg - 1))"
+            ).cast("bigint").alias("cc_pm"),
+        )
+    )
 
 
 def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:

@@ -928,6 +928,139 @@ def l_diversity_report(spark, sf_dir):
     )
 
 
+@register(
+    "t_closeness_report",
+    """
+    WITH labeled AS (
+        SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    gdist AS (SELECT bal_band, COUNT(*) AS q FROM labeled GROUP BY bal_band),
+    tot AS (
+        SELECT COUNT(*) AS n, COUNT(DISTINCT bal_band) AS m FROM labeled
+    ),
+    grp AS (
+        SELECT segment, nationkey, bal_band, COUNT(*) AS c
+        FROM labeled GROUP BY segment, nationkey, bal_band
+    ),
+    gtot AS (
+        SELECT segment, nationkey, COUNT(*) AS n_g
+        FROM labeled GROUP BY segment, nationkey
+    ),
+    grid AS (
+        SELECT gt.segment, gt.nationkey, g.bal_band, g.q, gt.n_g,
+               COALESCE(gr.c, 0) AS c
+        FROM gtot gt CROSS JOIN gdist g
+        LEFT JOIN grp gr ON gr.segment = gt.segment
+             AND gr.nationkey = gt.nationkey AND gr.bal_band = g.bal_band
+    ),
+    cum AS (
+        SELECT segment, nationkey, n_g,
+               SUM(c * (SELECT n FROM tot) - q * n_g)
+                 OVER (PARTITION BY segment, nationkey
+                       ORDER BY bal_band) AS cumd
+        FROM grid
+    ),
+    s AS (
+        SELECT segment, nationkey, n_g, SUM(ABS(cumd)) AS sabs
+        FROM cum GROUP BY segment, nationkey, n_g
+    )
+    SELECT segment, nationkey,
+           CAST(n_g AS BIGINT) AS k_count,
+           CAST(sabs * 1000 // (n_g * (SELECT n FROM tot)
+                * GREATEST((SELECT m FROM tot) - 1, 1)) AS BIGINT) AS emd_pm
+    FROM s ORDER BY segment, nationkey
+    """,
+)
+def t_closeness_report(spark, sf_dir):
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the release-privacy ladder after
+    ``k_anonymity_audit`` and ``l_diversity_report``: a group can be
+    k-anonymous AND l-diverse yet still leak (all its balance bands
+    clustered at the top of the range), so t-closeness bounds the
+    EARTH MOVER'S DISTANCE between each quasi-identifier group's
+    sensitive-value distribution and the global one. For an ordered
+    attribute with m equally-spaced values, EMD reduces to the mean
+    |cumulative-difference|: Σᵢ|Cᵢ| / (n_g·n·(m−1)) with
+    Cᵢ = Σ_{j≤i} (c_j·n − q_j·n_g) — all-integer fixed point
+    (permille), so the report is bit-identical across engines (no
+    float division anywhere).
+
+    Scale shape: the global band distribution collapses to ONE row of
+    parallel arrays (bands, counts — m is small by construction for a
+    banded sensitive attribute) broadcast onto the per-group
+    aggregates; the cumulative fold then runs ROW-LOCALLY as one
+    higher-order ``aggregate`` per group — no per-band shuffle, no
+    group×band grid frame ever materializes on the Spark side (the
+    oracle builds the naive grid + window cumsum — a cross-algorithm
+    equivalence attestation)."""
+    cust = table(spark, sf_dir, "customer")
+    labeled = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    glob = (
+        labeled.groupBy("bal_band")
+        .agg(F.count("*").alias("q"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bal_band", "q"))
+            ).alias("dist"),
+            F.sum("q").alias("n"),
+            F.count("*").alias("m"),
+        )
+    )
+    # per-group band counts as a map for row-local lookup
+    grp = (
+        labeled.groupBy("segment", "nationkey", "bal_band")
+        .agg(F.count("*").alias("c"))
+        .groupBy("segment", "nationkey")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.map_from_entries(
+                F.collect_list(F.struct("bal_band", "c"))
+            ).alias("cm"),
+        )
+    )
+    folded = grp.crossJoin(F.broadcast(glob)).select(
+        "segment",
+        "nationkey",
+        F.col("n_g").cast("long").alias("k_count"),
+        F.aggregate(
+            F.transform(
+                "dist",
+                lambda x: F.coalesce(
+                    F.element_at("cm", x["bal_band"]), F.lit(0)
+                )
+                * F.col("n")
+                - x["q"] * F.col("n_g"),
+            ),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(0).cast("long").alias("s"),
+            ),
+            lambda acc, d: F.struct(
+                (acc["cum"] + d).alias("cum"),
+                (acc["s"] + F.abs(acc["cum"] + d)).alias("s"),
+            ),
+            lambda acc: acc["s"],
+        ).alias("sabs"),
+        F.col("n_g"),
+        F.col("n"),
+        F.col("m"),
+    )
+    return folded.select(
+        "segment",
+        "nationkey",
+        "k_count",
+        F.expr("sabs * 1000 DIV (n_g * n * greatest(m - 1, 1L))")
+        .cast("long")
+        .alias("emd_pm"),
+    ).orderBy("segment", "nationkey")
+
+
 def _aes_oracle() -> str:
     # The oracle embeds the SAME 256-entry micro-nat table the operator
     # uses (imported, not copied), so the two cannot drift.

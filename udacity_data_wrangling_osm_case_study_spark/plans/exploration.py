@@ -505,6 +505,122 @@ def approx_distinct_users(spark, sf_dir):
 
 
 @register(
+    "kmv_distinct_sketch",
+    """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                    1, 12)) AS BIGINT) AS h
+        FROM du
+    ),
+    rk AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type, COUNT(*) AS n_sk, MAX(h) AS hk
+        FROM rk WHERE rn <= 64 GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type
+    ),
+    est AS (
+        SELECT ex.event_type, exact_users,
+               CASE WHEN n_sk < 64 THEN n_sk
+                    ELSE (63 * 281474976710656) // hk END AS kmv_est
+        FROM ex JOIN sk ON sk.event_type = ex.event_type
+    )
+    SELECT event_type,
+           CAST(exact_users AS BIGINT) AS exact_users,
+           CAST(kmv_est AS BIGINT) AS kmv_est,
+           CAST(ABS(kmv_est - exact_users) * 1000
+                // exact_users AS BIGINT) AS err_pm
+    FROM est ORDER BY event_type
+    """,
+)
+def kmv_distinct_sketch(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch per event type
+    (Bar-Yossef et al. 2002) — the DETERMINISTIC sketch counterpart to
+    ``approx_distinct_users``'s HLL: because the sketch is just the 64
+    smallest md5 values of the member set, the estimate
+    (k−1)·2⁴⁸ ÷ h_k is bit-identical across engines, partitionings and
+    reruns, so the oracle attests the estimate itself, not a tolerance
+    verdict. KMV sketches are also mergeable (union = k smallest of
+    the concatenation) and support intersection estimates — the
+    fixed-size exchange format for cross-source audience overlap where
+    the exact bitmap (``audience_overlap_bitmap``) no longer fits.
+
+    Scale shape: the k-smallest selection runs TWO-PHASE — per
+    (type, input partition) prune to k via a partition-local window,
+    then a final per-type window over ≤ k·P survivors — so no task
+    ever sorts a full audience; the same pattern as a distributed
+    top-k. Exact counts ride beside for the error column (at 100 TB
+    you drop them and keep only the sketch)."""
+    from pyspark.sql import Window
+
+    k = 64
+    ev = table(spark, sf_dir, "events")
+    hashes = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w_local = Window.partitionBy("event_type", F.spark_partition_id()).orderBy(
+        "h"
+    )
+    pruned = (
+        hashes.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    w_type = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        pruned.withColumn("rn", F.row_number().over(w_type))
+        .filter(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sk"), F.max("h").alias("hk"))
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    est = ex.join(sk, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.when(F.col("n_sk") < k, F.col("n_sk"))
+        .otherwise(F.expr(f"{k - 1} * 281474976710656 DIV hk"))
+        .cast("long")
+        .alias("kmv_est"),
+    )
+    return est.select(
+        "event_type",
+        "exact_users",
+        "kmv_est",
+        F.expr("abs(kmv_est - exact_users) * 1000 DIV exact_users")
+        .cast("long")
+        .alias("err_pm"),
+    ).orderBy("event_type")
+
+
+@register(
     "orders_column_profile",
     """
     SELECT COUNT(*) AS n_rows,

@@ -579,6 +579,79 @@ def part_copurchase_triangles(spark, sf_dir):
 
 
 @register(
+    "part_clustering_coeff",
+    """
+    WITH pairs AS (
+        SELECT l1.l_orderkey AS ok, l1.l_partkey AS a, l2.l_partkey AS b
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l1
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    e AS (SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ),
+    tcnt AS (SELECT v, COUNT(*) AS n_tri FROM corners GROUP BY v),
+    deg AS (
+        SELECT v, COUNT(*) AS deg FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY v
+    )
+    SELECT d.v AS part,
+           CAST(d.deg AS BIGINT) AS deg,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(2 * COALESCE(t.n_tri, 0) * 1000
+                // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_pm
+    FROM deg d LEFT JOIN tcnt t ON t.v = d.v
+    WHERE d.deg >= 2
+    ORDER BY cc_pm DESC, part LIMIT 20
+    """,
+)
+def part_clustering_coeff(spark, sf_dir):
+    """Per-part local clustering coefficient over the support-≥2
+    co-purchase graph — the neighborhood-density signal behind
+    community detection and co-buy anomaly screens (a part whose
+    neighbors all co-occur with each other is inside a coherent basket
+    community; cc near 0 marks a hub bridging unrelated baskets).
+
+    Spark runs the degree-ordered wedge enumeration with row-local
+    corner explode (operators.graph.clustering_coefficient — hub-safe,
+    wedge fan-out bounded by the orientation); the oracle counts the
+    same triangles with the naive id-ordered 3-way self-join and rolls
+    corners up with UNION ALL — a cross-algorithm equivalence
+    attestation like ``part_copurchase_triangles``. Integer-permille
+    output keeps the comparison bit-exact."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("src", "dst")
+    )
+    return (
+        graph.clustering_coefficient(edges)
+        .select(F.col("v").alias("part"), "deg", "n_tri", "cc_pm")
+        .orderBy(F.desc("cc_pm"), "part")
+        .limit(20)
+    )
+
+
+@register(
     "orders_above_customer_avg",
     """
     SELECT o_orderkey, o_custkey

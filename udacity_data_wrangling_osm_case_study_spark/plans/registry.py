@@ -59,6 +59,10 @@ _loaded = False
 # (registry ∖ (r01 ∪ … ∪ r04)), then round-5 additions; already-attested
 # names follow in registration order.
 _VERIFY_FIRST = (
+    # round-6 additions (never attested, newest work first)
+    "part_clustering_coeff",
+    "kmv_distinct_sketch",
+    "t_closeness_report",
     # never driver-attested through round 4 (10 names)
     "weighted_doc_sample",
     "cms_user_event_counts",
