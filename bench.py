@@ -165,6 +165,8 @@ HEADLINE = [
     "part_clustering_coeff",
     "kmv_distinct_sketch",
     "t_closeness_report",
+    "part_communities",
+    "benford_first_digit_audit",
 ]
 
 

@@ -1724,3 +1724,28 @@ def test_clustering_coefficient_hand_graph(spark):
         for r in graph.clustering_coefficient(path).collect()
     }
     assert got2 == {2: (2, 0, 0)}
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles {1,2,3} and {4,5,6} bridged by 3-4: after 3
+    deterministic supersteps (mode of neighbor labels, ties -> min)
+    each triangle converges to one community; result is partitioning-
+    invariant."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    und = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    got = {r.v: r.lbl for r in graph.label_propagation(df, n_iter=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    got2 = {
+        r.v: r.lbl
+        for r in graph.label_propagation(
+            df.repartition(7), n_iter=3, edge_partitions=3
+        ).collect()
+    }
+    assert got2 == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="edge_partitions"):
+        graph.label_propagation(df, n_iter=1, edge_partitions=0)

@@ -17,7 +17,7 @@ algorithm, re-expressed as three DataFrame joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -304,6 +304,72 @@ def pagerank(
             (base + F.expr(f"{damping_pct} * s DIV 100")).alias("r"),
         )
     return ranks.select("v", F.col("r").alias("rank_micro"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    edge_partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), made deterministic: every vertex starts labeled with its
+    own id; each superstep relabels it with the MOST FREQUENT label
+    among its neighbors, ties broken toward the SMALLEST label — no
+    RNG, no visit order, so the result is bit-identical across
+    engines, partitionings, and reruns (plain LPA randomizes both and
+    is famously unstable). A fixed ``n_iter`` supersteps, not
+    convergence, bounds the run (synchronous LPA can oscillate on
+    bipartite-ish structures; a fixed budget makes that a defined
+    result instead of a hang).
+
+    ``edges``: directed (src, dst); pass both directions for
+    undirected graphs (same contract as ``random_walks``).
+
+    Plan shape: the edge list is hash-partitioned on ``dst`` and
+    localCheckpoint(eager=False)ed ONCE — each superstep ships only
+    the vertex-sized label frame to the edges (join on dst), then one
+    key-local groupBy + per-vertex window picks the mode; the label
+    frame is checkpointed per step so the k supersteps never recompute
+    the prefix (enforced by the registry scan-budget test). Same
+    executor-loss caveat as ``random_walks``'s local checkpoints.
+
+    Returns (v, lbl) — final community label per vertex.
+    """
+    spark = edges.sparkSession
+    if edge_partitions is None:
+        par = spark.conf.get("spark.default.parallelism", None)
+        if par is None:
+            try:
+                par = spark.sparkContext.defaultParallelism
+            except Exception:  # Spark Connect: no sparkContext
+                par = 8
+        parts = max(2, int(par) // 4)
+    else:
+        if edge_partitions < 1:
+            raise ValueError("edge_partitions must be >= 1")
+        parts = edge_partitions
+    e = (
+        edges.select("src", "dst")
+        .repartition(parts, "dst")
+        .localCheckpoint(eager=False)
+    )
+    labels = e.select("src").distinct().select(
+        F.col("src").alias("v"), F.col("src").alias("lbl")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(n_iter):
+        nb = e.join(
+            labels.withColumnRenamed("v", "dst").hint("shuffle_hash"), "dst"
+        ).select(F.col("src").alias("v"), "lbl")
+        labels = (
+            nb.groupBy("v", "lbl")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels
 
 
 def random_walks(

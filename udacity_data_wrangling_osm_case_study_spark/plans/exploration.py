@@ -504,6 +504,99 @@ def approx_distinct_users(spark, sf_dir):
     )
 
 
+# Benford expected first-digit shares, integer milli (log10(1+1/d)).
+# One shared table feeds BOTH the Spark expression and the oracle SQL,
+# so the two cannot drift.
+_BENFORD_MILLI = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {m})" for d, m in enumerate(_BENFORD_MILLI, start=1)
+)
+
+
+@register(
+    "benford_first_digit_audit",
+    f"""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents
+    ),
+    obs AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+    tot AS (SELECT COUNT(*) AS n FROM d),
+    expd AS (SELECT * FROM (VALUES {_BENFORD_VALUES})
+             AS t(digit, benford_milli))
+    SELECT CAST(e.digit AS BIGINT) AS digit,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(COALESCE(o.n_obs, 0) * 1000
+                // (SELECT n FROM tot) AS BIGINT) AS obs_milli,
+           CAST(e.benford_milli AS BIGINT) AS benford_milli,
+           CAST(ABS(COALESCE(o.n_obs, 0) * 1000 // (SELECT n FROM tot)
+                    - e.benford_milli) AS BIGINT) AS dev_milli
+    FROM expd e LEFT JOIN obs o ON o.digit = e.digit
+    ORDER BY e.digit
+    """,
+)
+def benford_first_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / pipeline-corruption screen (Benford 1938; used in
+    fraud detection and data-quality monitoring): naturally-occurring
+    multiplicative amounts put digit d first with probability
+    log10(1+1/d); a synthetic or truncated column deviates visibly.
+    The first digit is extracted INTEGER-exactly (exact decimal cents →
+    decimal string → first char), never via float log10, so boundary
+    amounts (9.99 vs 10.00) classify identically in both engines;
+    shares are integer milli against the shared constants table.
+
+    Scale shape: one scan, one 9-bucket map-side-combinable groupBy —
+    the digit dimension (9 rows) and the total ride a broadcast join
+    and a dimension-sized window. The deviation column is the
+    dashboard signal (dev_milli spikes = investigate the source)."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    digits = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("c")
+        )
+        .select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    dim = spark.range(1, 10).select(F.col("id").alias("digit"))
+    benford = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_MILLI]),
+        F.col("digit").cast("int"),
+    )
+    joined = dim.join(F.broadcast(obs), "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+    )
+    w = Window.partitionBy()  # 9-row digit frame — dimension-sized
+    return (
+        joined.withColumn("n", F.sum("n_obs").over(w))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.expr("n_obs * 1000 DIV n").cast("long").alias("obs_milli"),
+            benford.cast("long").alias("benford_milli"),
+        )
+        .withColumn(
+            "dev_milli",
+            F.abs(F.col("obs_milli") - F.col("benford_milli")).cast("long"),
+        )
+        .orderBy("digit")
+    )
+
+
 @register(
     "kmv_distinct_sketch",
     """

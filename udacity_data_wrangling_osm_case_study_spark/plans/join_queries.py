@@ -652,6 +652,92 @@ def part_clustering_coeff(spark, sf_dir):
 
 
 @register(
+    "part_communities",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM li l1 JOIN li l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    e2 AS (SELECT a, b FROM p GROUP BY a, b HAVING COUNT(*) >= 2),
+    e AS (SELECT a AS src, b AS dst FROM e2
+          UNION ALL SELECT b, a FROM e2),
+    l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
+    n1 AS (SELECT e.src AS v, l0.lbl, COUNT(*) AS c
+           FROM e JOIN l0 ON l0.v = e.dst GROUP BY e.src, l0.lbl),
+    l1 AS (SELECT v, lbl FROM (
+               SELECT v, lbl,
+                      ROW_NUMBER() OVER (PARTITION BY v
+                                         ORDER BY c DESC, lbl) AS rn
+               FROM n1) WHERE rn = 1),
+    n2 AS (SELECT e.src AS v, l1.lbl, COUNT(*) AS c
+           FROM e JOIN l1 ON l1.v = e.dst GROUP BY e.src, l1.lbl),
+    l2 AS (SELECT v, lbl FROM (
+               SELECT v, lbl,
+                      ROW_NUMBER() OVER (PARTITION BY v
+                                         ORDER BY c DESC, lbl) AS rn
+               FROM n2) WHERE rn = 1),
+    n3 AS (SELECT e.src AS v, l2.lbl, COUNT(*) AS c
+           FROM e JOIN l2 ON l2.v = e.dst GROUP BY e.src, l2.lbl),
+    l3 AS (SELECT v, lbl FROM (
+               SELECT v, lbl,
+                      ROW_NUMBER() OVER (PARTITION BY v
+                                         ORDER BY c DESC, lbl) AS rn
+               FROM n3) WHERE rn = 1)
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(v) AS BIGINT) AS min_member
+    FROM l3 GROUP BY lbl ORDER BY n_members DESC, community LIMIT 20
+    """,
+    scan_budget=2,  # LPA supersteps (label frames checkpointed)
+)
+def part_communities(spark, sf_dir):
+    """Community detection over the support-≥2 co-purchase graph via
+    deterministic label propagation (operators.graph.label_propagation
+    — mode-of-neighbor-labels, ties toward the smallest label, fixed 3
+    supersteps): which basket communities the catalog decomposes into,
+    reported as the 20 largest communities with their size and lowest
+    member id. The oracle replays all 3 supersteps as unrolled CTEs
+    (neighbor-label counts + per-vertex mode window) — the same
+    cross-engine lockstep pattern as ``part_pagerank`` and
+    ``part_random_walk_pairs``. Registered with a scan budget: the
+    checkpointed superstep loop must keep the plan at ≤2 fact scans."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e2 = (
+        graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("src", "dst")
+    )
+    sym = e2.unionAll(
+        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = graph.label_propagation(sym, n_iter=3)
+    return (
+        labels.groupBy("lbl")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("v").cast("long").alias("min_member"),
+        )
+        .select(
+            F.col("lbl").cast("long").alias("community"),
+            "n_members",
+            "min_member",
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+
+
+@register(
     "orders_above_customer_avg",
     """
     SELECT o_orderkey, o_custkey

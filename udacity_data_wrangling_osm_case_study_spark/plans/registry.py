@@ -60,6 +60,8 @@ _loaded = False
 # names follow in registration order.
 _VERIFY_FIRST = (
     # round-6 additions (never attested, newest work first)
+    "part_communities",
+    "benford_first_digit_audit",
     "part_clustering_coeff",
     "kmv_distinct_sketch",
     "t_closeness_report",
@@ -129,8 +131,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # yields fewer splits than cores — the exact repartition a
         # cluster job does after a skinny-file scan. At real scale the
         # scan produces thousands of splits and this branch is a no-op.
-        par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(par // 2, 2):
+        # conf lookup first: Spark Connect sessions have no
+        # sparkContext (same compatibility contract as
+        # operators.graph.random_walks / label_propagation)
+        par = spark.conf.get("spark.default.parallelism", None)
+        if par is None:
+            try:
+                par = spark.sparkContext.defaultParallelism
+            except Exception:  # Spark Connect
+                par = 8
+        par = int(par)
+        try:
+            n_splits = df.rdd.getNumPartitions()
+        except Exception:  # Spark Connect: no df.rdd — skip the fan-out
+            n_splits = par
+        if n_splits < max(par // 2, 2):
             df = df.repartition(par)
     if name == "events":
         from pyspark.sql import functions as F
