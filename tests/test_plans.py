@@ -331,6 +331,18 @@ def test_scan_budget_tags_cover_known_loops():
     assert all(1 <= b <= 4 for b in registry.SCAN_BUDGETS.values())
 
 
+def test_kmv_windows_are_keyed(spark):
+    """The KMV k-smallest selection must stay two-phase: every window
+    in the plan is partitioned by the sketch key (event_type — the
+    local phase adds the physical partition id), so no task ever sorts
+    a full audience."""
+    p = _plan(spark, "kmv_distinct_sketch")
+    specs = [s.split(")")[0] for s in p.split("windowspecdefinition(")[1:]]
+    assert specs, p
+    for spec in specs:
+        assert "event_type" in spec, spec
+
+
 @pytest.mark.guard
 def test_bench_manifest_covers_registry():
     """Every registered query is either benched (HEADLINE) or named in

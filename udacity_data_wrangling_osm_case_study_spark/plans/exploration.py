@@ -656,10 +656,12 @@ def kmv_distinct_sketch(spark, sf_dir):
 
     k = 64
     ev = table(spark, sf_dir, "events")
+    # md5 is computed BEFORE any distinct: deduping on (type, h) alone
+    # is sufficient (equal users hash equally), so the sketch pays ONE
+    # shuffle of (type, hash) pairs instead of a (type, user) distinct
+    # followed by a second distinct on the hashes.
     hashes = (
-        ev.select("event_type", "user_id")
-        .distinct()
-        .select(
+        ev.select(
             "event_type",
             F.conv(
                 F.substring(
