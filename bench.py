@@ -167,6 +167,7 @@ HEADLINE = [
     "t_closeness_report",
     "part_communities",
     "benford_first_digit_audit",
+    "part_kcore",
 ]
 
 

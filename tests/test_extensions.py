@@ -1749,3 +1749,26 @@ def test_label_propagation_two_triangles(spark):
 
     with _pytest.raises(ValueError, match="edge_partitions"):
         graph.label_propagation(df, n_iter=1, edge_partitions=0)
+
+
+def test_kcore_peel_hand_graph(spark):
+    """Triangle {1,2,3} + chain 3-4-5: 2-core peeling removes 5
+    (deg 1) in round 1, then 4 (deg dropped to 1) in round 2 — the
+    exact 2-core {1,2,3} with in-core degree 2 each. Result is
+    partitioning-invariant."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    got = {r.v: r.core_deg for r in graph.kcore_peel(df, k=2, n_rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    got2 = {
+        r.v: r.core_deg
+        for r in graph.kcore_peel(
+            df.repartition(5), k=2, n_rounds=3, edge_partitions=2
+        ).collect()
+    }
+    assert got2 == got
+    # k higher than any degree empties the graph
+    assert graph.kcore_peel(df, k=4, n_rounds=2).count() == 0

@@ -372,6 +372,72 @@ def label_propagation(
     return labels
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    n_rounds: int = 4,
+    edge_partitions: int | None = None,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983): iteratively delete vertices whose
+    CURRENT degree is < k; what survives is the graph's dense core —
+    the standard spam-ring / influential-community / graph-summarize
+    primitive. ``n_rounds`` fixed peeling supersteps (the bounded-
+    superstep variant, like ``pagerank``/``label_propagation`` here):
+    each round removes every vertex below k simultaneously, so after R
+    rounds the result is the exact k-core whenever peeling has
+    converged by then (one extra round with no deletions proves it),
+    and a defined deterministic over-approximation otherwise.
+
+    ``edges``: directed (src, dst); pass both directions for
+    undirected graphs (degree = out-degree of the symmetric frame).
+
+    Plan shape: per round ONE map-side-combinable degree aggregation
+    plus two vertex-keyed semi-joins that restrict both endpoints to
+    survivors; the edge frame is checkpointed per round
+    (localCheckpoint, same executor-loss caveat as ``random_walks``)
+    so the R rounds never recompute the prefix — enforced by the
+    registry scan-budget test.
+
+    Returns (v, core_deg) — surviving vertices with their degree
+    inside the surviving subgraph.
+    """
+    spark = edges.sparkSession
+    if edge_partitions is None:
+        par = spark.conf.get("spark.default.parallelism", None)
+        if par is None:
+            try:
+                par = spark.sparkContext.defaultParallelism
+            except Exception:  # Spark Connect: no sparkContext
+                par = 8
+        parts = max(2, int(par) // 4)
+    else:
+        if edge_partitions < 1:
+            raise ValueError("edge_partitions must be >= 1")
+        parts = edge_partitions
+    alive = (
+        edges.select("src", "dst")
+        .repartition(parts, "src")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_rounds):
+        survivors = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        alive = (
+            alive.join(survivors, "src", "left_semi")
+            .join(
+                survivors.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    return alive.groupBy("src").agg(
+        F.count("*").cast("long").alias("core_deg")
+    ).select(F.col("src").alias("v"), "core_deg")
+
+
 def random_walks(
     edges: DataFrame,
     n_steps: int = 3,

