@@ -676,3 +676,41 @@ def test_debounce_stream_matches_batch(spark, events_dir):
         assert any(v[0] > v[1] for v in want.values())
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kmv_stream_matches_batch_sketch_exactly(spark, events_dir):
+    """KMV is order-insensitive and deterministic, so the streamed
+    sketch's FINAL estimate per event type must equal the batch
+    kmv_distinct_sketch query on the same rows bit-for-bit (take the
+    last update emitted per key: n_sk only grows and h_k only shrinks
+    as the sketch absorbs batches)."""
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+    stream = events_stream.kmv_user_distinct(
+        events_stream.read_events_stream(spark, events_dir)
+    )
+    events_stream.run_to_memory_sink(stream, "v_kmv", output_mode="update")
+    # final state per key = the row with max n_sk, then min hk
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_sk"), F.asc("hk")
+    )
+    got = {
+        r.event_type: (r.n_sk, r.hk, r.kmv_est)
+        for r in spark.table("v_kmv")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    registry.load_all()
+    batch = {
+        r.event_type: r.kmv_est
+        for r in registry.QUERIES["kmv_distinct_sketch"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(batch)
+    for etype, (n_sk, hk, est) in got.items():
+        assert est == batch[etype], (etype, est, batch[etype])
+        assert n_sk <= events_stream.KMV_K

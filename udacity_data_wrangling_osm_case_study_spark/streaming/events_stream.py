@@ -197,6 +197,64 @@ def cms_user_event_counts(events: DataFrame) -> DataFrame:
     )
 
 
+KMV_K = 64
+KMV_OUTPUT_SCHEMA = "event_type string, n_sk bigint, hk bigint, kmv_est bigint"
+KMV_STATE_SCHEMA = "hashes array<long>"
+
+
+def kmv_user_distinct(events: DataFrame) -> DataFrame:
+    """Per-event-type KMV distinct-user sketch as a custom stateful
+    streaming operator — the streaming twin of the batch
+    ``kmv_distinct_sketch`` query: state is the sorted array of the
+    KMV_K smallest 48-bit md5 hashes of the users seen so far
+    (**constant-size state per key**, like the CMS operator above),
+    and because KMV is ORDER-INSENSITIVE and deterministic, the final
+    emitted estimate is bit-identical to running the batch sketch over
+    the same rows — the parity test asserts exact equality, not a
+    tolerance band.
+
+    Each micro-batch hashes the batch's unique users (hashlib per
+    unique user — uniques per key per batch are bounded; a
+    vectorized md5 is the first change for a firehose deployment),
+    merges them into the state's k-smallest set, and emits the
+    current (n_sk, h_k, estimate) for the key.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        cur = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            for u in pdf["user_id"].unique():
+                h = int(
+                    hashlib.md5(f"kmv:{int(u)}".encode()).hexdigest()[:12], 16
+                )
+                cur.add(h)
+        k_small = sorted(cur)[:KMV_K]
+        state.update((k_small,))
+        n_sk = len(k_small)
+        hk = k_small[-1] if k_small else 0
+        est = n_sk if n_sk < KMV_K else (KMV_K - 1) * (1 << 48) // hk
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_sk": [n_sk],
+                "hk": [hk],
+                "kmv_est": [est],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 CUSUM_OUTPUT_SCHEMA = "user_id bigint, n_obs bigint, cusum_stat bigint, max_cusum bigint"
 CUSUM_STATE_SCHEMA = "s bigint, mx bigint, n bigint"
 
