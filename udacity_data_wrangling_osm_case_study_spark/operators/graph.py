@@ -81,19 +81,33 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     self-loops and duplicates tolerated (normalized away). Returns a
     1-row frame ``(n_triangles)``; each triangle counted exactly once.
 
-    Plan shape: degree aggregation (one shuffle on vertex), orientation
-    (broadcast-joined degrees), wedge self-join on the common LOWER
-    endpoint (bounded fan-out by construction), and a closing
-    inner join against the oriented edge set.
+    Plan shape (compact-forward / edge-iterator, Latapy 2008): degree
+    aggregation, degree-ordered orientation, sorted out-adjacency
+    arrays (out-degree bounded ~sqrt(m) by the orientation), then each
+    oriented edge (u, w) closes its triangles ROW-LOCALLY as
+    |N⁺(u) ∩ N⁺(w)| via array_intersect. This replaced the wedge
+    self-join formulation, which materialized Σ d⁺² wedge rows and
+    shuffled the whole wedge stream again for the closing semi-join —
+    the hazard that blows up first on skewed graphs at scale. At
+    sf0.1 both forms are bound by the co-purchase EDGE BUILD (~4 s of
+    the ~5.7 s query: per-order pair expansion → 1.2M pair rows →
+    distinct), not the enumeration, so the win is plan-shape safety,
+    not small-data wall time.
     """
-    closed, _ = _closed_triangles(edges)
-    return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    tri_edges, _ = _edge_triangles(edges)
+    return tri_edges.agg(
+        F.coalesce(F.sum(F.size("common")), F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles")
+    )
 
 
-def _closed_triangles(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared degree-ordered wedge enumeration: returns (closed, deg)
-    where ``closed`` holds one row per triangle with its three corners
-    in columns (u, v, w) and ``deg`` the undirected vertex degrees."""
+def _edge_triangles(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared compact-forward enumeration: returns (tri_edges, deg)
+    where ``tri_edges`` has one row per oriented edge (u, w) that
+    closes ≥1 triangle, with ``common`` = the array of third corners
+    (each triangle appears exactly once, at its lowest oriented edge),
+    and ``deg`` the undirected vertex degrees."""
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -118,20 +132,23 @@ def _closed_triangles(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     oriented = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_w"),
     )
-    e1 = oriented.select("u", F.col("w").alias("v"), F.col("deg_w").alias("deg_v"))
-    e2 = oriented.select("u", "w", "deg_w")
-    # wedges at the lower endpoint; order the two spokes by the SAME
-    # (deg, id) total order so the closing edge's orientation is known
-    wedges = e1.join(e2, "u").filter(
-        (F.col("deg_v") < F.col("deg_w"))
-        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    adj = oriented.groupBy("u").agg(
+        F.sort_array(F.collect_list("w")).alias("nb")
     )
-    closed = wedges.join(
-        oriented.select(F.col("u").alias("v"), "w"), ["v", "w"], "left_semi"
+    # Every triangle a<b<c (in the orientation's total order) has edges
+    # a->b, a->c, b->c and is found exactly once: at edge (a, b), as
+    # c ∈ N⁺(a) ∩ N⁺(b). Edges whose w has no out-neighbors close
+    # nothing — the inner join drops them for free.
+    tri_edges = (
+        oriented.join(adj, "u")
+        .join(
+            adj.select(F.col("u").alias("w"), F.col("nb").alias("nb_w")), "w"
+        )
+        .select("u", "w", F.array_intersect("nb", "nb_w").alias("common"))
+        .filter(F.size("common") > 0)
     )
-    return closed, deg
+    return tri_edges, deg
 
 
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
@@ -140,21 +157,34 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the density signal behind
     community detection and spam/bot neighborhood screens.
 
-    Same degree-ordered wedge enumeration as ``triangle_count`` (hub-
-    safe: wedge fan-out bounded by the orientation), but each closed
-    triangle emits its three corners ROW-LOCALLY (one explode of a
-    3-element array — no extra join) before a vertex-keyed rollup.
-    Output in integer permille (cc_pm, exact integer division) so the
-    value is bit-identical across engines.
+    Same compact-forward enumeration as ``triangle_count`` (hub-safe:
+    out-degree bounded by the orientation): each closing edge (u, w)
+    contributes |common| triangles to u and w and one to every third
+    corner — the corner stream is emitted ROW-LOCALLY (two size()
+    legs plus one explode of the intersection array) before a
+    vertex-keyed rollup. Output in integer permille (cc_pm, exact
+    integer division) so the value is bit-identical across engines.
 
     Returns (v, deg, n_tri, cc_pm) for vertices with deg >= 2 (cc is
     undefined below that).
     """
-    closed, deg = _closed_triangles(edges)
+    tri_edges, deg = _edge_triangles(edges)
+    corners = (
+        tri_edges.select(F.col("u").alias("v"), F.size("common").alias("n"))
+        .unionAll(
+            tri_edges.select(
+                F.col("w").alias("v"), F.size("common").alias("n")
+            )
+        )
+        .unionAll(
+            tri_edges.select(F.explode("common").alias("v")).withColumn(
+                "n", F.lit(1)
+            )
+        )
+    )
     tri = (
-        closed.select(F.explode(F.array("u", "v", "w")).alias("v"))
-        .groupBy("v")
-        .agg(F.count("*").cast("bigint").alias("n_tri"))
+        corners.groupBy("v")
+        .agg(F.sum("n").cast("bigint").alias("n_tri"))
     )
     return (
         deg.filter(F.col("deg") >= 2)
