@@ -168,6 +168,7 @@ HEADLINE = [
     "part_communities",
     "benford_first_digit_audit",
     "part_kcore",
+    "part_bfs_hops",
 ]
 
 

@@ -1249,6 +1249,50 @@ def test_khop_reach_counts_each_vertex_once(spark):
     assert got == {1: 3}
 
 
+def test_bfs_hops_min_distance_on_diamond_with_shortcut(spark):
+    from pyspark.sql import functions as F
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    # diamond 1-2, 1-3, 2-4, 3-4 plus shortcut 1-4 and a tail 4-5:
+    # from 1 the diamond's far corner is at hop 1 (via the shortcut),
+    # never relabeled to 2 by the longer paths; 5 is at hop 2.
+    und = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (1, 4), (4, 5)], ["src", "dst"]
+    )
+    sym = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], ["seed"])
+    got = {
+        (r.seed, r.v): r.hop
+        for r in graph.bfs_hops(sym, seeds, n_hops=2).collect()
+    }
+    assert got == {
+        (1, 1): 0,
+        (1, 2): 1,
+        (1, 3): 1,
+        (1, 4): 1,
+        (1, 5): 2,
+        (5, 5): 0,
+        (5, 4): 1,
+        (5, 1): 2,
+        (5, 2): 2,
+        (5, 3): 2,
+    }
+
+
+def test_bfs_hops_rejects_bad_partition_count(spark):
+    import pytest as _pytest
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["seed"])
+    with _pytest.raises(ValueError):
+        graph.bfs_hops(edges, seeds, n_hops=1, edge_partitions=0)
+
+
 def test_histogram_median_matches_sorted_definition(spark):
     import random
 

@@ -21,6 +21,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _edge_partition_count(spark, edge_partitions: int | None) -> int:
+    """Resolve the edge-frame partition count shared by every iterative
+    operator here: defaultParallelism/4 when unset (supersteps are short
+    scan+partial-agg tasks, so fewer, fatter partitions beat task-launch
+    overhead — pass ``edge_partitions`` explicitly for graphs whose edge
+    count warrants more). The spark.conf lookup keeps this
+    Spark-Connect-compatible (no sparkContext there); an explicit value
+    is validated, never silently replaced (``edge_partitions=0`` is an
+    error, not "use the default")."""
+    if edge_partitions is None:
+        par = spark.conf.get("spark.default.parallelism", None)
+        if par is None:
+            try:
+                par = spark.sparkContext.defaultParallelism
+            except Exception:  # Spark Connect: no sparkContext
+                par = 8
+        return max(2, int(par) // 4)
+    if edge_partitions < 1:
+        raise ValueError("edge_partitions must be >= 1")
+    return edge_partitions
+
+
 def copurchase_pairs(
     df: DataFrame,
     group_col: str,
@@ -241,6 +263,67 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_hops: int = 3,
+    edge_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-source BFS with hop DISTANCES — unlike ``khop_reach``
+    (which only counts the reachable set), this labels every reached
+    vertex with its minimum hop count from each seed: the unweighted
+    single/multi-source shortest-path primitive behind "how far is
+    everything from these hubs" queries.
+
+    ``edges``: directed (src, dst); pass both directions for undirected
+    graphs (same contract as ``random_walks``). ``seeds``: one column
+    ``seed``. Returns (seed, v, hop) with hop = 0 for the seed itself,
+    1..n_hops for everything else reached.
+
+    Plan shape (textbook distributed BFS, e.g. Pregel/GraphX SSSP):
+    the edge frame is hash-partitioned on ``src`` and
+    localCheckpoint(eager=False)ed ONCE; each superstep expands the
+    CURRENT frontier by one shuffle-hash join into the stationary edge
+    blocks (only the frontier — vertex-sized — moves), then an anti-join
+    against the visited set keeps newly discovered vertices only, which
+    is what makes hop = MIN distance by construction: a vertex joins the
+    visited set at the first superstep that reaches it and is never
+    relabeled. Frontier and visited frames are checkpointed per step so
+    the k supersteps never recompute the prefix (registry scan-budget
+    enforced). Multi-source runs share every edge pass across all seeds
+    — one join per hop regardless of seed count. Same executor-loss
+    caveat as ``random_walks``'s local checkpoints.
+    """
+    spark = edges.sparkSession
+    parts = _edge_partition_count(spark, edge_partitions)
+    e = (
+        edges.select("src", "dst")
+        .repartition(parts, "src")
+        .localCheckpoint(eager=False)
+    )
+    visited = seeds.select(
+        "seed", F.col("seed").alias("v"), F.lit(0).cast("int").alias("hop")
+    ).localCheckpoint(eager=False)
+    frontier = visited.select("seed", "v")
+    for step in range(1, n_hops + 1):
+        cand = (
+            frontier.withColumnRenamed("v", "src")
+            .hint("shuffle_hash")
+            .join(e, "src")
+            .select("seed", F.col("dst").alias("v"))
+            .distinct()
+        )
+        frontier = cand.join(
+            visited.select("seed", "v"), ["seed", "v"], "left_anti"
+        ).localCheckpoint(eager=False)
+        visited = visited.unionAll(
+            frontier.select(
+                "seed", "v", F.lit(step).cast("int").alias("hop")
+            )
+        ).localCheckpoint(eager=False)
+    return visited
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,
@@ -304,9 +387,7 @@ def pagerank(
     # partitions beat task-launch overhead; pass ``edge_partitions``
     # explicitly for graphs whose edge count warrants more.
     spark = edges.sparkSession
-    parts = edge_partitions or max(
-        2, spark.sparkContext.defaultParallelism // 4
-    )
+    parts = _edge_partition_count(spark, edge_partitions)
     # eager=False: defer block materialization to the caller's first
     # action (no hidden job at call time); blocks are reclaimed by the
     # ContextCleaner once the returned lineage is unreachable.
@@ -366,18 +447,7 @@ def label_propagation(
     Returns (v, lbl) — final community label per vertex.
     """
     spark = edges.sparkSession
-    if edge_partitions is None:
-        par = spark.conf.get("spark.default.parallelism", None)
-        if par is None:
-            try:
-                par = spark.sparkContext.defaultParallelism
-            except Exception:  # Spark Connect: no sparkContext
-                par = 8
-        parts = max(2, int(par) // 4)
-    else:
-        if edge_partitions < 1:
-            raise ValueError("edge_partitions must be >= 1")
-        parts = edge_partitions
+    parts = _edge_partition_count(spark, edge_partitions)
     e = (
         edges.select("src", "dst")
         .repartition(parts, "dst")
@@ -432,18 +502,7 @@ def kcore_peel(
     inside the surviving subgraph.
     """
     spark = edges.sparkSession
-    if edge_partitions is None:
-        par = spark.conf.get("spark.default.parallelism", None)
-        if par is None:
-            try:
-                par = spark.sparkContext.defaultParallelism
-            except Exception:  # Spark Connect: no sparkContext
-                par = 8
-        parts = max(2, int(par) // 4)
-    else:
-        if edge_partitions < 1:
-            raise ValueError("edge_partitions must be >= 1")
-        parts = edge_partitions
+    parts = _edge_partition_count(spark, edge_partitions)
     alive = (
         edges.select("src", "dst")
         .repartition(parts, "src")
@@ -526,22 +585,7 @@ def random_walks(
     Returns (anchor, step, context), steps 1..n_steps.
     """
     spark = edges.sparkSession
-    if edge_partitions is None:
-        # spark.conf-based lookup keeps this Connect-compatible
-        # (sparkContext is unavailable under Spark Connect); the conf
-        # is unset in plain local[N] sessions, where the context's
-        # defaultParallelism is authoritative.
-        par = spark.conf.get("spark.default.parallelism", None)
-        if par is None:
-            try:
-                par = spark.sparkContext.defaultParallelism
-            except Exception:  # Spark Connect: no sparkContext
-                par = 8
-        parts = max(2, int(par) // 4)
-    else:
-        if edge_partitions < 1:
-            raise ValueError("edge_partitions must be >= 1")
-        parts = edge_partitions
+    parts = _edge_partition_count(spark, edge_partitions)
 
     if reliable_checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)

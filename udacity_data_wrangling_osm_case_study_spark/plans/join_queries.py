@@ -807,6 +807,100 @@ def part_kcore(spark, sf_dir):
 
 
 @register(
+    "part_bfs_hops",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM li l1 JOIN li l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    eu AS (SELECT a, b FROM p GROUP BY a, b HAVING COUNT(*) >= 2),
+    e AS (SELECT a AS src, b AS dst FROM eu UNION ALL SELECT b, a FROM eu),
+    seeds AS (SELECT DISTINCT src AS seed FROM e ORDER BY seed LIMIT 3),
+    v0 AS (SELECT seed, seed AS v, 0 AS hop FROM seeds),
+    f1 AS (SELECT DISTINCT s.seed, e.dst AS v
+           FROM seeds s JOIN e ON e.src = s.seed),
+    n1 AS (SELECT f1.seed, f1.v FROM f1
+           WHERE NOT EXISTS (SELECT 1 FROM v0
+                             WHERE v0.seed = f1.seed AND v0.v = f1.v)),
+    v1 AS (SELECT * FROM v0 UNION ALL SELECT seed, v, 1 FROM n1),
+    f2 AS (SELECT DISTINCT n1.seed, e.dst AS v
+           FROM n1 JOIN e ON e.src = n1.v),
+    n2 AS (SELECT f2.seed, f2.v FROM f2
+           WHERE NOT EXISTS (SELECT 1 FROM v1
+                             WHERE v1.seed = f2.seed AND v1.v = f2.v)),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT seed, v, 2 FROM n2),
+    f3 AS (SELECT DISTINCT n2.seed, e.dst AS v
+           FROM n2 JOIN e ON e.src = n2.v),
+    n3 AS (SELECT f3.seed, f3.v FROM f3
+           WHERE NOT EXISTS (SELECT 1 FROM v2
+                             WHERE v2.seed = f3.seed AND v2.v = f3.v)),
+    v3 AS (SELECT * FROM v2 UNION ALL SELECT seed, v, 3 FROM n3)
+    SELECT CAST(seed AS BIGINT) AS seed, CAST(hop AS INT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+    FROM v3 WHERE hop > 0
+    GROUP BY seed, hop ORDER BY seed, hop
+    """,
+    scan_budget=2,  # BFS supersteps (frontier/visited checkpointed)
+)
+def part_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop distances (operators.graph.bfs_hops) over
+    the support-≥2 co-purchase graph: from the 3 lowest-id connected
+    parts, how many parts sit exactly 1, 2, 3 hops away (with an id
+    checksum per ring, a far stronger cross-engine check than counts
+    alone). Unlike ``part_2hop_reach`` this labels MINIMUM distances —
+    the frontier/visited anti-join construction, not a union of hop
+    closures — so the operator under test is the real distributed SSSP
+    superstep. The oracle replays all 3 supersteps as unrolled CTEs
+    (frontier join + NOT EXISTS visited check per hop) — the same
+    lockstep pattern as ``part_pagerank``/``part_kcore``. Registered
+    with a scan budget: the checkpointed frontier loop must keep the
+    plan at ≤2 fact scans."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e2 = (
+        graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("src", "dst")
+    )
+    sym = e2.unionAll(
+        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        sym.select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(3)
+        .select(F.col("src").alias("seed"))
+    )
+    reached = graph.bfs_hops(sym, seeds, n_hops=3)
+    return (
+        reached.filter(F.col("hop") > 0)
+        .groupBy("seed", "hop")
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.sum("v").cast("long").alias("sum_v"),
+        )
+        .select(
+            F.col("seed").cast("long").alias("seed"),
+            F.col("hop").cast("int").alias("hop"),
+            "n_vertices",
+            "sum_v",
+        )
+        .orderBy("seed", "hop")
+    )
+
+
+@register(
     "orders_above_customer_avg",
     """
     SELECT o_orderkey, o_custkey

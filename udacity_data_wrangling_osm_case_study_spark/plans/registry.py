@@ -60,6 +60,7 @@ _loaded = False
 # names follow in registration order.
 _VERIFY_FIRST = (
     # round-6 additions (never attested, newest work first)
+    "part_bfs_hops",
     "part_kcore",
     "part_communities",
     "benford_first_digit_audit",
