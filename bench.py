@@ -169,6 +169,8 @@ HEADLINE = [
     "benford_first_digit_audit",
     "part_kcore",
     "part_bfs_hops",
+    "event_type_hour_chisq",
+    "mannwhitney_click_view",
 ]
 
 

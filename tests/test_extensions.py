@@ -1816,3 +1816,38 @@ def test_kcore_peel_hand_graph(spark):
     assert got2 == got
     # k higher than any degree empties the graph
     assert graph.kcore_peel(df, k=4, n_rounds=2).count() == 0
+
+
+def test_mannwhitney_matches_bruteforce_midranks(spark):
+    import numpy as np
+
+    from udacity_data_wrangling_osm_case_study_spark.plans.window_queries import (
+        mannwhitney_click_view,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    row = mannwhitney_click_view(spark, sf_dir).collect()[0]
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_type", "cast(round(value * 100) as long) as v"
+        )
+        .filter("event_type in ('click', 'view')")
+        .toPandas()
+    )
+    a = pdf[pdf.event_type == "click"].v.to_numpy()
+    b = pdf[pdf.event_type == "view"].v.to_numpy()
+    both = np.concatenate([a, b])
+    # midranks via double-rank trick: 2*midrank = rank_min + rank_max
+    order = np.argsort(both, kind="stable")
+    ranks_lo = np.empty(len(both))
+    ranks_lo[order] = np.arange(1, len(both) + 1)
+    vals, inv = np.unique(both, return_inverse=True)
+    mid2 = np.zeros(len(vals))
+    for i in range(len(vals)):
+        r = ranks_lo[inv == i]
+        mid2[i] = r.min() + r.max()
+    r2a = int(mid2[inv[: len(a)]].sum())
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert row.r2_a == r2a
+    assert row.u2_a == r2a - len(a) * (len(a) + 1)

@@ -60,6 +60,8 @@ _loaded = False
 # names follow in registration order.
 _VERIFY_FIRST = (
     # round-6 additions (never attested, newest work first)
+    "event_type_hour_chisq",
+    "mannwhitney_click_view",
     "part_bfs_hops",
     "part_kcore",
     "part_communities",

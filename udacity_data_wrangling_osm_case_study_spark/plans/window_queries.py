@@ -1446,3 +1446,196 @@ def user_event_diversity(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "event_type_hour_chisq",
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(date_part('hour', ts) AS INT) AS h
+        FROM events
+    ),
+    obs AS (SELECT event_type, h, COUNT(*) AS o FROM ev
+            GROUP BY event_type, h),
+    rt AS (SELECT event_type, COUNT(*) AS r FROM ev GROUP BY event_type),
+    ct AS (SELECT h, COUNT(*) AS c FROM ev GROUP BY h),
+    tot AS (SELECT COUNT(*) AS n FROM ev),
+    cells AS (
+        SELECT rt.event_type, ct.h, rt.r, ct.c, COALESCE(obs.o, 0) AS o
+        FROM rt CROSS JOIN ct
+        LEFT JOIN obs ON obs.event_type = rt.event_type AND obs.h = ct.h
+    ),
+    stat AS (
+        SELECT SUM(
+                 POW(CAST(o AS DOUBLE)
+                     - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 2)
+                 / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               ) AS chi2,
+               COUNT(*) AS n_cells
+        FROM cells CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_types,
+           CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_hours,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+           CAST(ROUND(chi2, 3) AS DOUBLE) AS chi2,
+           CAST(ROUND(SQRT(chi2 / (CAST(n AS DOUBLE)
+                * (LEAST((SELECT COUNT(*) FROM rt),
+                         (SELECT COUNT(*) FROM ct)) - 1))), 5) AS DOUBLE)
+               AS cramers_v
+    FROM stat CROSS JOIN tot
+    """,
+)
+def event_type_hour_chisq(spark, sf_dir):
+    """Pearson chi-square test of independence between event type and
+    hour-of-day — the seasonality/contingency screen a feed-drift
+    monitor runs ("did the traffic mix change with time of day?").
+    Observed counts come from ONE map-side-combinable fact aggregation;
+    the full r×c expected grid (including zero-observation cells, which
+    plain groupBy would drop but the statistic requires) is built by
+    crossing the two TINY marginal frames and left-joining the observed
+    counts back — driver-scale work after one fact pass. Every cell
+    term is evaluated with the identical correctly-rounded IEEE
+    expression in both engines; only the final ~120-term sum can differ
+    in order, so chi2 is rounded 3 dp (error bound ~1e-12 relative) and
+    Cramér's V 5 dp."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    )
+    obs = ev.groupBy("event_type", "h").agg(F.count("*").alias("o"))
+    rt = ev.groupBy("event_type").agg(F.count("*").alias("r"))
+    ct = ev.groupBy("h").agg(F.count("*").alias("c"))
+    tot = ev.agg(F.count("*").alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(obs, ["event_type", "h"], "left")
+        .select("r", "c", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    stat = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            (F.pow(F.col("o").cast("double") - e, F.lit(2)) / e).alias("t")
+        )
+        .agg(F.sum("t").alias("chi2"))
+    )
+    dims = rt.agg(F.count("*").alias("n_types")).crossJoin(
+        F.broadcast(ct.agg(F.count("*").alias("n_hours")))
+    )
+    return (
+        stat.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+            ((F.col("n_types") - 1) * (F.col("n_hours") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.round("chi2", 3).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n").cast("double")
+                        * (F.least("n_types", "n_hours") - 1)
+                    )
+                ),
+                5,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "mannwhitney_click_view",
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    per_v AS (
+        SELECT v, COUNT(*) AS cnt,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cnt_a
+        FROM ev GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, cnt, cnt_a,
+               COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+        FROM per_v
+    ),
+    n AS (SELECT SUM(cnt_a) AS na, SUM(cnt - cnt_a) AS nb FROM per_v),
+    r AS (SELECT SUM(cnt_a * (2 * off + cnt + 1)) AS r2a,
+                 SUM(cnt * cnt * cnt - cnt) AS tie3
+          FROM ranked)
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(r2a AS BIGINT) AS r2_a,
+           CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+           CAST((r2a - na * (na + 1)) * 500 // (na * nb) AS BIGINT)
+               AS u_permille,
+           CAST(tie3 AS BIGINT) AS tie_cubed
+    FROM r CROSS JOIN n
+    """,
+)
+def mannwhitney_click_view(spark, sf_dir):
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) between the click and
+    view value distributions, with midrank tie handling — the
+    nonparametric "did the median shift" companion to the KS drift test,
+    and the standard A/B screen when values are skewed. All arithmetic
+    is BIGINT-exact: values reduce to distinct cents, each distinct
+    value's midrank is doubled to stay integral (2·midrank = 2·offset +
+    cnt + 1), and the doubled rank sum 2·R_a folds per value — so U
+    (doubled), the common-language effect size in permille (U/(n_a·n_b)),
+    and the tie-correction numerator Σ(t³−t) all hash bit-identically.
+    The rank offsets come from the two-phase distributed prefix sum
+    (operators.packing.global_token_offsets) — no single-partition
+    window over the value axis, same shape as ``event_value_ks_test``."""
+    from udacity_data_wrangling_osm_case_study_spark.operators.packing import (
+        global_token_offsets,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    per_v = ev.groupBy("v").agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("cnt_a"),
+    )
+    ranked = global_token_offsets(per_v, order_col="v", ntok_col="cnt")
+    n = per_v.agg(
+        F.sum("cnt_a").alias("na"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).alias("nb"),
+    )
+    r = ranked.agg(
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("start") + F.col("cnt") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie3"),
+    )
+    return r.crossJoin(F.broadcast(n)).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("r2a").cast("long").alias("r2_a"),
+        (F.col("r2a") - F.col("na") * (F.col("na") + 1))
+        .cast("long")
+        .alias("u2_a"),
+        F.expr("(r2a - na * (na + 1)) * 500 div (na * nb)")
+        .cast("long")
+        .alias("u_permille"),
+        F.col("tie3").cast("long").alias("tie_cubed"),
+    )
