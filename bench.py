@@ -171,6 +171,7 @@ HEADLINE = [
     "part_bfs_hops",
     "event_type_hour_chisq",
     "mannwhitney_click_view",
+    "bootstrap_mean_ci",
 ]
 
 

@@ -179,6 +179,9 @@ def test_no_cartesian_products_anywhere(spark):
         "hybrid_search_rrf",            # 1-row query vector + BM25 stats
         "negative_sampling_pairs",      # 25-row brand-vocabulary dim
         "t_closeness_report",           # 1-row global band-distribution frame
+        "event_type_hour_chisq",        # 1-row total + 24-row hour marginals
+        "mannwhitney_click_view",       # 1-row sample-size frame
+        "bootstrap_mean_ci",            # 1-row replicate-order-stats frame
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

@@ -1106,3 +1106,137 @@ def weighted_doc_sample_aes(spark, sf_dir):
     the same fixed-point pipeline from the same imported table."""
     docs = table(spark, sf_dir, "documents")
     return sampling.weighted_bottom_k_aes(docs, "doc_id", "n_chars", k=50)
+
+
+# Poisson(1) inverse-CDF thresholds on 48-bit hash units: weight k is
+# drawn when u48 < _POIS48[k] first fires (else 8). floor(cumP(k)·2^48)
+# for k = 0..7 — hardcoded so the Spark and DuckDB expressions are
+# literal-identical.
+_POIS48 = (
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+    281451546410098,
+    281472091818260,
+)
+
+_POIS_SQL_CASE = "CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS48)
+) + " ELSE 8 END"
+
+
+@register(
+    "bootstrap_mean_ci",
+    f"""
+    WITH base AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'click'
+    ),
+    drawn AS (
+        SELECT r.b, base.v,
+               CAST(('0x' || substr(md5('boot:' || CAST(r.b AS VARCHAR)
+                       || ':' || CAST(event_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) AS u
+        FROM base, LATERAL unnest(range(1, 201)) r(b)
+    ),
+    w AS (SELECT b, v, {_POIS_SQL_CASE} AS w FROM drawn),
+    rep AS (SELECT b, SUM(w * v) AS swv, SUM(w) AS sw
+            FROM w GROUP BY b HAVING SUM(w) > 0),
+    means AS (SELECT b, ROUND(CAST(swv AS DOUBLE) / sw, 4) AS m FROM rep),
+    ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn
+               FROM means),
+    tot AS (SELECT COUNT(*) AS n, SUM(v) AS sv FROM base)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((SELECT COUNT(*) FROM means) AS BIGINT) AS n_replicates,
+           CAST(ROUND(CAST(sv AS DOUBLE) / n, 4) AS DOUBLE) AS mean_cents,
+           (SELECT m FROM ranked WHERE rn = 5) AS ci_lo_cents,
+           (SELECT m FROM ranked WHERE rn = 196) AS ci_hi_cents
+    FROM tot
+    """,
+)
+def bootstrap_mean_ci(spark, sf_dir):
+    """Percentile-bootstrap 95% CI for the mean click value via the
+    POISSON bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams" — the resampling scheme built for
+    map-reduce): instead of drawing n indices per replicate (which
+    needs a global row index and a shuffle per replicate), each row
+    independently draws its multiplicity in replicate b as a
+    Poisson(1) variate. Sum of per-row Poisson(1) counts = Poisson(n)
+    ≈ the multinomial bootstrap for large n, and the draw is row-LOCAL:
+    one md5 per (row, replicate), no coordination, so the 200-replicate
+    resample is a single map + one groupBy(replicate) over n·B rows.
+    The "randomness" is the salted-hash house standard (md5 48-bit
+    units vs hardcoded inverse-CDF thresholds — engine-portable, no RNG
+    state); replicate means are rounded 4 dp (one IEEE division of two
+    exact BIGINTs) before the order-statistic pick, so both engines
+    sort identical doubles. The 200-row replicate frame collapses to
+    order statistics with one sort_array(collect_list()) — row-local,
+    no global-rank window, no crossJoin."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    drawn = base.select(
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(200))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "b",
+        "v",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    w = F.when(F.col("u") < _POIS48[0], 0)
+    for k, t in enumerate(_POIS48[1:], start=1):
+        w = w.when(F.col("u") < t, k)
+    w = w.otherwise(8)
+    rep = (
+        drawn.select("b", "v", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    means = rep.select(
+        "b",
+        F.round(F.col("swv").cast("double") / F.col("sw"), 4).alias("m"),
+    )
+    stats = means.agg(
+        F.sort_array(F.collect_list(F.struct("m", "b"))).alias("ms"),
+        F.count("*").alias("n_replicates"),
+    ).select(
+        "n_replicates",
+        F.element_at("ms", 5)["m"].alias("ci_lo_cents"),
+        F.element_at("ms", 196)["m"].alias("ci_hi_cents"),
+    )
+    tot = base.agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    return tot.crossJoin(F.broadcast(stats)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_replicates").cast("long").alias("n_replicates"),
+        F.round(F.col("sv").cast("double") / F.col("n"), 4).alias(
+            "mean_cents"
+        ),
+        "ci_lo_cents",
+        "ci_hi_cents",
+    )

@@ -62,6 +62,7 @@ _VERIFY_FIRST = (
     # round-6 additions (never attested, newest work first)
     "event_type_hour_chisq",
     "mannwhitney_click_view",
+    "bootstrap_mean_ci",
     "part_bfs_hops",
     "part_kcore",
     "part_communities",
