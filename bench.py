@@ -172,6 +172,7 @@ HEADLINE = [
     "event_type_hour_chisq",
     "mannwhitney_click_view",
     "bootstrap_mean_ci",
+    "source_centroid_cosine",
 ]
 
 

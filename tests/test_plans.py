@@ -182,6 +182,7 @@ def test_no_cartesian_products_anywhere(spark):
         "event_type_hour_chisq",        # 1-row total + 24-row hour marginals
         "mannwhitney_click_view",       # 1-row sample-size frame
         "bootstrap_mean_ci",            # 1-row replicate-order-stats frame
+        "source_centroid_cosine",       # k-row centroid bank, inequality pair join
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

@@ -63,6 +63,7 @@ _VERIFY_FIRST = (
     "event_type_hour_chisq",
     "mannwhitney_click_view",
     "bootstrap_mean_ci",
+    "source_centroid_cosine",
     "part_bfs_hops",
     "part_kcore",
     "part_communities",

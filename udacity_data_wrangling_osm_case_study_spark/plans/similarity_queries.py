@@ -1186,3 +1186,84 @@ def hybrid_search_rrf(spark, sf_dir):
         F.coalesce("sem_rnk", F.lit(0)).cast("long").alias("sem_rank"),
     )
     return fused.orderBy(F.desc("rrf_ppm"), "doc_id").limit(10)
+
+
+@register(
+    "source_centroid_cosine",
+    """
+    WITH j AS (
+        SELECT d.source,
+               list_transform(CAST(e.embedding AS DOUBLE[]),
+                              x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    ex AS (SELECT source, CAST(t.i AS INT) AS i, q[CAST(t.i AS INT)] AS val
+           FROM j, LATERAL unnest(range(1, 65)) t(i)),
+    sums AS (SELECT source, i, SUM(val) AS s FROM ex GROUP BY source, i),
+    cent AS (SELECT source, list(CAST(s AS DOUBLE) ORDER BY i) AS c
+             FROM sums GROUP BY source),
+    p AS (SELECT a.source AS src_a, b.source AS src_b, a.c AS ca, b.c AS cb
+          FROM cent a JOIN cent b ON a.source < b.source)
+    SELECT src_a, src_b,
+           CAST(ROUND(list_dot_product(ca, cb) /
+                (sqrt(list_dot_product(ca, ca))
+                 * sqrt(list_dot_product(cb, cb))) * 10000) AS BIGINT)
+               AS cos_bp
+    FROM p ORDER BY src_a, src_b
+    """,
+)
+def source_centroid_cosine(spark, sf_dir):
+    """Corpus-drift fingerprint: the pairwise cosine similarity matrix
+    between per-SOURCE embedding centroids — "which feeds look
+    semantically alike", the cheap screen before per-document
+    cross-source dedup and the standard mixture-monitoring readout.
+    Centroids are computed as integer milli-unit SUM vectors (cosine is
+    scale-invariant, so the mean's 1/n cancels and no float division
+    enters the aggregation): one posexplode + per-(source, dim)
+    map-side-combinable SUM — exact BIGINT in any summation order,
+    the ``embedding_covariance`` quantization pattern. The k-row
+    centroid bank then pairs with itself under a broadcast inequality
+    join (k sources — driver-scale), and each pair's dot/norms fold
+    ROW-LOCALLY over exact integers (≤2^53, so the IEEE double math is
+    exact and engine-identical up to the final correctly-rounded
+    sqrt/divide, reported in basis points)."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = docs.join(
+        emb, docs.doc_id == emb.vec_id
+    ).select(
+        "source",
+        F.transform(
+            "embedding", lambda x: F.round(x * 1000).cast("long")
+        ).alias("q"),
+    )
+    ex = j.select("source", F.posexplode("q").alias("i", "val"))
+    sums = ex.groupBy("source", "i").agg(F.sum("val").alias("s"))
+    cent = sums.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))),
+            lambda st: st["s"].cast("double"),
+        ).alias("c")
+    )
+    a = cent.select(F.col("source").alias("src_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("source").alias("src_b"), F.col("c").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda u, v: u * v),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        F.round(
+            dot(F.col("ca"), F.col("cb"))
+            / (
+                F.sqrt(dot(F.col("ca"), F.col("ca")))
+                * F.sqrt(dot(F.col("cb"), F.col("cb")))
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("cos_bp"),
+    ).orderBy("src_a", "src_b")
