@@ -173,6 +173,7 @@ HEADLINE = [
     "mannwhitney_click_view",
     "bootstrap_mean_ci",
     "source_centroid_cosine",
+    "customer_spend_gini",
 ]
 
 

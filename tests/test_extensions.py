@@ -1851,3 +1851,30 @@ def test_mannwhitney_matches_bruteforce_midranks(spark):
     assert row.n_a == len(a) and row.n_b == len(b)
     assert row.r2_a == r2a
     assert row.u2_a == r2a - len(a) * (len(a) + 1)
+
+
+def test_gini_matches_bruteforce_sorted_definition(spark):
+    from udacity_data_wrangling_osm_case_study_spark.plans.exploration import (
+        customer_spend_gini,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    row = customer_spend_gini(spark, sf_dir).collect()[0]
+    spend = sorted(
+        r.c
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2))) * 100 as long)"
+            ).alias("c")
+        )
+        .collect()
+    )
+    n = len(spend)
+    sx = sum(spend)
+    i2x = sum(2 * (i + 1) * x for i, x in enumerate(spend))
+    assert row.n == n
+    assert row.total_cents == sx
+    assert row.gini_num == i2x - (n + 1) * sx
+    assert row.gini_den == n * sx

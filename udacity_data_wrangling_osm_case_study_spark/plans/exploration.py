@@ -1025,3 +1025,88 @@ def orders_status_priority_cube(spark, sf_dir):
         )
         .orderBy("gid", "status", "priority")
     )
+
+
+@register(
+    "customer_spend_gini",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS c
+        FROM orders GROUP BY o_custkey
+    ),
+    per_v AS (SELECT c AS v, COUNT(*) AS cnt FROM spend GROUP BY c),
+    ranked AS (
+        SELECT v, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+        FROM per_v
+    ),
+    agg AS (
+        SELECT SUM(cnt) AS n, SUM(v * cnt) AS sx,
+               SUM(v * (2 * cnt * off + cnt * cnt + cnt)) AS i2x
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS total_cents,
+           CAST(i2x - (n + 1) * sx AS BIGINT) AS gini_num,
+           CAST(n * sx AS BIGINT) AS gini_den,
+           CAST((i2x - (n + 1) * sx) * 1000 // (n * sx) AS BIGINT)
+               AS gini_permille
+    FROM agg
+    """,
+)
+def customer_spend_gini(spark, sf_dir):
+    """Exact Gini coefficient of customer lifetime spend — the
+    concentration metric a curation pipeline runs on source/author
+    contribution balance ("how unequal is this corpus?"), here over
+    per-customer order totals. All arithmetic is BIGINT-exact: spend
+    reduces to exact decimal cents, values group to distinct amounts,
+    and the sorted-rank identity G = (2·Σ iₓ·xᵢ − (n+1)·Σx)/(n·Σx)
+    folds per distinct value — a tied block of ``cnt`` copies of v
+    occupying ranks off+1..off+cnt contributes v·(2·cnt·off + cnt² +
+    cnt) to the DOUBLED rank-weighted sum, independent of intra-tie
+    order. Rank offsets come from the two-phase distributed prefix sum
+    (operators.packing.global_token_offsets) — no single-partition
+    window. Numerator/denominator ship exactly alongside the integer
+    permille; Σ i·x ≈ n²·x̄ stays far inside BIGINT at warehouse scale
+    (overflow at ~10¹⁸: n·√x̄_cents > 10⁹·√10⁹ territory)."""
+    from udacity_data_wrangling_osm_case_study_spark.operators.packing import (
+        global_token_offsets,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("c")
+    )
+    per_v = spend.groupBy(F.col("c").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    ranked = global_token_offsets(per_v, order_col="v", ntok_col="cnt")
+    agg = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).alias("sx"),
+        F.sum(
+            F.col("v")
+            * (
+                2 * F.col("cnt") * F.col("start")
+                + F.col("cnt") * F.col("cnt")
+                + F.col("cnt")
+            )
+        ).alias("i2x"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("total_cents"),
+        (F.col("i2x") - (F.col("n") + 1) * F.col("sx"))
+        .cast("long")
+        .alias("gini_num"),
+        (F.col("n") * F.col("sx")).cast("long").alias("gini_den"),
+        F.expr("(i2x - (n + 1) * sx) * 1000 div (n * sx)")
+        .cast("long")
+        .alias("gini_permille"),
+    )

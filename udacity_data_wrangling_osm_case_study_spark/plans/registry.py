@@ -64,6 +64,7 @@ _VERIFY_FIRST = (
     "mannwhitney_click_view",
     "bootstrap_mean_ci",
     "source_centroid_cosine",
+    "customer_spend_gini",
     "part_bfs_hops",
     "part_kcore",
     "part_communities",
