@@ -174,6 +174,8 @@ HEADLINE = [
     "bootstrap_mean_ci",
     "source_centroid_cosine",
     "customer_spend_gini",
+    "daily_count_autocorr",
+    "event_markov_stationary",
 ]
 
 

@@ -183,6 +183,7 @@ def test_no_cartesian_products_anywhere(spark):
         "mannwhitney_click_view",       # 1-row sample-size frame
         "bootstrap_mean_ci",            # 1-row replicate-order-stats frame
         "source_centroid_cosine",       # k-row centroid bank, inequality pair join
+        "daily_count_autocorr",         # 1-row series-total frame
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []

@@ -65,6 +65,8 @@ _VERIFY_FIRST = (
     "bootstrap_mean_ci",
     "source_centroid_cosine",
     "customer_spend_gini",
+    "daily_count_autocorr",
+    "event_markov_stationary",
     "part_bfs_hops",
     "part_kcore",
     "part_communities",

@@ -1639,3 +1639,166 @@ def mannwhitney_click_view(spark, sf_dir):
         .alias("u_permille"),
         F.col("tie3").cast("long").alias("tie_cubed"),
     )
+
+
+@register(
+    "daily_count_autocorr",
+    """
+    WITH days AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY d
+    ),
+    span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM days),
+    spine AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+                     AS DATE) AS d FROM span),
+    serie AS (SELECT spine.d, COALESCE(days.x, 0) AS x
+              FROM spine LEFT JOIN days ON days.d = spine.d),
+    ns AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM serie),
+    lag_exp AS (
+        SELECT CAST(k.k AS INT) AS k, serie.d + CAST(k.k AS INT) AS d2,
+               x AS xl
+        FROM serie, LATERAL unnest(range(1, 8)) k(k)
+    ),
+    num AS (
+        SELECT k, SUM((ns.n * serie.x - ns.s) * (ns.n * lag_exp.xl - ns.s))
+                   AS acf_num
+        FROM lag_exp JOIN serie ON serie.d = lag_exp.d2 CROSS JOIN ns
+        GROUP BY k
+    ),
+    den AS (SELECT SUM((ns.n * x - ns.s) * (ns.n * x - ns.s)) AS acf_den
+            FROM serie CROSS JOIN ns)
+    SELECT k, CAST((SELECT n FROM ns) AS BIGINT) AS n_days,
+           CAST(acf_num AS BIGINT) AS acf_num,
+           CAST(acf_den AS BIGINT) AS acf_den,
+           CAST(ROUND(acf_num * 1000.0 / acf_den, 3) AS DOUBLE) AS acf_milli
+    FROM num CROSS JOIN den ORDER BY k
+    """,
+)
+def daily_count_autocorr(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    weekly-seasonality screen a feed monitor runs before alerting on
+    volume anomalies. The series is completed over a calendar spine
+    (missing days count 0 — otherwise every gap silently shifts the
+    lags), then the ACF numerators clear denominators: with S = Σx the
+    lag-k covariance term folds as Σ (n·x_t − S)(n·x_{t+k} − S) — exact
+    BIGINT per term in both engines, no float mean subtraction. All 7
+    lags come from ONE bounded ×7 day-expansion join on the ~days-sized
+    reduced series (never events × lags); only the final ratio touches
+    doubles (exact-integer operands, rounded 3 dp)."""
+    ev = table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    days = ev.groupBy("d").agg(F.count("*").alias("x"))
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    serie = spine.join(days, "d", "left").select(
+        "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    ns = serie.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    lag_exp = serie.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"),
+        F.col("d"),
+        F.col("x").alias("xl"),
+    ).select("k", F.date_add("d", F.col("k")).alias("d2"), "xl")
+    num = (
+        lag_exp.join(serie.select(F.col("d").alias("d2"), "x"), "d2")
+        .crossJoin(F.broadcast(ns))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("xl") - F.col("s"))
+            ).alias("acf_num")
+        )
+    )
+    den = serie.crossJoin(F.broadcast(ns)).agg(
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("s"))
+            * (F.col("n") * F.col("x") - F.col("s"))
+        ).alias("acf_den"),
+        F.first("n").alias("n_days"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "k",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("acf_num").cast("long").alias("acf_num"),
+            F.col("acf_den").cast("long").alias("acf_den"),
+            F.round(
+                F.col("acf_num") * 1000.0 / F.col("acf_den"), 3
+            ).alias("acf_milli"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "event_markov_stationary",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pair AS (
+        SELECT prev_type AS a, event_type AS b, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY a, b
+    ),
+    tot AS (SELECT a, SUM(n) AS t FROM pair GROUP BY a),
+    p AS (SELECT pair.a, pair.b, pair.n * 1000000 // tot.t AS pm
+          FROM pair JOIN tot ON tot.a = pair.a),
+    pi0 AS (SELECT DISTINCT a AS s, CAST(1000000 AS BIGINT) AS r FROM p),
+    pi1 AS (SELECT p.b AS s, SUM(pi0.r * p.pm // 1000000) AS r
+            FROM p JOIN pi0 ON pi0.s = p.a GROUP BY p.b),
+    pi2 AS (SELECT p.b AS s, SUM(pi1.r * p.pm // 1000000) AS r
+            FROM p JOIN pi1 ON pi1.s = p.a GROUP BY p.b),
+    pi3 AS (SELECT p.b AS s, SUM(pi2.r * p.pm // 1000000) AS r
+            FROM p JOIN pi2 ON pi2.s = p.a GROUP BY p.b)
+    SELECT s AS event_type, CAST(r AS BIGINT) AS pi_micro
+    FROM pi3 ORDER BY event_type
+    """,
+    scan_budget=2,  # power-iteration supersteps (P checkpointed)
+)
+def event_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-behavior Markov chain: 3
+    integer-exact power-iteration steps π' = π·P over the same
+    row-stochastic transition matrix as ``event_transition_matrix``
+    (micro-unit probabilities, integer division — engine-portable where
+    float iteration is not). The long-run state mix is the steady-state
+    complement to the one-step matrix: which event types absorb user
+    attention as sessions run long. The fact table is touched ONCE (the
+    lag window + pair count); the |types|²-row transition frame is
+    checkpointed and each superstep is a tiny join + groupBy — same
+    loop hygiene as ``part_pagerank``, enforced by the registry scan
+    budget. Oracle replays the 3 supersteps as unrolled CTEs."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("a"), F.col("event_type").alias("b")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("a").agg(F.sum("n").alias("t"))
+    p = (
+        pairs.join(F.broadcast(tot), "a")
+        .select("a", "b", F.expr("n * 1000000 DIV t").alias("pm"))
+        .localCheckpoint(eager=False)
+    )
+    pi = p.select("a").distinct().select(
+        F.col("a").alias("s"), F.lit(1_000_000).cast("long").alias("r")
+    )
+    for _ in range(3):
+        pi = (
+            p.join(pi.withColumnRenamed("s", "a"), "a")
+            .groupBy("b")
+            .agg(F.sum(F.expr("r * pm DIV 1000000")).alias("r"))
+            .select(F.col("b").alias("s"), "r")
+        )
+    return pi.select(
+        F.col("s").alias("event_type"),
+        F.col("r").cast("long").alias("pi_micro"),
+    ).orderBy("event_type")
