@@ -176,6 +176,7 @@ HEADLINE = [
     "customer_spend_gini",
     "daily_count_autocorr",
     "event_markov_stationary",
+    "event_bigram_entropy",
 ]
 
 

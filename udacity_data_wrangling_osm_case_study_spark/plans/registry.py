@@ -67,6 +67,7 @@ _VERIFY_FIRST = (
     "customer_spend_gini",
     "daily_count_autocorr",
     "event_markov_stationary",
+    "event_bigram_entropy",
     "part_bfs_hops",
     "part_kcore",
     "part_communities",

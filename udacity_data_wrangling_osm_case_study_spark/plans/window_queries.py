@@ -1802,3 +1802,98 @@ def event_markov_stationary(spark, sf_dir):
         F.col("s").alias("event_type"),
         F.col("r").cast("long").alias("pi_micro"),
     ).orderBy("event_type")
+
+
+def _bigram_entropy_oracle() -> str:
+    # Embeds the SAME 256-entry micro-nat ln table the operator imports
+    # (operators.sampling._LN_TABLE) so the engines cannot drift.
+    from udacity_data_wrangling_osm_case_study_spark.operators.sampling import (
+        _LN2_MICRO,
+        _LN_TABLE,
+    )
+
+    tbl = ", ".join(str(v) for v in _LN_TABLE)
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pair AS (
+        SELECT prev_type AS a, event_type AS b, COUNT(*) AS c
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY a, b
+    ),
+    tot AS (SELECT a, SUM(c) AS t FROM pair GROUP BY a),
+    h AS (
+        SELECT pair.a, pair.c,
+               GREATEST((pair.c * 16777216 // tot.t) * 16777216, 1) AS hv
+        FROM pair JOIN tot ON tot.a = pair.a
+    ),
+    m AS (SELECT a, c, hv, length(bin(hv)) AS n FROM h),
+    nl AS (
+        SELECT a, c,
+               CAST(48 * {_LN2_MICRO} AS BIGINT)
+               - (CAST(n - 1 AS BIGINT) * {_LN2_MICRO}
+                  + [{tbl}][CAST(FLOOR(CAST(hv AS DOUBLE)
+                        * POWER(2, 9 - n)) AS INT) - 255]) AS negln_micro
+        FROM m
+    ),
+    st AS (SELECT a, SUM(c) AS t, SUM(c * negln_micro) AS nll
+           FROM nl GROUP BY a)
+    SELECT a AS event_type, CAST(t AS BIGINT) AS n_transitions,
+           CAST(nll AS BIGINT) AS nll_micro,
+           CAST(nll // t AS BIGINT) AS mean_nll_micro
+    FROM st ORDER BY event_type
+    """
+
+
+@register("event_bigram_entropy", _bigram_entropy_oracle())
+def event_bigram_entropy(spark, sf_dir):
+    """Per-state conditional entropy of the user-behavior bigram model
+    — the sequence-predictability readout behind "which state is most
+    surprising to leave" and the discrete twin of a language model's
+    per-context NLL. For each prev-state a, H(next|a) in micro-nats =
+    Σ_b c_ab · (−ln(c_ab/t_a)) / t_a, evaluated with the engine's
+    integer −ln (operators.sampling.negln_micro_48 — bit-length + a
+    256-entry mantissa table, no libm): the probability ratio is
+    pre-quantized to 24 bits (c·2²⁴ div t, an exact shift into the
+    48-bit domain, ~6e-8 relative quantization — far under the table's
+    half-cell 0.2%) so every product stays inside BIGINT at any
+    realistic scale (overflows only past t ≈ 2⁵³⁻²⁴ transitions per
+    state). One lag window + one pair aggregation touch the fact table;
+    everything after runs on the |types|²-row frame. The oracle embeds
+    the imported table — the two engines cannot drift."""
+    from udacity_data_wrangling_osm_case_study_spark.operators.sampling import (
+        negln_micro_48,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("a"), F.col("event_type").alias("b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    tot = pairs.groupBy("a").agg(F.sum("c").alias("t"))
+    h = pairs.join(F.broadcast(tot), "a").select(
+        "a",
+        "c",
+        F.greatest(
+            F.expr("(c * 16777216 DIV t) * 16777216"), F.lit(1)
+        ).alias("hv"),
+    )
+    nl = h.select("a", "c", negln_micro_48(F.col("hv")).alias("negln_micro"))
+    st = nl.groupBy("a").agg(
+        F.sum("c").alias("t"),
+        F.sum(F.col("c") * F.col("negln_micro")).alias("nll"),
+    )
+    return st.select(
+        F.col("a").alias("event_type"),
+        F.col("t").cast("long").alias("n_transitions"),
+        F.col("nll").cast("long").alias("nll_micro"),
+        F.expr("nll DIV t").cast("long").alias("mean_nll_micro"),
+    ).orderBy("event_type")
