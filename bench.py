@@ -177,6 +177,7 @@ HEADLINE = [
     "daily_count_autocorr",
     "event_markov_stationary",
     "event_bigram_entropy",
+    "nation_market_share",
 ]
 
 

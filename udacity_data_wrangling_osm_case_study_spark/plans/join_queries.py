@@ -1900,3 +1900,103 @@ def entity_profile_native(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+@register(
+    "nation_market_share",
+    """
+    WITH base AS (
+        SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+               sn.n_name AS supp_nation,
+               CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ),
+    yr AS (
+        SELECT o_year,
+               CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_2'
+                                   THEN rev ELSE 0 END) * 100)
+                    AS BIGINT) AS nation_rev_c,
+               CAST(ROUND(SUM(rev) * 100) AS BIGINT) AS market_rev_c
+        FROM base GROUP BY o_year
+    )
+    SELECT o_year, nation_rev_c, market_rev_c,
+           CAST(nation_rev_c * 10000 // market_rev_c AS BIGINT) AS share_bp
+    FROM yr ORDER BY o_year
+    """,
+)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped national market share: the 7-table star/snowflake
+    join (fact → orders → customer → nation → region on the demand side,
+    fact → supplier → nation on the supply side, plus the part filter)
+    that exercises Catalyst's join reordering and broadcast planning at
+    full width — every dimension side must come out broadcast and the
+    fact tables must join exactly once each. Revenue folds as exact
+    decimal cents and the share is integer basis points (nation
+    numerator clears the market denominator — no float division on the
+    aggregation path), so the result hashes identically across
+    engines."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_partkey",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount").cast(_DEC))
+        ).alias("rev"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .select("o_year", "supp_nation", "rev")
+    )
+    yr = base.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_2", F.col("rev")
+                ).otherwise(F.lit(0).cast(_DEC))
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("nation_rev_c"),
+        F.round(F.sum("rev") * 100).cast("long").alias("market_rev_c"),
+    )
+    return yr.select(
+        "o_year",
+        "nation_rev_c",
+        "market_rev_c",
+        F.expr("nation_rev_c * 10000 DIV market_rev_c")
+        .cast("long")
+        .alias("share_bp"),
+    ).orderBy("o_year")

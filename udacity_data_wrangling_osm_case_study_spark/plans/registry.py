@@ -68,6 +68,7 @@ _VERIFY_FIRST = (
     "daily_count_autocorr",
     "event_markov_stationary",
     "event_bigram_entropy",
+    "nation_market_share",
     "part_bfs_hops",
     "part_kcore",
     "part_communities",
