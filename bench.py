@@ -178,6 +178,7 @@ HEADLINE = [
     "event_markov_stationary",
     "event_bigram_entropy",
     "nation_market_share",
+    "part_price_smoothing",
 ]
 
 

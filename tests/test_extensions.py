@@ -1878,3 +1878,43 @@ def test_gini_matches_bruteforce_sorted_definition(spark):
     assert row.total_cents == sx
     assert row.gini_num == i2x - (n + 1) * sx
     assert row.gini_den == n * sx
+
+
+def test_feature_propagation_hand_computed(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    # path 1-2-3 (symmetric), features 100/0/100:
+    # step1: h(1) = (100 + 0//1)//2 = 50, h(3) = 50,
+    #        h(2) = (0 + (100+100)//2)//2 = 50
+    # step2: h(1) = (50 + 50//1)//2 = 50, h(3) = 50,
+    #        h(2) = (50 + (50+50)//2)//2 = 50
+    und = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    from pyspark.sql import functions as F
+
+    sym = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    feats = spark.createDataFrame([(1, 100), (2, 0), (3, 100)], ["v", "h"])
+    one = {
+        r.v: r.h
+        for r in graph.feature_propagation(sym, feats, n_iter=1).collect()
+    }
+    assert one == {1: 50, 2: 50, 3: 50}
+    two = {
+        r.v: r.h
+        for r in graph.feature_propagation(sym, feats, n_iter=2).collect()
+    }
+    assert two == {1: 50, 2: 50, 3: 50}
+
+
+def test_feature_propagation_isolated_vertex_keeps_feature(spark):
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    feats = spark.createDataFrame([(1, 10), (2, 30), (9, 77)], ["v", "h"])
+    got = {
+        r.v: r.h
+        for r in graph.feature_propagation(edges, feats, n_iter=1).collect()
+    }
+    # 1: (10 + 30//1)//2 = 20; 2: (30 + 10//1)//2 = 20; 9 untouched
+    assert got == {1: 20, 2: 20, 9: 77}

@@ -643,3 +643,66 @@ def random_walks(
     for o in outs[1:]:
         result = result.unionAll(o)
     return result
+
+
+def feature_propagation(
+    edges: DataFrame,
+    features: DataFrame,
+    n_iter: int = 2,
+    edge_partitions: int | None = None,
+) -> DataFrame:
+    """Integer-exact neighbor-mean feature smoothing — the aggregation
+    primitive of graph neural networks / label propagation on features
+    ("propagate attributes along edges"), run as fixed supersteps:
+
+        h'(v) = (h(v) + (Σ_{u∈N(v)} h(u)) div deg(v)) div 2
+
+    — self-feature averaged with the integer neighbor mean, all BIGINT
+    (div = integer division), so the smoothed values are bit-identical
+    in any engine; the float formulation differs only by sub-unit
+    rounding. ``edges``: directed (src, dst), pass both directions for
+    undirected graphs; ``features``: (v, h) integer features. Vertices
+    with no out-edges keep their feature; vertices without a feature
+    row contribute nothing (inner join semantics — degree counts ALL
+    neighbors, so missing-feature neighbors pull the mean toward 0 only
+    if the caller leaves them out; pass complete features).
+
+    Plan shape per superstep (same Pregel layout as ``pagerank``): the
+    src-hash-partitioned checkpointed edge frame joins the vertex-sized
+    feature frame (shuffle-hash — only features move), one map-side
+    combinable groupBy(dst), one vertex-sized degree re-attach; feature
+    frames checkpoint per step so k supersteps never recompute the
+    prefix. Returns (v, h) after ``n_iter`` rounds.
+    """
+    spark = edges.sparkSession
+    parts = _edge_partition_count(spark, edge_partitions)
+    e = (
+        edges.select("src", "dst")
+        .repartition(parts, "src")
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("dst").agg(F.count("*").alias("deg"))
+    h = features.select("v", "h").localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        nbsum = (
+            e.join(
+                h.withColumnRenamed("v", "src").hint("shuffle_hash"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("h").alias("s"))
+        )
+        h = (
+            h.join(nbsum.withColumnRenamed("dst", "v"), "v", "left")
+            .join(deg.withColumnRenamed("dst", "v"), "v", "left")
+            .select(
+                "v",
+                F.when(
+                    F.col("s").isNotNull(),
+                    F.expr("(h + s DIV deg) DIV 2"),
+                )
+                .otherwise(F.col("h"))
+                .alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return h

@@ -2000,3 +2000,106 @@ def nation_market_share(spark, sf_dir):
         .cast("long")
         .alias("share_bp"),
     ).orderBy("o_year")
+
+
+@register(
+    "part_price_smoothing",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pp AS (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM li l1 JOIN li l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    eu AS (SELECT a, b FROM pp GROUP BY a, b HAVING COUNT(*) >= 2),
+    e AS (SELECT a AS src, b AS dst FROM eu UNION ALL SELECT b, a FROM eu),
+    deg AS (SELECT dst, COUNT(*) AS deg FROM e GROUP BY dst),
+    h0 AS (
+        SELECT pt.p_partkey AS v,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS h
+        FROM part pt JOIN (SELECT DISTINCT dst FROM e) vv
+          ON vv.dst = pt.p_partkey
+    ),
+    s1 AS (SELECT e.dst AS v, SUM(h0.h) AS s
+           FROM e JOIN h0 ON h0.v = e.src GROUP BY e.dst),
+    h1 AS (SELECT h0.v,
+                  CASE WHEN s1.s IS NOT NULL
+                       THEN (h0.h + s1.s // deg.deg) // 2
+                       ELSE h0.h END AS h
+           FROM h0 LEFT JOIN s1 ON s1.v = h0.v
+                   LEFT JOIN deg ON deg.dst = h0.v),
+    s2 AS (SELECT e.dst AS v, SUM(h1.h) AS s
+           FROM e JOIN h1 ON h1.v = e.src GROUP BY e.dst),
+    h2 AS (SELECT h1.v,
+                  CASE WHEN s2.s IS NOT NULL
+                       THEN (h1.h + s2.s // deg.deg) // 2
+                       ELSE h1.h END AS h
+           FROM h1 LEFT JOIN s2 ON s2.v = h1.v
+                   LEFT JOIN deg ON deg.dst = h1.v)
+    SELECT CAST(h0.v AS BIGINT) AS part,
+           CAST(h0.h AS BIGINT) AS price_c,
+           CAST(h2.h AS BIGINT) AS smoothed_c,
+           CAST(ABS(h2.h - h0.h) AS BIGINT) AS shift_c
+    FROM h2 JOIN h0 ON h0.v = h2.v
+    ORDER BY shift_c DESC, part LIMIT 20
+    """,
+    scan_budget=2,  # propagation supersteps (feature frames checkpointed)
+)
+def part_price_smoothing(spark, sf_dir):
+    """GNN-style neighbor-mean feature smoothing
+    (operators.graph.feature_propagation): propagate part retail prices
+    (exact cents) along the support-≥2 co-purchase graph for 2
+    integer-exact supersteps, then report the 20 parts whose smoothed
+    price moved furthest from their list price — outliers relative to
+    their basket neighborhood, the graph-native mispricing/anomaly
+    screen and the aggregation primitive under message-passing GNNs.
+    Oracle replays both supersteps as unrolled CTEs (neighbor-sum join
+    + integer mean per round). Registered with a scan budget: the
+    checkpointed propagation loop must keep the plan at ≤2 fact
+    scans."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e2 = (
+        graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("src", "dst")
+    )
+    sym = e2.unionAll(
+        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = sym.select("dst").distinct()
+    # h0 feeds BOTH the propagation loop and the final shift join — one
+    # lazy checkpoint so the second consumer reads the same blocks
+    # instead of re-deriving the part⋈vertex join (and its lineitem
+    # scan) from scratch; keeps the plan inside the scan budget.
+    h0 = (
+        table(spark, sf_dir, "part")
+        .join(verts, F.col("p_partkey") == F.col("dst"))
+        .select(
+            F.col("p_partkey").alias("v"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    h2 = graph.feature_propagation(sym, h0, n_iter=2)
+    return (
+        h2.withColumnRenamed("h", "smoothed")
+        .join(h0.withColumnRenamed("h", "price"), "v")
+        .select(
+            F.col("v").cast("long").alias("part"),
+            F.col("price").cast("long").alias("price_c"),
+            F.col("smoothed").cast("long").alias("smoothed_c"),
+            F.abs(F.col("smoothed") - F.col("price"))
+            .cast("long")
+            .alias("shift_c"),
+        )
+        .orderBy(F.desc("shift_c"), "part")
+        .limit(20)
+    )

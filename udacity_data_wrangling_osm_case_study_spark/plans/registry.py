@@ -69,6 +69,7 @@ _VERIFY_FIRST = (
     "event_markov_stationary",
     "event_bigram_entropy",
     "nation_market_share",
+    "part_price_smoothing",
     "part_bfs_hops",
     "part_kcore",
     "part_communities",
