@@ -714,3 +714,48 @@ def test_kmv_stream_matches_batch_sketch_exactly(spark, events_dir):
     for etype, (n_sk, hk, est) in got.items():
         assert est == batch[etype], (etype, est, batch[etype])
         assert n_sk <= events_stream.KMV_K
+
+
+def test_docs_stream_jsonl_matches_batch_read(spark, tmp_path):
+    """JSONL document stream: shards stream one-per-micro-batch under
+    the SAME pinned schema as the batch JSONL source (imported — the
+    paths cannot drift), and the streamed union equals the batch
+    read of the same folder."""
+    import json
+
+    from udacity_data_wrangling_osm_case_study_spark.sources import jsonl
+    from udacity_data_wrangling_osm_case_study_spark.streaming import corpus_intake
+
+    src = tmp_path / "jsonl_src"
+    src.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"doc {i}", "lang": "en",
+         "source": f"src{i % 3}", "n_chars": 5 + (i % 4)}
+        for i in range(12)
+    ]
+    for shard in range(3):
+        with open(src / f"shard-{shard}.jsonl", "w") as fh:
+            for r in rows[shard * 4:(shard + 1) * 4]:
+                fh.write(json.dumps(r) + "\n")
+
+    stream = corpus_intake.read_docs_stream_jsonl(spark, str(src) + "/*")
+    assert stream.schema == jsonl.DOCUMENTS_SCHEMA
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_stream_docs")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt_jsonl")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql(
+        "SELECT doc_id, text, lang, source, n_chars FROM jsonl_stream_docs"
+    )
+    batch = jsonl.read_documents_jsonl(spark, str(src))
+    assert streamed.count() == 12
+    assert (
+        streamed.exceptAll(batch).count() == 0
+        and batch.exceptAll(streamed).count() == 0
+    )

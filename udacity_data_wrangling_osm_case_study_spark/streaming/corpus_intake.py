@@ -31,24 +31,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from udacity_data_wrangling_osm_case_study_spark.operators import dedup
-
-DOCS_STREAM_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType(), True),
-        StructField("text", StringType(), True),
-        StructField("lang", StringType(), True),
-        StructField("source", StringType(), True),
-        StructField("n_chars", LongType(), True),
-    ]
+from udacity_data_wrangling_osm_case_study_spark.sources.jsonl import (
+    DOCUMENTS_SCHEMA,
 )
+
+# One documents contract for the whole engine: the stream schema IS the
+# batch JSONL/parquet schema (sources.jsonl) — imported, so the two
+# ingestion paths cannot drift.
+DOCS_STREAM_SCHEMA = DOCUMENTS_SCHEMA
 
 
 def read_docs_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
@@ -58,6 +50,20 @@ def read_docs_stream(spark: SparkSession, path: str, max_files_per_trigger: int 
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
+    )
+
+
+def read_docs_stream_jsonl(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """JSONL variant of the document stream — crawl/partner drops land
+    as .jsonl shards far more often than parquet; same pinned schema,
+    same one-shard-per-micro-batch default, so everything downstream
+    (intake dedup, quality gate, index append) is source-agnostic."""
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
     )
 
 
