@@ -179,6 +179,7 @@ HEADLINE = [
     "event_bigram_entropy",
     "nation_market_share",
     "part_price_smoothing",
+    "part_cheapest_path",
 ]
 
 

@@ -1918,3 +1918,31 @@ def test_feature_propagation_isolated_vertex_keeps_feature(spark):
     }
     # 1: (10 + 30//1)//2 = 20; 2: (30 + 10//1)//2 = 20; 9 untouched
     assert got == {1: 20, 2: 20, 9: 77}
+
+
+def test_bellman_ford_cheap_detour_beats_direct_edge(spark):
+    from pyspark.sql import functions as F
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    # direct 1-3 costs 10; detour 1-2-3 costs 2+2=4. BFS would stop at
+    # the 1-hop edge; Bellman-Ford must improve 3's distance in round 2.
+    und = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 2), (2, 3, 2)], ["src", "dst", "w"]
+    )
+    sym = und.unionAll(
+        und.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = spark.createDataFrame([(1,)], ["seed"])
+    got = {
+        r.v: r.d
+        for r in graph.bellman_ford(sym, seeds, n_rounds=3).collect()
+    }
+    assert got == {1: 0, 2: 2, 3: 4}
+    one_round = {
+        r.v: r.d
+        for r in graph.bellman_ford(sym, seeds, n_rounds=1).collect()
+    }
+    assert one_round[3] == 10  # before the detour relaxes it

@@ -706,3 +706,62 @@ def feature_propagation(
             .localCheckpoint(eager=False)
         )
     return h
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    edge_partitions: int | None = None,
+) -> DataFrame:
+    """Bounded-round Bellman-Ford: multi-source WEIGHTED shortest
+    paths over the min-plus semiring — the companion to ``bfs_hops``
+    for graphs where edges carry costs, and the case BFS cannot
+    express: a vertex's tentative distance CAN improve in a later
+    round when a longer-but-cheaper path arrives, so each superstep
+    re-relaxes every settled vertex instead of freezing a frontier.
+
+    ``edges``: directed (src, dst, w) with non-negative integer
+    weights; pass both directions for undirected graphs. ``seeds``:
+    one column ``seed``. Returns (seed, v, d) — the cheapest known
+    distance after ``n_rounds`` relaxations (exact shortest paths for
+    every path of ≤ n_rounds edges; a defined deterministic
+    over-approximation beyond, same bounded-superstep contract as
+    ``kcore_peel``).
+
+    Plan shape per round (textbook distributed Bellman-Ford, the
+    GraphX/Pregel SSSP): ONE shuffle-hash join of the vertex-sized
+    distance frame into the stationary src-partitioned checkpointed
+    edge blocks, then a map-side-combinable min-groupBy over
+    (seed, v); distance frames checkpoint per round (registry
+    scan-budget enforced). All-integer arithmetic — distances hash
+    bit-identically across engines.
+    """
+    spark = edges.sparkSession
+    parts = _edge_partition_count(spark, edge_partitions)
+    e = (
+        edges.select("src", "dst", "w")
+        .repartition(parts, "src")
+        .localCheckpoint(eager=False)
+    )
+    dist = seeds.select(
+        "seed", F.col("seed").alias("v"), F.lit(0).cast("long").alias("d")
+    ).localCheckpoint(eager=False)
+    for _ in range(n_rounds):
+        cand = (
+            dist.withColumnRenamed("v", "src")
+            .hint("shuffle_hash")
+            .join(e, "src")
+            .select(
+                "seed",
+                F.col("dst").alias("v"),
+                (F.col("d") + F.col("w")).alias("d"),
+            )
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("seed", "v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

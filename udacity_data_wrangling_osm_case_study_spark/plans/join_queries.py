@@ -2103,3 +2103,94 @@ def part_price_smoothing(spark, sf_dir):
         .orderBy(F.desc("shift_c"), "part")
         .limit(20)
     )
+
+
+@register(
+    "part_cheapest_path",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pp AS (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS shared
+        FROM li l1 JOIN li l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        GROUP BY a, b HAVING COUNT(*) >= 2
+    ),
+    e AS (SELECT a AS src, b AS dst, 1000 // shared AS w FROM pp
+          UNION ALL SELECT b, a, 1000 // shared FROM pp),
+    seeds AS (SELECT DISTINCT src AS seed FROM e ORDER BY seed LIMIT 3),
+    d0 AS (SELECT seed, seed AS v, CAST(0 AS BIGINT) AS d FROM seeds),
+    d1 AS (SELECT seed, v, MIN(d) AS d FROM (
+               SELECT seed, v, d FROM d0
+               UNION ALL
+               SELECT d0.seed, e.dst AS v, d0.d + e.w AS d
+               FROM d0 JOIN e ON e.src = d0.v
+           ) GROUP BY seed, v),
+    d2 AS (SELECT seed, v, MIN(d) AS d FROM (
+               SELECT seed, v, d FROM d1
+               UNION ALL
+               SELECT d1.seed, e.dst AS v, d1.d + e.w AS d
+               FROM d1 JOIN e ON e.src = d1.v
+           ) GROUP BY seed, v),
+    d3 AS (SELECT seed, v, MIN(d) AS d FROM (
+               SELECT seed, v, d FROM d2
+               UNION ALL
+               SELECT d2.seed, e.dst AS v, d2.d + e.w AS d
+               FROM d2 JOIN e ON e.src = d2.v
+           ) GROUP BY seed, v)
+    SELECT CAST(seed AS BIGINT) AS seed,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+           CAST(SUM(d) AS BIGINT) AS sum_d,
+           CAST(MAX(d) AS BIGINT) AS max_d
+    FROM d3 GROUP BY seed ORDER BY seed
+    """,
+    scan_budget=2,  # relaxation supersteps (distance frames checkpointed)
+)
+def part_cheapest_path(spark, sf_dir):
+    """Weighted shortest paths (operators.graph.bellman_ford) over the
+    co-purchase graph with affinity costs w = 1000 div shared-orders —
+    strongly co-purchased parts are "close", so the 3-round min-plus
+    relaxation finds each seed's cheapest multi-hop affinity routes,
+    the weighted complement to ``part_bfs_hops`` (a 2-edge path
+    through strong ties can and does beat a weak direct edge — the
+    case hop-BFS cannot express). Per-seed reach count, distance sum,
+    and max distance are exact-integer checksums over the full
+    distance table. Oracle replays all 3 relaxations as unrolled
+    union+min CTEs. Registered with a scan budget: the checkpointed
+    relaxation loop must keep the plan at ≤2 fact scans."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pp = (
+        graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("src", "dst", F.expr("1000 DIV shared").alias("w"))
+    )
+    sym = pp.unionAll(
+        pp.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = (
+        sym.select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(3)
+        .select(F.col("src").alias("seed"))
+    )
+    dist = graph.bellman_ford(sym, seeds, n_rounds=3)
+    return (
+        dist.groupBy("seed")
+        .agg(
+            (F.count("*") - 1).cast("long").alias("n_reached"),
+            F.sum("d").cast("long").alias("sum_d"),
+            F.max("d").cast("long").alias("max_d"),
+        )
+        .select(F.col("seed").cast("long").alias("seed"), "n_reached", "sum_d", "max_d")
+        .orderBy("seed")
+    )

@@ -70,6 +70,7 @@ _VERIFY_FIRST = (
     "event_bigram_entropy",
     "nation_market_share",
     "part_price_smoothing",
+    "part_cheapest_path",
     "part_bfs_hops",
     "part_kcore",
     "part_communities",
