@@ -180,6 +180,8 @@ HEADLINE = [
     "nation_market_share",
     "part_price_smoothing",
     "part_cheapest_path",
+    "sole_late_suppliers",
+    "dp_event_type_counts",
 ]
 
 

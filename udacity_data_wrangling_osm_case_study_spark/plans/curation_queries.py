@@ -1240,3 +1240,87 @@ def bootstrap_mean_ci(spark, sf_dir):
         "ci_lo_cents",
         "ci_hi_cents",
     )
+
+
+def _dp_counts_oracle() -> str:
+    # Embeds the same imported micro-nat ln table as the A-ES oracle so
+    # the noise draws cannot drift between engines.
+    from udacity_data_wrangling_osm_case_study_spark.operators.sampling import (
+        _LN2_MICRO,
+        _LN_TABLE,
+    )
+
+    tbl = ", ".join(str(v) for v in _LN_TABLE)
+    negln = (
+        "CAST(48 * {c} AS BIGINT) - (CAST(length(bin(GREATEST({h}, 1))) - 1 "
+        "AS BIGINT) * {c} + [{t}][CAST(FLOOR(CAST(GREATEST({h}, 1) AS DOUBLE)"
+        " * POWER(2, 9 - length(bin(GREATEST({h}, 1))))) AS INT) - 255])"
+    )
+    u = (
+        "CAST(('0x' || substr(md5('{salt}:' || event_type), 1, 12)) "
+        "AS BIGINT)"
+    )
+    g1 = negln.format(c=_LN2_MICRO, t=tbl, h=u.format(salt="dp1"))
+    g2 = negln.format(c=_LN2_MICRO, t=tbl, h=u.format(salt="dp2"))
+    return f"""
+    WITH c AS (SELECT event_type, COUNT(*) AS n FROM events
+               GROUP BY event_type),
+    noised AS (
+        SELECT event_type, n,
+               ({g1}) // 1000000 - ({g2}) // 1000000 AS noise
+        FROM c
+    )
+    SELECT event_type, CAST(n + noise AS BIGINT) AS noisy_count,
+           CAST(noise AS BIGINT) AS noise
+    FROM noised ORDER BY event_type
+    """
+
+
+@register("dp_event_type_counts", _dp_counts_oracle())
+def dp_event_type_counts(spark, sf_dir):
+    """ε=1 differentially-private event-type counts via the GEOMETRIC
+    MECHANISM (Ghosh-Roughgarden-Sundararajan 2009 — the discrete,
+    utility-optimal Laplace): noise = G₁ − G₂ where each Gᵢ =
+    ⌊Exp(1)⌋ is geometric, and the exponential draws come from the
+    engine's integer −ln over salted 48-bit hashes
+    (operators.sampling.negln_micro_48) — the release is reproducible
+    and engine-portable with no RNG state, completing the privacy
+    ladder (k-anonymity → l-diversity → t-closeness → an actual DP
+    release mechanism). All the distributed work is the one exact
+    count aggregation; the noise attaches to the |types|-row frame
+    map-locally. The raw ``noise`` column is exposed here because the
+    driver attests determinism — a production release publishes
+    ``noisy_count`` only. NOTE on the privacy accounting: a
+    hash-seeded draw is pseudo-random, not random — real deployments
+    must key the salt from a secret; the mechanism and its integer
+    pipeline are what this operator demonstrates."""
+    from udacity_data_wrangling_osm_case_study_spark.operators.sampling import (
+        negln_micro_48,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    def geom(salt: str):
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("event_type"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        # positive operands: double divide + floor == integer division,
+        # and both micro-nat values are exact ints < 2^53
+        return F.floor(negln_micro_48(u) / F.lit(1_000_000)).cast("long")
+
+    noise = geom("dp1") - geom("dp2")
+    return (
+        c.select(
+            "event_type",
+            (F.col("n") + noise).cast("long").alias("noisy_count"),
+            noise.cast("long").alias("noise"),
+        )
+        .orderBy("event_type")
+    )

@@ -2194,3 +2194,58 @@ def part_cheapest_path(spark, sf_dir):
         .select(F.col("seed").cast("long").alias("seed"), "n_reached", "sum_d", "max_d")
         .orderBy("seed")
     )
+
+
+_SOLE_LATE_SQL = """
+    WITH flagged AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    os AS (SELECT l_orderkey, l_suppkey, MAX(late) AS late
+           FROM flagged GROUP BY l_orderkey, l_suppkey)
+    SELECT s.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM os s
+    WHERE s.late = 1
+      AND EXISTS (SELECT 1 FROM os o2
+                  WHERE o2.l_orderkey = s.l_orderkey
+                    AND o2.l_suppkey <> s.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM os o3
+                      WHERE o3.l_orderkey = s.l_orderkey
+                        AND o3.l_suppkey <> s.l_suppkey
+                        AND o3.late = 1)
+    GROUP BY s.l_suppkey
+    ORDER BY numwait DESC, suppkey LIMIT 10
+"""
+
+
+@register(
+    "sole_late_suppliers",
+    _SOLE_LATE_SQL.format(lineitem="lineitem", orders="orders"),
+)
+def sole_late_suppliers(spark, sf_dir):
+    """TPC-H Q21-shaped blame attribution: suppliers who were the SOLE
+    late shipper (>60 days after order date — this schema carries no
+    commit/receipt dates) on finished multi-supplier orders, counted
+    and ranked. The optimizer workout is the pair of correlated
+    quantified subqueries — EXISTS (another supplier on the order) and
+    NOT EXISTS (another LATE supplier) — which Catalyst must
+    decorrelate into one semi- and one anti-join with a non-equi
+    (suppkey <>) conjunct each; the fact side reduces to DISTINCT
+    (order, supplier, any-late) BEFORE the quantifiers, so the
+    subquery joins run on the collapsed frame, never raw lineitems.
+    Same Spark-SQL-vs-DuckDB lockstep as ``orders_above_customer_avg``
+    (identical SQL text modulo view names)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_sole_late_v"
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ord_sole_late_v"
+    )
+    return spark.sql(
+        _SOLE_LATE_SQL.format(
+            lineitem="li_sole_late_v", orders="ord_sole_late_v"
+        )
+    )

@@ -71,6 +71,8 @@ _VERIFY_FIRST = (
     "nation_market_share",
     "part_price_smoothing",
     "part_cheapest_path",
+    "sole_late_suppliers",
+    "dp_event_type_counts",
     "part_bfs_hops",
     "part_kcore",
     "part_communities",
