@@ -1,0 +1,206 @@
+"""Adversarial-magnitude audit of the integer-exact reduction family.
+
+Round-6 lesson: ``customer_spend_gini`` shipped a docstring CLAIM of
+BIGINT headroom and crashed at sf0.1 (its ×1000 permille numerator is
+≈1.7×10¹⁹ > 2⁶³−1).  This sweep turns every such claim into a TEST:
+each integer-exact reduction is evaluated on a tiny synthetic frame at
+magnitudes far past sf0.1 — chosen so the PRE-FIX expression provably
+overflows int64 (each test asserts that, in Python, as its adversarial
+witness) — and the result is compared against exact Python big-int
+arithmetic.  Reductions whose OUTPUT domain is inherently int64-bounded
+(tie_cubed, acf sums) document the bound in their docstrings instead;
+the tests here pin the intermediate arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators.sampling import (
+    _LN2_MICRO,
+    _LN_TABLE,
+)
+from udacity_data_wrangling_osm_case_study_spark.plans.exploration import (
+    _gini_projection,
+)
+from udacity_data_wrangling_osm_case_study_spark.plans.join_queries import (
+    _share_bp_projection,
+)
+from udacity_data_wrangling_osm_case_study_spark.plans.window_queries import (
+    _acf_cross_term,
+    _bigram_entropy_report,
+    _mannwhitney_projection,
+)
+
+I64_MAX = 2**63 - 1
+
+
+def test_gini_projection_past_bigint(spark):
+    # sf0.1 reality was n=14,999, sx≈3.75e12; go harder: the ×1000
+    # numerator here is 2×10¹⁹, past int64 — the round-6 crash witness.
+    n, sx, i2x = 15_000, 4_000_000_000_000, 80_000_000_000_000_000
+    num = i2x - (n + 1) * sx
+    den = n * sx
+    assert num * 1000 > I64_MAX  # pre-fix expression overflows
+    row = _gini_projection(
+        spark.createDataFrame([(n, sx, i2x)], "n long, sx long, i2x long")
+    ).first()
+    assert row.n == n and row.total_cents == sx
+    assert row.gini_num == num and row.gini_den == den
+    assert row.gini_permille == num * 1000 // den
+
+
+def test_mannwhitney_projection_past_bigint(spark):
+    na, nb = 200_000_000, 200_000_000
+    u2a = 50_000_000_000_000_000  # ≤ 2·na·nb, realistic U
+    r2a = na * (na + 1) + u2a
+    tie3 = 123_456
+    assert u2a * 500 > I64_MAX  # pre-fix expression overflows
+    row = _mannwhitney_projection(
+        spark.createDataFrame(
+            [(na, nb, r2a, tie3)], "na long, nb long, r2a long, tie3 long"
+        )
+    ).first()
+    assert row.n_a == na and row.n_b == nb and row.r2_a == r2a
+    assert row.u2_a == u2a and row.tie_cubed == tie3
+    assert row.u_permille == u2a * 500 // (na * nb)
+
+
+def test_acf_cross_term_past_bigint(spark):
+    # 10-year spine, ~10¹¹ events/day: each centered factor ≈ 1.6e14,
+    # whose int64 product would be ~2.7e28.
+    n, s = 3_650, 200_000_000_000_000
+    x, xl = 100_000_000_000, 90_000_000_000
+    fx, fy = n * x - s, n * xl - s
+    assert abs(fx * fy) > I64_MAX  # pre-fix expression overflows
+    df = spark.createDataFrame(
+        [(n, s, x, xl)], "n long, s long, x long, xl long"
+    )
+    got = df.select(_acf_cross_term("x", "xl").alias("t")).first().t
+    assert int(got) == fx * fy
+    got_sq = df.select(_acf_cross_term("x", "x").alias("t")).first().t
+    assert int(got_sq) == fx * fx
+
+
+def _negln_py(h: int) -> int:
+    # Exact Python twin of operators.sampling.negln_micro_48: every
+    # float step there is IEEE-exact (h < 2^48, power-of-two scaling).
+    h = max(h, 1)
+    n = h.bit_length()
+    f = math.floor(float(h) * 2.0 ** (9 - n)) - 256
+    return 48 * _LN2_MICRO - ((n - 1) * _LN2_MICRO + _LN_TABLE[f])
+
+
+def test_bigram_entropy_report_past_bigint(spark):
+    # Per-pair transition counts in the 10¹²s: c·2²⁴ ≈ 1.7e19 > 2⁶³,
+    # and Σ c·negln ≈ 4e12 × ~1.4e6 micro-nats ≈ 5.6e18·…, both past
+    # or near int64 in the pre-fix fold.
+    counts = {"b1": 1_000_000_000_000, "b2": 3_000_000_000_000}
+    t = sum(counts.values())
+    assert max(counts.values()) * 16_777_216 > I64_MAX  # pre-fix witness
+    exp_nll = 0
+    for c in counts.values():
+        hv = max((c * 16_777_216 // t) * 16_777_216, 1)
+        exp_nll += c * _negln_py(hv)
+    pairs = spark.createDataFrame(
+        [("a0", b, c) for b, c in counts.items()], "a string, b string, c long"
+    )
+    row = _bigram_entropy_report(pairs).first()
+    assert row.event_type == "a0" and row.n_transitions == t
+    assert row.nll_micro == exp_nll
+    assert row.mean_nll_micro == exp_nll // t
+
+
+def test_share_bp_projection_past_bigint(spark):
+    nation_c, market_c = 2_000_000_000_000_000_000, 6_000_000_000_000_000_000
+    assert nation_c * 10_000 > I64_MAX  # pre-fix expression overflows
+    row = _share_bp_projection(
+        spark.createDataFrame(
+            [(1998, nation_c, market_c)],
+            "o_year int, nation_rev_c long, market_rev_c long",
+        )
+    ).first()
+    assert row.share_bp == nation_c * 10_000 // market_c == 3_333
+
+
+def test_centroid_cosine_fold_engine_parity_at_scale(spark):
+    # source_centroid_cosine folds dot/norms in DOUBLE; past ~1.2e7
+    # milli-units per component the per-term products exceed 2⁵³ and the
+    # fold is no longer exact.  The contract is therefore (a) both
+    # engines walk the list left-to-right with identical IEEE adds →
+    # bit-identical cos_bp, and (b) the fold error is absorbed by the
+    # basis-point rounding vs exact rational math.  Pin both at
+    # adversarial 1e15-scale components.
+    ca = [float(10**15 + 7 * i * 10**9 + 3) for i in range(64)]
+    cb = [float(10**15 - 5 * i * 10**9 + 1) for i in range(64)]
+    assert ca[1] * cb[1] > 2.0**53
+
+    dot = lambda x, y: F.aggregate(  # noqa: E731  (query's own fold)
+        F.zip_with(x, y, lambda u, v: u * v),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    df = spark.createDataFrame(
+        [(ca, cb)], "ca array<double>, cb array<double>"
+    )
+    spark_bp = (
+        df.select(
+            F.round(
+                dot(F.col("ca"), F.col("cb"))
+                / (
+                    F.sqrt(dot(F.col("ca"), F.col("ca")))
+                    * F.sqrt(dot(F.col("cb"), F.col("cb")))
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("bp")
+        )
+        .first()
+        .bp
+    )
+    duck_bp = duckdb.sql(
+        "SELECT CAST(ROUND(list_dot_product(ca, cb) /"
+        " (sqrt(list_dot_product(ca, ca))"
+        "  * sqrt(list_dot_product(cb, cb))) * 10000) AS BIGINT) AS bp"
+        " FROM (SELECT ?::DOUBLE[] AS ca, ?::DOUBLE[] AS cb)",
+        params=[ca, cb],
+    ).fetchone()[0]
+    assert spark_bp == duck_bp  # (a) engine parity
+
+    ia, ib = [int(v) for v in ca], [int(v) for v in cb]
+    exact = Fraction(sum(a * b for a, b in zip(ia, ib)) ** 2) / (
+        Fraction(sum(a * a for a in ia)) * sum(b * b for b in ib)
+    )
+    exact_bp = round(math.sqrt(float(exact)) * 10000)
+    assert abs(spark_bp - exact_bp) <= 1  # (b) rounding absorbs fold error
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        "gini:n*sx*1000",
+        "mannwhitney:u2a*500",
+        "acf:term*term",
+        "bigram:c*2^24",
+        "share:rev*10^4",
+    ],
+)
+def test_adversarial_witnesses_are_real(shape):
+    # Meta-guard: every fixture above chose magnitudes where the
+    # PRE-FIX int64 expression provably overflows — keep the witnesses
+    # honest if fixtures are ever retuned.
+    witnesses = {
+        "gini:n*sx*1000": (80_000_000_000_000_000 - 15_001 * 4 * 10**12)
+        * 1000,
+        "mannwhitney:u2a*500": 50_000_000_000_000_000 * 500,
+        "acf:term*term": (3_650 * 10**11 - 2 * 10**14) ** 2,
+        "bigram:c*2^24": 3_000_000_000_000 * 16_777_216,
+        "share:rev*10^4": 2_000_000_000_000_000_000 * 10_000,
+    }
+    assert witnesses[shape] > I64_MAX

@@ -1027,6 +1027,34 @@ def orders_status_priority_cube(spark, sf_dir):
     )
 
 
+def _gini_projection(agg):
+    """Final Gini projection over a one-row (n, sx, i2x) BIGINT frame.
+
+    The naive permille ``(i2x - (n+1)*sx) * 1000 div (n*sx)`` overflows
+    BIGINT at sf0.1 already (n=14,999, sx≈3.75e12 cents → the ×1000
+    numerator ≈1.7×10¹⁹ > 2⁶³−1; round-6 bench crash). Every term is
+    therefore cleared through DECIMAL(38,0) BEFORE multiplying; ``div``
+    on decimals is Spark's exact integral divide (LongType result,
+    truncation toward zero — identical to floor for the non-negative
+    numerator). Headroom: n·sx·1000 fits DECIMAL(38,0) up to ~10³⁵,
+    i.e. ~10¹⁶× past sf0.1. Unit-tested at synthetic magnitudes where
+    n·sx·1000 > 2⁶³ (tests/test_overflow_margins.py)."""
+    num_d = (
+        "cast(i2x as decimal(38,0))"
+        " - (cast(n as decimal(38,0)) + 1) * cast(sx as decimal(38,0))"
+    )
+    den_d = "cast(n as decimal(38,0)) * cast(sx as decimal(38,0))"
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("total_cents"),
+        F.expr(num_d).cast("long").alias("gini_num"),
+        F.expr(den_d).cast("long").alias("gini_den"),
+        F.expr(f"({num_d}) * 1000 div ({den_d})")
+        .cast("long")
+        .alias("gini_permille"),
+    )
+
+
 @register(
     "customer_spend_gini",
     """
@@ -1053,7 +1081,8 @@ def orders_status_priority_cube(spark, sf_dir):
            CAST(sx AS BIGINT) AS total_cents,
            CAST(i2x - (n + 1) * sx AS BIGINT) AS gini_num,
            CAST(n * sx AS BIGINT) AS gini_den,
-           CAST((i2x - (n + 1) * sx) * 1000 // (n * sx) AS BIGINT)
+           CAST(CAST(i2x - (n + 1) * sx AS HUGEINT) * 1000
+                // CAST(n * sx AS HUGEINT) AS BIGINT)
                AS gini_permille
     FROM agg
     """,
@@ -1062,7 +1091,7 @@ def customer_spend_gini(spark, sf_dir):
     """Exact Gini coefficient of customer lifetime spend — the
     concentration metric a curation pipeline runs on source/author
     contribution balance ("how unequal is this corpus?"), here over
-    per-customer order totals. All arithmetic is BIGINT-exact: spend
+    per-customer order totals. All arithmetic is integer-exact: spend
     reduces to exact decimal cents, values group to distinct amounts,
     and the sorted-rank identity G = (2·Σ iₓ·xᵢ − (n+1)·Σx)/(n·Σx)
     folds per distinct value — a tied block of ``cnt`` copies of v
@@ -1070,9 +1099,14 @@ def customer_spend_gini(spark, sf_dir):
     cnt) to the DOUBLED rank-weighted sum, independent of intra-tie
     order. Rank offsets come from the two-phase distributed prefix sum
     (operators.packing.global_token_offsets) — no single-partition
-    window. Numerator/denominator ship exactly alongside the integer
-    permille; Σ i·x ≈ n²·x̄ stays far inside BIGINT at warehouse scale
-    (overflow at ~10¹⁸: n·√x̄_cents > 10⁹·√10⁹ territory)."""
+    window. Overflow posture (fixed after the round-6 sf0.1 crash): the
+    per-term sums n, sx, i2x each stay inside BIGINT through warehouse
+    scale, but the derived permille numerator (gini_num × 1000) does
+    NOT — it is ≈1.7×10¹⁹ at sf0.1 — so the final projection
+    (``_gini_projection``) clears every derived term through
+    DECIMAL(38,0); the DuckDB oracle mirrors this via explicit HUGEINT
+    casts (DuckDB SUM(BIGINT) is HUGEINT-valued anyway, so the casts
+    document rather than change its semantics)."""
     from udacity_data_wrangling_osm_case_study_spark.operators.packing import (
         global_token_offsets,
     )
@@ -1099,14 +1133,4 @@ def customer_spend_gini(spark, sf_dir):
             )
         ).alias("i2x"),
     )
-    return agg.select(
-        F.col("n").cast("long").alias("n"),
-        F.col("sx").cast("long").alias("total_cents"),
-        (F.col("i2x") - (F.col("n") + 1) * F.col("sx"))
-        .cast("long")
-        .alias("gini_num"),
-        (F.col("n") * F.col("sx")).cast("long").alias("gini_den"),
-        F.expr("(i2x - (n + 1) * sx) * 1000 div (n * sx)")
-        .cast("long")
-        .alias("gini_permille"),
-    )
+    return _gini_projection(agg)

@@ -1929,7 +1929,8 @@ def entity_profile_native(spark, sf_dir):
         FROM base GROUP BY o_year
     )
     SELECT o_year, nation_rev_c, market_rev_c,
-           CAST(nation_rev_c * 10000 // market_rev_c AS BIGINT) AS share_bp
+           CAST(CAST(nation_rev_c AS HUGEINT) * 10000 // market_rev_c
+                AS BIGINT) AS share_bp
     FROM yr ORDER BY o_year
     """,
 )
@@ -1938,12 +1939,19 @@ def nation_market_share(spark, sf_dir):
     join (fact → orders → customer → nation → region on the demand side,
     fact → supplier → nation on the supply side, plus the part filter)
     that exercises Catalyst's join reordering and broadcast planning at
-    full width — every dimension side must come out broadcast and the
-    fact tables must join exactly once each. Revenue folds as exact
-    decimal cents and the share is integer basis points (nation
-    numerator clears the market denominator — no float division on the
-    aggregation path), so the result hashes identically across
-    engines."""
+    full width — the constant-size dimensions (nation, region, filtered
+    part) are broadcast-hinted; customer and supplier grow linearly
+    with scale factor (150k×SF / 10k×SF rows), so their join strategy
+    is left to AQE rather than force-broadcast (a hint there would blow
+    the driver past a few hundred SF — round-6 advice). Revenue folds
+    as exact decimal cents and the share is integer basis points
+    (nation numerator clears the market denominator — no float division
+    on the aggregation path), so the result hashes identically across
+    engines. Overflow posture: nation_rev_c·10⁴ overflows BIGINT once
+    the per-year nation revenue passes ~9.2×10¹⁴ cents (≈SF 1000), so
+    the basis-point projection clears through DECIMAL(38,0)
+    (``_share_bp_projection``), HUGEINT in the oracle; unit-tested at
+    adversarial magnitudes in tests/test_overflow_margins.py."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
@@ -1972,10 +1980,10 @@ def nation_market_share(spark, sf_dir):
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
         .select("o_year", "supp_nation", "rev")
     )
@@ -1992,14 +2000,26 @@ def nation_market_share(spark, sf_dir):
         .alias("nation_rev_c"),
         F.round(F.sum("rev") * 100).cast("long").alias("market_rev_c"),
     )
+    return _share_bp_projection(yr).orderBy("o_year")
+
+
+def _share_bp_projection(yr):
+    """Basis-point share projection over a (o_year, nation_rev_c,
+    market_rev_c) BIGINT frame; the ×10⁴ numerator clears through
+    DECIMAL(38,0) (overflows BIGINT past ~9.2×10¹⁴ cents/year —
+    ≈SF 1000). Unit-tested at adversarial magnitudes in
+    tests/test_overflow_margins.py."""
     return yr.select(
         "o_year",
         "nation_rev_c",
         "market_rev_c",
-        F.expr("nation_rev_c * 10000 DIV market_rev_c")
+        F.expr(
+            "cast(nation_rev_c as decimal(38,0)) * 10000"
+            " div cast(market_rev_c as decimal(38,0))"
+        )
         .cast("long")
         .alias("share_bp"),
-    ).orderBy("o_year")
+    )
 
 
 @register(

@@ -1224,9 +1224,16 @@ def source_centroid_cosine(spark, sf_dir):
     the ``embedding_covariance`` quantization pattern. The k-row
     centroid bank then pairs with itself under a broadcast inequality
     join (k sources — driver-scale), and each pair's dot/norms fold
-    ROW-LOCALLY over exact integers (≤2^53, so the IEEE double math is
-    exact and engine-identical up to the final correctly-rounded
-    sqrt/divide, reported in basis points)."""
+    ROW-LOCALLY in double. Engine-parity posture (audited after the
+    gini crash): the fold is bit-identical across engines because both
+    walk the 64-dim list left-to-right with the same IEEE adds — NOT
+    because the math is exact; per-term products exceed 2⁵³ once a
+    centroid component passes ~1.2×10⁷ milli-units, well inside large
+    corpora, but the shared fold order keeps the two engines identical
+    and the ~1e−13 relative fold error is absorbed by the basis-point
+    rounding except at exact .5 boundaries (probability ~1e−9/pair).
+    Verified against exact Python rational math at adversarial
+    magnitudes in tests/test_overflow_margins.py."""
     emb = table(spark, sf_dir, "embeddings")
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     j = docs.join(

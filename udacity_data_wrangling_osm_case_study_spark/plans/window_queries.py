@@ -1552,6 +1552,29 @@ def event_type_hour_chisq(spark, sf_dir):
     )
 
 
+def _mannwhitney_projection(rn):
+    """Final Mann–Whitney projection over a one-row (na, nb, r2a, tie3)
+    BIGINT frame. The naive ``(r2a - na*(na+1)) * 500 div (na*nb)``
+    overflows BIGINT once n_a·n_b > ~9.2×10¹⁵ (u2_a ≤ 2·n_a·n_b), so
+    every derived term clears through DECIMAL(38,0) before the
+    multiply; ``div`` on decimals is Spark's exact integral divide.
+    Unit-tested at synthetic magnitudes where u2_a·500 > 2⁶³
+    (tests/test_overflow_margins.py)."""
+    na_d = "cast(na as decimal(38,0))"
+    u2_d = f"cast(r2a as decimal(38,0)) - {na_d} * ({na_d} + 1)"
+    den_d = f"{na_d} * cast(nb as decimal(38,0))"
+    return rn.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("r2a").cast("long").alias("r2_a"),
+        F.expr(u2_d).cast("long").alias("u2_a"),
+        F.expr(f"({u2_d}) * 500 div ({den_d})")
+        .cast("long")
+        .alias("u_permille"),
+        F.col("tie3").cast("long").alias("tie_cubed"),
+    )
+
+
 @register(
     "mannwhitney_click_view",
     """
@@ -1579,7 +1602,8 @@ def event_type_hour_chisq(spark, sf_dir):
            CAST(nb AS BIGINT) AS n_b,
            CAST(r2a AS BIGINT) AS r2_a,
            CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
-           CAST((r2a - na * (na + 1)) * 500 // (na * nb) AS BIGINT)
+           CAST(CAST(r2a - na * (na + 1) AS HUGEINT) * 500
+                // CAST(na * nb AS HUGEINT) AS BIGINT)
                AS u_permille,
            CAST(tie3 AS BIGINT) AS tie_cubed
     FROM r CROSS JOIN n
@@ -1590,14 +1614,22 @@ def mannwhitney_click_view(spark, sf_dir):
     view value distributions, with midrank tie handling — the
     nonparametric "did the median shift" companion to the KS drift test,
     and the standard A/B screen when values are skewed. All arithmetic
-    is BIGINT-exact: values reduce to distinct cents, each distinct
+    is integer-exact: values reduce to distinct cents, each distinct
     value's midrank is doubled to stay integral (2·midrank = 2·offset +
     cnt + 1), and the doubled rank sum 2·R_a folds per value — so U
     (doubled), the common-language effect size in permille (U/(n_a·n_b)),
     and the tie-correction numerator Σ(t³−t) all hash bit-identically.
     The rank offsets come from the two-phase distributed prefix sum
     (operators.packing.global_token_offsets) — no single-partition
-    window over the value axis, same shape as ``event_value_ks_test``."""
+    window over the value axis, same shape as ``event_value_ks_test``.
+    Overflow posture (audited after the gini crash): u2_a ≤ 2·n_a·n_b,
+    so its ×500 permille numerator overflows BIGINT once n_a·n_b >
+    ~9.2×10¹⁵ (≈10⁸ rows per arm) — well before the sums themselves —
+    hence the final projection (``_mannwhitney_projection``) clears
+    every derived term through DECIMAL(38,0); HUGEINT casts mirror it
+    in the oracle. tie_cubed remains a BIGINT OUTPUT column: it is
+    exact while no single value carries >2.09×10⁶ ties (cnt³ < 2⁶³),
+    the true domain bound for this report shape."""
     from udacity_data_wrangling_osm_case_study_spark.operators.packing import (
         global_token_offsets,
     )
@@ -1627,18 +1659,26 @@ def mannwhitney_click_view(spark, sf_dir):
             F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
         ).alias("tie3"),
     )
-    return r.crossJoin(F.broadcast(n)).select(
-        F.col("na").cast("long").alias("n_a"),
-        F.col("nb").cast("long").alias("n_b"),
-        F.col("r2a").cast("long").alias("r2_a"),
-        (F.col("r2a") - F.col("na") * (F.col("na") + 1))
-        .cast("long")
-        .alias("u2_a"),
-        F.expr("(r2a - na * (na + 1)) * 500 div (na * nb)")
-        .cast("long")
-        .alias("u_permille"),
-        F.col("tie3").cast("long").alias("tie_cubed"),
-    )
+    return _mannwhitney_projection(r.crossJoin(F.broadcast(n)))
+
+
+def _acf_cross_term(x_col: str, y_col: str):
+    """Exact ACF cross-term (n·x − S)(n·y − S) with every factor cleared
+    through DECIMAL(38,0): the BIGINT product of the two centered
+    factors overflows once a factor exceeds ~3.04×10⁹ (e.g. 10⁶
+    events/day on a 10-year spine), well inside warehouse territory.
+    Expects columns ``n`` and ``s`` alongside the two value columns.
+    Unit-tested at adversarial magnitudes in
+    tests/test_overflow_margins.py."""
+
+    def centered(c: str) -> str:
+        return (
+            "(cast(n as decimal(38,0)) * cast("
+            + c
+            + " as decimal(38,0)) - cast(s as decimal(38,0)))"
+        )
+
+    return F.expr(f"{centered(x_col)} * {centered(y_col)}")
 
 
 @register(
@@ -1659,12 +1699,14 @@ def mannwhitney_click_view(spark, sf_dir):
         FROM serie, LATERAL unnest(range(1, 8)) k(k)
     ),
     num AS (
-        SELECT k, SUM((ns.n * serie.x - ns.s) * (ns.n * lag_exp.xl - ns.s))
+        SELECT k, SUM(CAST(ns.n * serie.x - ns.s AS HUGEINT)
+                      * CAST(ns.n * lag_exp.xl - ns.s AS HUGEINT))
                    AS acf_num
         FROM lag_exp JOIN serie ON serie.d = lag_exp.d2 CROSS JOIN ns
         GROUP BY k
     ),
-    den AS (SELECT SUM((ns.n * x - ns.s) * (ns.n * x - ns.s)) AS acf_den
+    den AS (SELECT SUM(CAST(ns.n * x - ns.s AS HUGEINT)
+                       * CAST(ns.n * x - ns.s AS HUGEINT)) AS acf_den
             FROM serie CROSS JOIN ns)
     SELECT k, CAST((SELECT n FROM ns) AS BIGINT) AS n_days,
            CAST(acf_num AS BIGINT) AS acf_num,
@@ -1680,10 +1722,18 @@ def daily_count_autocorr(spark, sf_dir):
     (missing days count 0 — otherwise every gap silently shifts the
     lags), then the ACF numerators clear denominators: with S = Σx the
     lag-k covariance term folds as Σ (n·x_t − S)(n·x_{t+k} − S) — exact
-    BIGINT per term in both engines, no float mean subtraction. All 7
-    lags come from ONE bounded ×7 day-expansion join on the ~days-sized
-    reduced series (never events × lags); only the final ratio touches
-    doubles (exact-integer operands, rounded 3 dp)."""
+    integer per term, no float mean subtraction. All 7 lags come from
+    ONE bounded ×7 day-expansion join on the ~days-sized reduced series
+    (never events × lags); only the final ratio touches doubles
+    (exact-integer operands, rounded 3 dp). Overflow posture (audited
+    after the gini crash): the per-term PRODUCT overflows BIGINT once
+    |n·x − S| > ~3.04×10⁹ — i.e. ~10⁶ events/day on a 10-year spine,
+    far inside 100 TB territory — so both factors clear through
+    DECIMAL(38,0) (``_acf_cross_term``), HUGEINT in the oracle.
+    acf_num/acf_den stay BIGINT OUTPUT columns: exact while the summed
+    covariance < 2⁶³ (n³·Var(x) territory — holds to ~4×10⁸ events/day
+    on that spine); beyond that the report shape itself would need a
+    DECIMAL schema, documented here as the domain bound."""
     ev = table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
     days = ev.groupBy("d").agg(F.count("*").alias("x"))
     span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
@@ -1703,18 +1753,10 @@ def daily_count_autocorr(spark, sf_dir):
         lag_exp.join(serie.select(F.col("d").alias("d2"), "x"), "d2")
         .crossJoin(F.broadcast(ns))
         .groupBy("k")
-        .agg(
-            F.sum(
-                (F.col("n") * F.col("x") - F.col("s"))
-                * (F.col("n") * F.col("xl") - F.col("s"))
-            ).alias("acf_num")
-        )
+        .agg(F.sum(_acf_cross_term("x", "xl")).alias("acf_num"))
     )
     den = serie.crossJoin(F.broadcast(ns)).agg(
-        F.sum(
-            (F.col("n") * F.col("x") - F.col("s"))
-            * (F.col("n") * F.col("x") - F.col("s"))
-        ).alias("acf_den"),
+        F.sum(_acf_cross_term("x", "x")).alias("acf_den"),
         F.first("n").alias("n_days"),
     )
     return (
@@ -1827,7 +1869,8 @@ def _bigram_entropy_oracle() -> str:
     tot AS (SELECT a, SUM(c) AS t FROM pair GROUP BY a),
     h AS (
         SELECT pair.a, pair.c,
-               GREATEST((pair.c * 16777216 // tot.t) * 16777216, 1) AS hv
+               GREATEST(CAST(CAST(pair.c AS HUGEINT) * 16777216 // tot.t
+                             AS BIGINT) * 16777216, 1) AS hv
         FROM pair JOIN tot ON tot.a = pair.a
     ),
     m AS (SELECT a, c, hv, length(bin(hv)) AS n FROM h),
@@ -1839,7 +1882,8 @@ def _bigram_entropy_oracle() -> str:
                         * POWER(2, 9 - n)) AS INT) - 255]) AS negln_micro
         FROM m
     ),
-    st AS (SELECT a, SUM(c) AS t, SUM(c * negln_micro) AS nll
+    st AS (SELECT a, SUM(c) AS t,
+                  SUM(CAST(c AS HUGEINT) * negln_micro) AS nll
            FROM nl GROUP BY a)
     SELECT a AS event_type, CAST(t AS BIGINT) AS n_transitions,
            CAST(nll AS BIGINT) AS nll_micro,
@@ -1859,15 +1903,16 @@ def event_bigram_entropy(spark, sf_dir):
     256-entry mantissa table, no libm): the probability ratio is
     pre-quantized to 24 bits (c·2²⁴ div t, an exact shift into the
     48-bit domain, ~6e-8 relative quantization — far under the table's
-    half-cell 0.2%) so every product stays inside BIGINT at any
-    realistic scale (overflows only past t ≈ 2⁵³⁻²⁴ transitions per
-    state). One lag window + one pair aggregation touch the fact table;
-    everything after runs on the |types|²-row frame. The oracle embeds
-    the imported table — the two engines cannot drift."""
-    from udacity_data_wrangling_osm_case_study_spark.operators.sampling import (
-        negln_micro_48,
-    )
-
+    half-cell 0.2%). One lag window + one pair aggregation touch the
+    fact table; everything after runs on the |types|²-row frame. The
+    oracle embeds the imported table — the two engines cannot drift.
+    Overflow posture (audited after the gini crash): the quantizing
+    product c·2²⁴ overflows BIGINT at c > 2³⁹ ≈ 5.5×10¹¹ transitions
+    per pair, and the NLL fold Σ c·negln (negln ≤ ~3.3×10⁷ micro-nats)
+    overflows at t ≈ 2.8×10¹¹ per state — both inside 100 TB
+    territory — so both clear through DECIMAL(38,0)
+    (``_bigram_entropy_report``), HUGEINT in the oracle; unit-tested at
+    adversarial magnitudes in tests/test_overflow_margins.py."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
@@ -1878,18 +1923,41 @@ def event_bigram_entropy(spark, sf_dir):
         )
         .agg(F.count("*").alias("c"))
     )
+    return _bigram_entropy_report(pairs)
+
+
+def _bigram_entropy_report(pairs):
+    """Entropy report over an (a, b, c) bigram-count frame, with the
+    two BIGINT-fragile reductions cleared through DECIMAL(38,0): the
+    24-bit quantizing product c·2²⁴ (overflows at c > 2³⁹) and the
+    per-state NLL fold Σ c·negln_micro (overflows at ~2.8×10¹¹
+    transitions/state). The 48-bit table lookup itself
+    (operators.sampling.negln_micro_48) is untouched — its hv input is
+    ≤ 2⁴⁸ by construction."""
+    from udacity_data_wrangling_osm_case_study_spark.operators.sampling import (
+        negln_micro_48,
+    )
+
     tot = pairs.groupBy("a").agg(F.sum("c").alias("t"))
     h = pairs.join(F.broadcast(tot), "a").select(
         "a",
         "c",
         F.greatest(
-            F.expr("(c * 16777216 DIV t) * 16777216"), F.lit(1)
+            F.expr(
+                "(cast(c as decimal(38,0)) * 16777216 div t) * 16777216"
+            ),
+            F.lit(1),
         ).alias("hv"),
     )
     nl = h.select("a", "c", negln_micro_48(F.col("hv")).alias("negln_micro"))
     st = nl.groupBy("a").agg(
         F.sum("c").alias("t"),
-        F.sum(F.col("c") * F.col("negln_micro")).alias("nll"),
+        F.sum(
+            F.expr(
+                "cast(c as decimal(38,0))"
+                " * cast(negln_micro as decimal(38,0))"
+            )
+        ).alias("nll"),
     )
     return st.select(
         F.col("a").alias("event_type"),
