@@ -681,9 +681,13 @@ def test_debounce_stream_matches_batch(spark, events_dir):
 def test_kmv_stream_matches_batch_sketch_exactly(spark, events_dir):
     """KMV is order-insensitive and deterministic, so the streamed
     sketch's FINAL estimate per event type must equal the batch
-    kmv_distinct_sketch query on the same rows bit-for-bit (take the
-    last update emitted per key: n_sk only grows and h_k only shrinks
-    as the sketch absorbs batches)."""
+    kmv_distinct_sketch query on the same rows bit-for-bit. The final
+    state per key is selected by (n_sk desc, hk asc): n_sk is monotone
+    NONdecreasing across updates and any rows tied on n_sk carry
+    identical state, so the ordering always lands on the final row —
+    note hk only shrinks once the sketch has saturated at k (below k it
+    GROWS as hashes are absorbed), which is why hk alone would not
+    identify the final update."""
     from udacity_data_wrangling_osm_case_study_spark.plans import registry
 
     stream = events_stream.kmv_user_distinct(

@@ -146,9 +146,14 @@ def fingerprint_pairs(
     """
     sets = fingerprint_sets(fingerprints)
     if max_fp_df is not None:
+        # Cache BEFORE the cap: the hot-fingerprint census inside
+        # cap_fingerprint_df is its own plan branch, and without this
+        # it re-runs the whole winnow (measured: the winnow is ~the
+        # entire query cost at sf0.1).
+        sets = sets.cache()
         sets = cap_fingerprint_df(sets, max_fp_df)
     # sets feeds three branches (sizes + both join sides) — cache so the
-    # winnow expressions run once.
+    # winnow (or, when capping, the anti-join probe) runs once.
     sets = sets.cache()
     sizes = sets.groupBy("id").agg(F.count("*").alias("sz"))
     shared = (

@@ -438,11 +438,16 @@ def label_propagation(
 
     Plan shape: the edge list is hash-partitioned on ``dst`` and
     localCheckpoint(eager=False)ed ONCE — each superstep ships only
-    the vertex-sized label frame to the edges (join on dst), then one
-    key-local groupBy + per-vertex window picks the mode; the label
-    frame is checkpointed per step so the k supersteps never recompute
-    the prefix (enforced by the registry scan-budget test). Same
-    executor-loss caveat as ``random_walks``'s local checkpoints.
+    the vertex-sized label frame to the edges (join on dst, co-located
+    with the cached edge partitioning), then the mode pick groupBys on
+    ``src`` — which IS an edge-sized (v, lbl) shuffle per superstep
+    (the join output is dst-partitioned; re-keying edges by src would
+    only move the same shuffle to the join side). The partial
+    aggregation halves what crosses the wire (combiner on (v, lbl)),
+    and the label frame is checkpointed per step so the k supersteps
+    never recompute the prefix (enforced by the registry scan-budget
+    test). Same executor-loss caveat as ``random_walks``'s local
+    checkpoints.
 
     Returns (v, lbl) — final community label per vertex.
     """
@@ -576,7 +581,12 @@ def random_walks(
     cluster with executor churn, pass ``reliable_checkpoint_dir`` (or
     pre-set ``sparkContext.setCheckpointDir``) to use reliable
     ``checkpoint()`` snapshots on shared storage instead; single-node /
-    static-allocation callers keep the cheaper local path.
+    static-allocation callers keep the cheaper local path. When the
+    argument is given and no checkpoint directory is configured yet,
+    this call sets it — a session-wide setting that persists after the
+    call returns; if the application already configured one, that
+    existing directory wins and the argument only switches the snapshot
+    mode.
 
     ``edges``: directed (src, dst); pass both directions for undirected
     graphs. Vertices with no out-edges start no walk and absorb none
@@ -588,7 +598,12 @@ def random_walks(
     parts = _edge_partition_count(spark, edge_partitions)
 
     if reliable_checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+        # setCheckpointDir is a SESSION-WIDE mutation that would
+        # silently override (and outlive) any directory the application
+        # already configured — only set it when none is set; an
+        # already-configured directory wins over the argument.
+        if spark.sparkContext.getCheckpointDir() is None:
+            spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
 
     def _snapshot(df: DataFrame) -> DataFrame:
         if reliable_checkpoint_dir is not None:
@@ -661,11 +676,15 @@ def feature_propagation(
     (div = integer division), so the smoothed values are bit-identical
     in any engine; the float formulation differs only by sub-unit
     rounding. ``edges``: directed (src, dst), pass both directions for
-    undirected graphs; ``features``: (v, h) integer features. Vertices
-    with no out-edges keep their feature; vertices without a feature
-    row contribute nothing (inner join semantics — degree counts ALL
-    neighbors, so missing-feature neighbors pull the mean toward 0 only
-    if the caller leaves them out; pass complete features).
+    undirected graphs; ``features``: (v, h) integer features. The
+    update aggregates over IN-neighbors (neighbor sums and degrees are
+    keyed by dst), so vertices with no IN-edges keep their feature —
+    for directed inputs a pure source still smooths its successors but
+    is never smoothed itself (moot under the symmetric-edges contract).
+    Vertices without a feature row contribute nothing (inner join
+    semantics — degree counts ALL in-neighbors, so missing-feature
+    neighbors pull the mean toward 0 only if the caller leaves them
+    out; pass complete features).
 
     Plan shape per superstep (same Pregel layout as ``pagerank``): the
     src-hash-partitioned checkpointed edge frame joins the vertex-sized

@@ -136,7 +136,7 @@ def corpus_curation_funnel(spark, sf_dir):
         "text",
         norm.alias("norm"),
         F.size(F.split(norm, " ")).alias("n_tokens"),
-    )
+    ).cache()  # feeds the input stage agg, the keeper census, and s2
 
     # 1: exact dedup — keeper = min id per full-content fingerprint.
     keepers = (
@@ -149,9 +149,16 @@ def corpus_curation_funnel(spark, sf_dir):
 
     # 2: MinHash-LSH near-dedup on the survivors — drop the larger id
     # of every verified pair (greedy keep-first, deterministic).
+    # Persist points (round-7 audit): sh feeds 4 branches; bands feeds
+    # both sides of the bucket self-join (the two sides project
+    # different columns, so Spark never gives a ReusedExchange — without
+    # the cache the minhash aggregation runs twice); cand feeds the two
+    # candidate-doc semi-joins plus the final pair semi-join inside
+    # jaccard_pairs (×3 recompute of the whole LSH chain before).
     sh = dedup.word_shingles(s2).cache()
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
-    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sigs, rows_per_band=2))
+    bands = dedup.lsh_bands(sigs, rows_per_band=2).cache()
+    cand = dedup.lsh_candidate_pairs(bands).cache()
     verified = dedup.jaccard_pairs(sh, candidates=cand, min_jaccard=0.5)
     drops = verified.select(F.col("id_b").alias("doc_id")).distinct()
     s3 = s2.join(drops, "doc_id", "left_anti").cache()

@@ -134,12 +134,16 @@ def ngram_jaccard_pairs(spark, sf_dir):
 def minhash_lsh_dupes(spark, sf_dir):
     """MinHash(8) + LSH(4 bands × 2 rows) candidate generation, then
     exact-Jaccard verification restricted to candidate docs — the
-    sub-quadratic fuzzy-dedup path. Shingles and candidates are cached:
-    each feeds multiple plan branches."""
+    sub-quadratic fuzzy-dedup path. Shingles, bands and candidates are
+    cached: shingles and candidates each feed multiple plan branches,
+    and bands feeds both sides of the bucket self-join (differing
+    projections defeat ReusedExchange, so uncached the minhash
+    aggregation would run twice)."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
-    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sigs, rows_per_band=2)).cache()
+    bands = dedup.lsh_bands(sigs, rows_per_band=2).cache()
+    cand = dedup.lsh_candidate_pairs(bands).cache()
     verified = dedup.jaccard_pairs(sh, candidates=cand, min_jaccard=0.5)
     return verified.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
