@@ -182,6 +182,9 @@ HEADLINE = [
     "part_cheapest_path",
     "sole_late_suppliers",
     "dp_event_type_counts",
+    "substring_span_coverage",
+    "substring_dedup_removal",
+    "top_boilerplate_grams",
 ]
 
 

@@ -1,0 +1,131 @@
+"""Semantics tests for exact substring dedup (operators/substrings.py).
+
+Hand-crafted corpora pin the ExactSubstr behaviors the oracle-parity
+check can't isolate: span merging vs splitting at the adjacency
+boundary, within-document self-repeats, sub-threshold docs, and
+full-document excision.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators import substrings
+
+L = 4
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(spark, rows):
+    return {
+        (r.id, r.span_start, r.span_end)
+        for r in substrings.duplicated_spans(
+            _docs(spark, rows), l=L, min_count=2
+        ).collect()
+    }
+
+
+def test_cross_doc_shared_run_marks_both_sides(spark):
+    rows = [
+        (1, "u1 u2 sh1 sh2 sh3 sh4 sh5 a9"),
+        (2, "v1 sh1 sh2 sh3 sh4 sh5 v7 v8"),
+    ]
+    # 5-token shared run, L=4: two overlapping dup grams per doc merge
+    # into one maximal span covering exactly the shared run.
+    assert _spans(spark, rows) == {(1, 3, 7), (2, 2, 6)}
+    cov = {
+        r.id: (r.n_tokens, r.dup_tokens, r.share_bp)
+        for r in substrings.span_coverage(
+            _docs(spark, rows), l=L, min_count=2
+        ).collect()
+    }
+    assert cov == {1: (8, 5, 6250), 2: (8, 5, 6250)}
+
+
+def test_abutting_runs_merge_into_one_span(spark):
+    rows = [
+        (1, "r1 r2 r3 r4 q1 q2 q3 q4"),  # dup starts 1 and 5: abut
+        (2, "x r1 r2 r3 r4 y"),
+        (3, "z q1 q2 q3 q4 w"),
+    ]
+    spans_1 = {s for s in _spans(spark, rows) if s[0] == 1}
+    assert spans_1 == {(1, 1, 8)}  # [1,4] + [5,8] -> one span
+    cleaned = {
+        r.id: (r.n_before, r.n_after, r.cleaned)
+        for r in substrings.remove_duplicated_spans(
+            _docs(spark, rows), l=L, min_count=2
+        ).collect()
+    }
+    assert cleaned[1] == (8, 0, "")  # full-document excision
+
+
+def test_gapped_runs_stay_separate_spans(spark):
+    rows = [
+        (1, "s1 s2 s3 s4 f1 t1 t2 t3 t4"),  # dup starts 1 and 6: gap
+        (2, "x s1 s2 s3 s4 y"),
+        (3, "z t1 t2 t3 t4 w"),
+    ]
+    spans_1 = {s for s in _spans(spark, rows) if s[0] == 1}
+    assert spans_1 == {(1, 1, 4), (1, 6, 9)}
+    cleaned = {
+        r.id: (r.n_before, r.n_after, r.cleaned)
+        for r in substrings.remove_duplicated_spans(
+            _docs(spark, rows), l=L, min_count=2
+        ).collect()
+    }
+    assert cleaned[1] == (9, 1, "f1")  # only the gap token survives
+
+
+def test_self_repeat_within_one_doc_is_duplicated(spark):
+    rows = [(1, "m1 m2 m3 m4 zz m1 m2 m3 m4")]
+    assert _spans(spark, rows) == {(1, 1, 4), (1, 6, 9)}
+    row = substrings.remove_duplicated_spans(
+        _docs(spark, rows), l=L, min_count=2
+    ).first()
+    assert (row.n_before, row.n_after, row.cleaned) == (9, 1, "zz")
+
+
+def test_short_docs_and_non_duplicated_docs_untouched(spark):
+    rows = [(1, "aa bb"), (2, "c1 c2 c3 c4 c5"), (3, "d1 d2 d3 d4 d5")]
+    assert _spans(spark, rows) == set()
+    got = {
+        r.id: (r.n_tokens, r.dup_tokens, r.share_bp)
+        for r in substrings.span_coverage(
+            _docs(spark, rows), l=L, min_count=2
+        ).collect()
+    }
+    assert got == {1: (2, 0, 0), 2: (5, 0, 0), 3: (5, 0, 0)}
+    cleaned = {
+        r.id: r.cleaned
+        for r in substrings.remove_duplicated_spans(
+            _docs(spark, rows), l=L, min_count=2
+        ).collect()
+    }
+    assert cleaned == {1: "aa bb", 2: "c1 c2 c3 c4 c5", 3: "d1 d2 d3 d4 d5"}
+
+
+def test_min_count_threshold(spark):
+    rows = [
+        (1, "p1 p2 p3 p4 x"),
+        (2, "p1 p2 p3 p4 y"),
+        (3, "p1 p2 p3 p4 z"),
+    ]
+    # gram occurs 3 times: min_count=4 finds nothing, =3 finds all.
+    none = substrings.duplicated_spans(
+        _docs(spark, rows), l=L, min_count=4
+    ).count()
+    assert none == 0
+    assert len(_spans(spark, rows)) == 3  # default min_count=2
+
+
+@pytest.mark.parametrize("text", ["", "one"])
+def test_degenerate_documents(spark, text):
+    row = substrings.remove_duplicated_spans(
+        _docs(spark, [(1, text)]), l=L, min_count=2
+    ).first()
+    assert row.cleaned == text.strip()
+    assert row.n_after == row.n_before

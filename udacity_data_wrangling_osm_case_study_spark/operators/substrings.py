@@ -1,0 +1,215 @@
+"""Exact substring deduplication (ExactSubstr, Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better").
+
+The reference method builds a corpus-wide suffix array and removes
+every substring of >= 50 tokens that occurs twice anywhere in the
+corpus. A suffix array is a single-machine data structure; the
+Spark-first equivalent used here is the standard fixed-length-gram
+decomposition of the same predicate:
+
+    a maximal duplicated span of length >= L is exactly a maximal run
+    of overlapping L-token grams each of which occurs >= min_count
+    times in the corpus
+
+so the pipeline is: slide an L-gram window over every document
+(row-local, higher-order array functions), count gram occurrences
+corpus-wide (ONE shuffle on a fixed-width 32-char md5 key — map-side
+combinable), mark the starts whose gram is duplicated (semi-join on
+the same key), merge overlapping starts into maximal spans (per-doc
+window — each partition key is one document, never global), and
+either report coverage or excise the covered tokens (row-local
+``filter`` with index lambda — no per-token shuffle).
+
+Differences from suffix-array ExactSubstr, stated rather than hidden:
+grams are length-exactly-L windows, so duplicated spans are detected
+at L-token granularity (a duplicated run of length L+k is found in
+full; one of length < L is not found at all) — same guarantee the
+reference's ``length-threshold`` gives, quantized to the gram grid.
+ALL occurrences of a duplicated span are removed (the reference's
+default deletes every copy too; keep-one-copy policies belong to the
+pair-ranked near-dup family in :mod:`operators.dedup`).
+
+At 100 TB: gram census and semi-join are the only shuffles, both on
+bounded md5 keys with partial aggregation; span merge and excision are
+per-document local. Boilerplate skew concentrates in hot grams, which
+is the gram census's groupBy — hot keys are counted, never joined
+pairwise (no df² term anywhere, unlike the pair-forming dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators.dedup import normalize_text
+
+
+def tokenized(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, toks, n_tokens) — normalized token array per document.
+
+    Materialized in its own projection so downstream higher-order
+    lambdas never capture (and re-run) the tokenizer per element — the
+    same pitfall guard as :func:`operators.dedup.word_shingles`.
+    """
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    ).select("id", "toks", F.size("toks").alias("n_tokens"))
+
+
+def gram_starts(base: DataFrame, l: int) -> DataFrame:
+    """(id, pos, g): every L-token gram start position, 1-based, with
+    the gram's md5 key. md5 of the joined gram string — not a 60-bit
+    int surrogate — because the duplicated/not-duplicated decision must
+    be bit-identical to the DuckDB oracle's; a truncated-hash collision
+    would MARK a unique span as duplicated, which (unlike the Jaccard
+    family, where a collision only nudges a count) flips an output row.
+    """
+    count = F.col("n_tokens") - (l - 1)
+    starts = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return base.select(
+        "id", F.explode(starts).alias("pos"), F.col("toks")
+    ).select(
+        "id",
+        "pos",
+        F.md5(F.array_join(F.slice("toks", F.col("pos"), l), " ")).alias("g"),
+    )
+
+
+def duplicated_starts(grams: DataFrame, min_count: int = 2) -> DataFrame:
+    """(id, pos) of gram starts whose gram occurs >= min_count times
+    corpus-wide (counting repeats inside one document, like the
+    reference: a doc that repeats its own boilerplate is deduplicated
+    against itself)."""
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("g")
+    )
+    return grams.join(dup, "g", "left_semi").select("id", "pos")
+
+
+def merge_spans(starts: DataFrame, l: int) -> DataFrame:
+    """Merge duplicated L-gram starts into maximal covered spans.
+
+    A start p covers tokens [p, p+L-1]; two starts merge when their
+    coverage overlaps or abuts (gap <= L). Fixed L makes coverage ends
+    monotone in pos, so a lag(pos) comparison is the full interval
+    merge — no running-max window. The window partitions BY DOCUMENT
+    (bounded rows per key), not globally.
+
+    Returns (id, span_start, span_end) — inclusive 1-based token range.
+    """
+    w = Window.partitionBy("id").orderBy("pos")
+    flagged = starts.select(
+        "id",
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > l, 1
+        ).otherwise(0).alias("brk"),
+    ).withColumn("span_id", F.sum("brk").over(w))
+    return (
+        flagged.groupBy("id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (l - 1)).alias("span_end"),
+        )
+        .select("id", "span_start", "span_end")
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    l: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, span_start, span_end): maximal corpus-duplicated spans per
+    document. ``l`` defaults to the reference's 50-token threshold;
+    the registered queries use a smaller L suited to the synthetic
+    corpus's ~54-token documents."""
+    base = tokenized(docs, id_col, text_col)
+    return merge_spans(
+        duplicated_starts(gram_starts(base, l), min_count), l
+    )
+
+
+def span_coverage(
+    docs: DataFrame,
+    l: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span coverage:
+    (id, n_tokens, dup_tokens, share_bp) — share in integer basis
+    points (dup·10⁴ div n, cleared through DECIMAL(38,0) so the
+    projection survives any document length). Docs with no duplicated
+    span report 0/0bp (left join)."""
+    base = tokenized(docs, id_col, text_col)
+    cov = (
+        merge_spans(duplicated_starts(gram_starts(base, l), min_count), l)
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+                "dup_tokens"
+            )
+        )
+    )
+    return base.join(cov, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.expr(
+            "cast(coalesce(dup_tokens, 0) as decimal(38,0)) * 10000"
+            " div cast(n_tokens as decimal(38,0))"
+        )
+        .cast("long")
+        .alias("share_bp"),
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    l: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excise every corpus-duplicated span, emitting cleaned text:
+    (id, n_before, n_after, cleaned). The excision is ROW-LOCAL — the
+    merged spans collect to a per-doc array (bounded: spans per doc <=
+    n_tokens/L) and an indexed ``filter`` lambda drops covered tokens —
+    so the cleaning pass adds zero shuffles beyond the span detection.
+    """
+    base = tokenized(docs, id_col, text_col)
+    spans = (
+        merge_spans(duplicated_starts(gram_starts(base, l), min_count), l)
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
+    )
+    empty = F.array().cast(
+        "array<struct<span_start:int,span_end:int>>"
+    )
+    joined = base.join(spans, "id", "left").select(
+        "id", "toks", "n_tokens", F.coalesce("spans", empty).alias("spans")
+    )
+    kept = F.filter(
+        "toks",
+        lambda t, i: ~F.exists(
+            "spans",
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.col("n_tokens").alias("n_before"),
+        F.size(kept).alias("n_after"),
+        F.array_join(kept, " ").alias("cleaned"),
+    )

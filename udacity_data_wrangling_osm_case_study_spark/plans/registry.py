@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "udacity_data_wrangling_osm_case_study_spark.plans.packing_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.curation_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.udtf_queries",
+    "udacity_data_wrangling_osm_case_study_spark.plans.substring_queries",
 )
 
 _loaded = False
@@ -59,6 +60,10 @@ _loaded = False
 # (registry ∖ (r01 ∪ … ∪ r04)), then round-5 additions; already-attested
 # names follow in registration order.
 _VERIFY_FIRST = (
+    # round-7 additions (never attested, newest work first)
+    "substring_span_coverage",
+    "substring_dedup_removal",
+    "top_boilerplate_grams",
     # round-6 additions (never attested, newest work first)
     "event_type_hour_chisq",
     "mannwhitney_click_view",
@@ -109,6 +114,14 @@ def register(
     """
 
     def deco(fn):
+        if name in QUERIES:
+            # A silent overwrite would shadow an attested query with a
+            # different-semantics newcomer (nearly shipped in round 7:
+            # a second "duplicated_span_share") — fail loudly instead.
+            raise ValueError(
+                f"query name {name!r} is already registered"
+                f" (by {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -1,0 +1,198 @@
+"""Exact-substring dedup queries (Lee et al. 2022 ExactSubstr shape).
+
+Three registered views of :mod:`operators.substrings` over the
+``documents`` table — the measurement (per-doc duplicated-span
+coverage), the removal (cleaned text after excising every duplicated
+span), and the audit (which boilerplate grams dominate). L = 6 tokens
+here: the synthetic corpus averages ~54 tokens/doc, so 6 plays the
+role the reference's 50-token threshold plays on real web documents
+(the operator's default stays 50).
+
+Oracle notes: the DuckDB twins recompute the whole gram → census →
+span-merge → excise chain independently (string_split + lateral range
+for the gram slide, window lag/sum for the interval merge), so a drift
+anywhere — tokenizer, gram hashing, merge adjacency rule, excision
+indexing — breaks the value match. Both engines key the census on
+md5(gram) (not a truncated int), because a collision here would flip
+an output row, not just nudge a count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_data_wrangling_osm_case_study_spark.operators import substrings
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+
+_L = 6
+_MIN_COUNT = 2
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# Shared CTE chain: tokenized docs -> L-gram starts -> duplicated
+# starts -> maximal merged spans (inclusive 1-based token ranges).
+_SPANS_CTE = f"""
+    bt AS (
+        SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks,
+               len(string_split({_NORM}, ' ')) AS n_tokens
+        FROM documents
+    ),
+    gr AS (
+        SELECT id, CAST(p.i AS INT) AS pos,
+               md5(array_to_string(
+                   toks[CAST(p.i AS INT):CAST(p.i AS INT) + {_L - 1}],
+                   ' ')) AS g
+        FROM bt, LATERAL unnest(
+            range(1, greatest(n_tokens - {_L - 1}, 0) + 1)) p(i)
+    ),
+    dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(*) >= {_MIN_COUNT}),
+    ds AS (SELECT id, pos FROM gr WHERE g IN (SELECT g FROM dup)),
+    fl AS (
+        SELECT id, pos,
+               CASE WHEN pos - LAG(pos) OVER (
+                        PARTITION BY id ORDER BY pos) > {_L}
+                    THEN 1 ELSE 0 END AS brk
+        FROM ds
+    ),
+    sp AS (
+        SELECT id, MIN(pos) AS s, MAX(pos) + {_L - 1} AS e
+        FROM (SELECT id, pos,
+                     SUM(brk) OVER (PARTITION BY id ORDER BY pos) AS sid
+              FROM fl)
+        GROUP BY id, sid
+    )
+"""
+
+
+@register(
+    "substring_span_coverage",
+    f"""
+    WITH {_SPANS_CTE},
+    cov AS (SELECT id, SUM(e - s + 1) AS dup_tokens FROM sp GROUP BY id)
+    SELECT bt.id AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(CAST(COALESCE(dup_tokens, 0) AS HUGEINT) * 10000
+                // n_tokens AS BIGINT) AS share_bp
+    FROM bt LEFT JOIN cov ON cov.id = bt.id
+    ORDER BY doc_id
+    """,
+)
+def substring_span_coverage(spark, sf_dir):
+    """Per-document duplicated-span coverage — the ExactSubstr SIGNAL:
+    how much of each doc is covered by >= L-token substrings that occur
+    >= min_count times ANYWHERE in the corpus, self-repeats included
+    (share in integer basis points). Companion to the round-5
+    ``duplicated_span_share`` (strictly CROSS-document 5-grams, no span
+    merge): this one measures exactly what ``substring_dedup_removal``
+    will excise — same gram length, same within-doc counting, same
+    merged-interval arithmetic — so coverage minus removal is an
+    internal consistency invariant. One gram-census shuffle + one
+    semi-join; span merge is per-doc local (operators/substrings.py)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        substrings.span_coverage(docs, l=_L, min_count=_MIN_COUNT)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "substring_dedup_removal",
+    f"""
+    WITH {_SPANS_CTE},
+    tok_rows AS (
+        SELECT id, CAST(i.i AS INT) AS i, toks[CAST(i.i AS INT)] AS tok
+        FROM bt, LATERAL unnest(range(1, n_tokens + 1)) i(i)
+    ),
+    covered AS (
+        SELECT DISTINCT id, CAST(u.i AS INT) AS i
+        FROM sp, LATERAL unnest(range(s, e + 1)) u(i)
+    ),
+    kept AS (
+        SELECT t.id, t.i, t.tok
+        FROM tok_rows t LEFT JOIN covered c ON c.id = t.id AND c.i = t.i
+        WHERE c.id IS NULL
+    ),
+    agg AS (
+        SELECT id, COUNT(*) AS n_after,
+               md5(string_agg(tok, ' ' ORDER BY i)) AS cleaned_md5
+        FROM kept GROUP BY id
+    )
+    SELECT bt.id AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_before,
+           CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+           COALESCE(cleaned_md5, md5('')) AS cleaned_md5
+    FROM bt LEFT JOIN agg ON agg.id = bt.id
+    ORDER BY doc_id
+    """,
+)
+def substring_dedup_removal(spark, sf_dir):
+    """ExactSubstr REMOVAL: excise every corpus-duplicated span (all
+    occurrences, like the reference's default) and emit the cleaned
+    text — reported as (doc_id, n_before, n_after, md5(cleaned)) so the
+    oracle pins the exact cleaned string, not just its length. The
+    excision itself is row-local (indexed filter lambda over the token
+    array against the doc's collected span list); the oracle recomputes
+    it relationally (position anti-join + ordered string_agg)."""
+    docs = table(spark, sf_dir, "documents")
+    out = substrings.remove_duplicated_spans(docs, l=_L, min_count=_MIN_COUNT)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_before").cast("long").alias("n_before"),
+        F.col("n_after").cast("long").alias("n_after"),
+        F.md5("cleaned").alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "top_boilerplate_grams",
+    f"""
+    WITH bt AS (
+        SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks,
+               len(string_split({_NORM}, ' ')) AS n_tokens
+        FROM documents
+    ),
+    gr AS (
+        SELECT id, array_to_string(
+                   toks[CAST(p.i AS INT):CAST(p.i AS INT) + {_L - 1}],
+                   ' ') AS gram
+        FROM bt, LATERAL unnest(
+            range(1, greatest(n_tokens - {_L - 1}, 0) + 1)) p(i)
+    )
+    SELECT gram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+    FROM gr GROUP BY gram HAVING COUNT(*) >= {_MIN_COUNT}
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 20
+    """,
+)
+def top_boilerplate_grams(spark, sf_dir):
+    """The boilerplate audit: the 20 most-repeated L-token grams with
+    occurrence and document counts — "what text is the corpus full of",
+    the report a curator reads to tune the span threshold before
+    running the removal. Gram strings (not hashes) so the output is
+    human-actionable; TakeOrderedAndProject keeps the top-k driver-side
+    cost at k rows."""
+    docs = table(spark, sf_dir, "documents")
+    base = substrings.tokenized(docs)
+    count = F.col("n_tokens") - (_L - 1)
+    starts = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = base.select(
+        "id", F.explode(starts).alias("pos"), "toks"
+    ).select(
+        "id", F.array_join(F.slice("toks", F.col("pos"), _L), " ").alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= _MIN_COUNT)
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(20)
+    )
