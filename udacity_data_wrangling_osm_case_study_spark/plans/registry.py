@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "udacity_data_wrangling_osm_case_study_spark.plans.curation_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.udtf_queries",
     "udacity_data_wrangling_osm_case_study_spark.plans.substring_queries",
+    "udacity_data_wrangling_osm_case_study_spark.plans.tpch_shapes",
 )
 
 _loaded = False
@@ -64,6 +65,10 @@ _VERIFY_FIRST = (
     "substring_span_coverage",
     "substring_dedup_removal",
     "top_boilerplate_grams",
+    "customer_order_counts_dist",
+    "small_qty_part_revenue",
+    "large_quantity_orders",
+    "idle_rich_customers",
     # round-6 additions (never attested, newest work first)
     "event_type_hour_chisq",
     "mannwhitney_click_view",
