@@ -349,6 +349,22 @@ def test_kmv_windows_are_keyed(spark):
 
 
 @pytest.mark.guard
+def test_register_rejects_duplicate_names():
+    """A duplicate @register name must fail loudly — a silent overwrite
+    shadows an attested query with different semantics (nearly shipped
+    in round 7 as a second duplicated_span_share)."""
+    registry.load_all()
+    existing = next(iter(registry.QUERIES))
+    with pytest.raises(ValueError, match="already registered"):
+
+        @registry.register(existing)
+        def _dup(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+
+    # and the original registration is untouched
+    assert registry.QUERIES[existing].__name__ != "_dup"
+
+
 def test_bench_manifest_covers_registry():
     """Every registered query is either benched (HEADLINE) or named in
     BENCH_EXCLUDED with a reason — a new registry entry can't silently
