@@ -122,6 +122,50 @@ def test_min_count_threshold(spark):
     assert len(_spans(spark, rows)) == 3  # default min_count=2
 
 
+def test_gram_index_lifecycle(spark, tmp_path):
+    idx = str(tmp_path / "gidx")
+    corpus = _docs(
+        spark, [(10, "c1 c2 c3 c4 tail1"), (11, "other words here now")]
+    )
+    substrings.build_gram_index(corpus, idx, l=L)
+
+    batch = _docs(spark, [(1, "c1 c2 c3 c4 zz"), (2, "n1 n2 n3 n4 n5")])
+    got = {
+        r.id: (r.dup_tokens, r.share_bp)
+        for r in substrings.incremental_span_coverage(batch, idx).collect()
+    }
+    # doc 1 shares a corpus gram (1 index + 1 batch occurrence = dup);
+    # doc 2's grams are corpus-unseen and batch-unique.
+    assert got == {1: (4, 8000), 2: (0, 0)}
+
+    # Appending an accepted batch makes LATER batches dedup against it.
+    substrings.gram_index_append(
+        _docs(spark, [(20, "n1 n2 n3 n4 yy")]), idx, "b1"
+    )
+    got2 = {
+        r.id: r.dup_tokens
+        for r in substrings.incremental_span_coverage(batch, idx).collect()
+    }
+    assert got2 == {1: 4, 2: 4}
+
+    # Retried append (same batch_id) overwrites only itself — counts
+    # must NOT double.
+    substrings.gram_index_append(
+        _docs(spark, [(20, "n1 n2 n3 n4 yy")]), idx, "b1"
+    )
+    got3 = {
+        r.id: r.dup_tokens
+        for r in substrings.incremental_span_coverage(batch, idx).collect()
+    }
+    assert got3 == got2
+
+    # Batch-internal self-repeat flags with no index support at all.
+    row = substrings.incremental_span_coverage(
+        _docs(spark, [(3, "q1 q2 q3 q4 xx q1 q2 q3 q4")]), idx
+    ).first()
+    assert (row.dup_tokens, row.n_tokens) == (8, 9)
+
+
 @pytest.mark.parametrize("text", ["", "one"])
 def test_degenerate_documents(spark, text):
     row = substrings.remove_duplicated_spans(

@@ -140,21 +140,15 @@ def duplicated_spans(
     )
 
 
-def span_coverage(
-    docs: DataFrame,
-    l: int = 50,
-    min_count: int = 2,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Per-document duplicated-span coverage:
-    (id, n_tokens, dup_tokens, share_bp) — share in integer basis
-    points (dup·10⁴ div n, cleared through DECIMAL(38,0) so the
-    projection survives any document length). Docs with no duplicated
-    span report 0/0bp (left join)."""
-    base = tokenized(docs, id_col, text_col)
+def _coverage_report(base: DataFrame, starts: DataFrame, l: int) -> DataFrame:
+    """(id, n_tokens, dup_tokens, share_bp) from a duplicated-start
+    frame — the shared tail of :func:`span_coverage` and
+    :func:`incremental_span_coverage`. Share in integer basis points
+    (dup·10⁴ div n, cleared through DECIMAL(38,0) so the projection
+    survives any document length); docs with no duplicated span report
+    0/0bp (left join)."""
     cov = (
-        merge_spans(duplicated_starts(gram_starts(base, l), min_count), l)
+        merge_spans(starts, l)
         .groupBy("id")
         .agg(
             F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
@@ -173,6 +167,153 @@ def span_coverage(
         .cast("long")
         .alias("share_bp"),
     )
+
+
+def span_coverage(
+    docs: DataFrame,
+    l: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span coverage:
+    (id, n_tokens, dup_tokens, share_bp)."""
+    base = tokenized(docs, id_col, text_col)
+    return _coverage_report(
+        base, duplicated_starts(gram_starts(base, l), min_count), l
+    )
+
+
+def build_gram_index(
+    docs: DataFrame,
+    index_dir: str,
+    l: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus gram census as a build-once artifact —
+    ``{index_dir}/grams``: (g, n) occurrence counts of EVERY L-gram —
+    so each ingest batch measures its duplicated-span share against the
+    corpus WITHOUT re-gramming it (the substring twin of
+    :func:`operators.dedup.build_dedup_index`; at 100 TB the
+    corpus-side pass is the cost, a batch is orders of magnitude
+    smaller). Counts below min_count are kept: one corpus occurrence
+    plus one batch occurrence IS a duplicate, so the index must record
+    singletons. Partitioned by ``batch_id`` (full build writes
+    ``base``); :func:`gram_index_append` adds accepted batches as
+    their own partitions with dynamic overwrite (retried batches
+    replace only themselves). On a cluster the relation would be
+    written bucketed by ``g`` so probe joins are shuffle-free on the
+    index side (operators.layout has the bucketed writer).
+
+    The gram length persists in ``meta.json``: probes and appends MUST
+    gram at the index's own L or counts are meaningless across
+    partitions."""
+    import json
+    import os
+
+    _write_gram_batch(
+        tokenized(docs, id_col, text_col), index_dir, l, "base", "static"
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"l": l}, f)
+
+
+def _write_gram_batch(
+    base: DataFrame, index_dir: str, l: int, batch_id: str, mode: str
+) -> None:
+    census = (
+        gram_starts(base, l)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .select("g", "n", F.lit(batch_id).alias("batch_id"))
+    )
+    (
+        census.write.mode("overwrite")
+        .option("partitionOverwriteMode", mode)
+        .partitionBy("batch_id")
+        .parquet(f"{index_dir}/grams")
+    )
+
+
+def read_gram_index_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    path = os.path.join(index_dir, "meta.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def gram_index_append(
+    docs: DataFrame,
+    index_dir: str,
+    batch_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Index MAINTENANCE: record an accepted ingest batch's gram census
+    as partition ``batch_id`` so later batches dedup against it too.
+    The gram length comes from the index manifest — an append can never
+    drift from the base build's L. A retried batch dynamically
+    overwrites only its own partition (exactly-once maintenance under
+    at-least-once stream semantics, same contract as
+    ``dedup.dedup_index_append``). Probes SUM counts across partitions,
+    so appends never need to merge with base; a periodic compaction
+    (re-run :func:`build_gram_index` over the accepted corpus) folds
+    partitions back to one."""
+    meta = read_gram_index_meta(index_dir)
+    _write_gram_batch(
+        tokenized(docs, id_col, text_col),
+        index_dir,
+        meta.get("l", 50),
+        batch_id,
+        "dynamic",
+    )
+
+
+def incremental_span_coverage(
+    new_docs: DataFrame,
+    index_dir: str,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-span coverage of an ingest batch measured against a
+    :func:`build_gram_index` artifact PLUS the batch itself:
+    (id, n_tokens, dup_tokens, share_bp). A gram is duplicated when its
+    batch count plus its summed index count reaches ``min_count`` —
+    so one corpus occurrence + one batch occurrence flags, and
+    batch-internal repeats flag even for corpus-unseen grams (the batch
+    is self-contained, like :func:`span_coverage` on the union would
+    be, without ever re-gramming the corpus).
+
+    Probe cost: the index side is ONE scan semi-join-restricted to the
+    batch's gram keys before any aggregation — per-gram counts are
+    summed only for grams the batch actually contains; everything else
+    (census, merge, share) is batch-sized."""
+    spark = new_docs.sparkSession
+    l = read_gram_index_meta(index_dir).get("l", 50)
+    base = tokenized(new_docs, id_col, text_col)
+    grams = gram_starts(base, l)
+    census = grams.groupBy("g").agg(F.count("*").alias("nb"))
+    idx = (
+        spark.read.parquet(f"{index_dir}/grams")
+        .join(census.select("g"), "g", "left_semi")
+        .groupBy("g")
+        .agg(F.sum("n").alias("ni"))
+    )
+    dup = (
+        census.join(idx, "g", "left")
+        .filter(
+            F.col("nb") + F.coalesce(F.col("ni"), F.lit(0)) >= min_count
+        )
+        .select("g")
+    )
+    starts = grams.join(dup, "g", "left_semi").select("id", "pos")
+    return _coverage_report(base, starts, l)
 
 
 def remove_duplicated_spans(

@@ -65,6 +65,7 @@ _VERIFY_FIRST = (
     "substring_span_coverage",
     "substring_dedup_removal",
     "top_boilerplate_grams",
+    "incremental_substring_coverage",
     "customer_order_counts_dist",
     "small_qty_part_revenue",
     "large_quantity_orders",

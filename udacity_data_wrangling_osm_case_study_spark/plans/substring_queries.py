@@ -145,6 +145,102 @@ def substring_dedup_removal(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _gram_index_dir(sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), "spark_graft_gram_index", name)
+
+
+def ensure_gram_index(spark, sf_dir: str) -> str:
+    """Build the persisted corpus gram index over the corpus partition
+    (doc_id % 7 != 0) if absent or older than the source table."""
+    import os
+
+    index_dir = _gram_index_dir(sf_dir)
+    marker = os.path.join(index_dir, "grams", "_SUCCESS")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(marker) or (
+        os.path.exists(src)
+        and os.path.getmtime(marker) < os.path.getmtime(src)
+    ):
+        corpus = table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 7 != 0
+        )
+        substrings.build_gram_index(corpus, index_dir, l=_L)
+    return index_dir
+
+
+@register(
+    "incremental_substring_coverage",
+    f"""
+    WITH bt AS (
+        SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks,
+               len(string_split({_NORM}, ' ')) AS n_tokens
+        FROM documents
+    ),
+    gr AS (
+        SELECT id, CAST(p.i AS INT) AS pos,
+               md5(array_to_string(
+                   toks[CAST(p.i AS INT):CAST(p.i AS INT) + {_L - 1}],
+                   ' ')) AS g
+        FROM bt, LATERAL unnest(
+            range(1, greatest(n_tokens - {_L - 1}, 0) + 1)) p(i)
+    ),
+    idx AS (SELECT g, COUNT(*) AS ni FROM gr WHERE id % 7 <> 0 GROUP BY g),
+    census AS (SELECT g, COUNT(*) AS nb FROM gr WHERE id % 7 = 0 GROUP BY g),
+    dup AS (
+        SELECT census.g FROM census LEFT JOIN idx USING (g)
+        WHERE nb + COALESCE(ni, 0) >= {_MIN_COUNT}
+    ),
+    ds AS (SELECT id, pos FROM gr
+           WHERE id % 7 = 0 AND g IN (SELECT g FROM dup)),
+    fl AS (
+        SELECT id, pos,
+               CASE WHEN pos - LAG(pos) OVER (
+                        PARTITION BY id ORDER BY pos) > {_L}
+                    THEN 1 ELSE 0 END AS brk
+        FROM ds
+    ),
+    sp AS (
+        SELECT id, MIN(pos) AS s, MAX(pos) + {_L - 1} AS e
+        FROM (SELECT id, pos,
+                     SUM(brk) OVER (PARTITION BY id ORDER BY pos) AS sid
+              FROM fl)
+        GROUP BY id, sid
+    ),
+    cov AS (SELECT id, SUM(e - s + 1) AS dup_tokens FROM sp GROUP BY id)
+    SELECT bt.id AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(CAST(COALESCE(dup_tokens, 0) AS HUGEINT) * 10000
+                // n_tokens AS BIGINT) AS share_bp
+    FROM bt LEFT JOIN cov ON cov.id = bt.id
+    WHERE bt.id % 7 = 0
+    ORDER BY doc_id
+    """,
+)
+def incremental_substring_coverage(spark, sf_dir):
+    """Incremental ExactSubstr measurement: the ingest batch
+    (doc_id % 7 == 0) measures its duplicated-span coverage against the
+    PERSISTED corpus gram index (operators.substrings.build_gram_index
+    over doc_id % 7 != 0) plus itself — the corpus is never re-grammed
+    at probe time, so the ingest job is sized by the batch (the
+    substring twin of ``incremental_dedup``). The index side is one
+    scan, semi-join-restricted to the batch's gram keys before any
+    aggregation."""
+    index_dir = ensure_gram_index(spark, sf_dir)
+    batch = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return (
+        substrings.incremental_span_coverage(
+            batch, index_dir, min_count=_MIN_COUNT
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "top_boilerplate_grams",
     f"""
