@@ -166,6 +166,67 @@ def test_gram_index_lifecycle(spark, tmp_path):
     assert (row.dup_tokens, row.n_tokens) == (8, 9)
 
 
+def test_intake_substring_gate_rejects_boilerplate_wrappers(
+    spark, tmp_path
+):
+    """The ExactSubstr intake gate catches what the LSH probe cannot: a
+    doc that is MOSTLY recycled spans but below whole-doc Jaccard 0.5.
+    A control intake without the gram index accepts the same docs —
+    proving the rejection comes from the substring gate, not the
+    near-dup probe."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+    from udacity_data_wrangling_osm_case_study_spark.streaming import (
+        corpus_intake,
+    )
+
+    seed = _docs(
+        spark, [(100, "b1 b2 b3 b4 b5 b6 b7 b8 f1 f2 f3 f4 f5 f6 f7 f8")]
+    ).withColumn("source", F.lit("seed"))
+
+    def setup(tag):
+        d = {k: str(tmp_path / tag / k) for k in ("acc", "idx", "gidx")}
+        dedup.build_dedup_index(seed.select("doc_id", "text"), d["idx"])
+        substrings.build_gram_index(
+            seed.select("doc_id", "text"), d["gidx"], l=L
+        )
+        return d
+
+    gated, control = setup("gated"), setup("control")
+    # doc 1 wraps the seed's 8-token boilerplate run in fresh text:
+    # shingle Jaccard vs the seed is 6/20 = 0.30 (< 0.5, LSH passes)
+    # but span share is 8/14 = 5714 bp (> 5000, gate rejects).
+    # doc 2 is clean.
+    batch1 = _docs(
+        spark,
+        [
+            (1, "b1 b2 b3 b4 b5 b6 b7 b8 u1 u2 u3 u4 u5 u6"),
+            (2, "n1 n2 n3 n4 n5 n6 n7"),
+        ],
+    ).withColumn("source", F.lit("feed"))
+    # doc 3 reuses 6 of doc 2's tokens inside fresh text: Jaccard vs
+    # doc 2 is 4/10 = 0.40 (LSH passes) but span share vs the GROWN
+    # gram index (doc 2 appended by batch 1) is 6/11 = 5454 bp.
+    batch2 = _docs(
+        spark, [(3, "n1 n2 n3 n4 n5 n6 z1 z2 z3 z4 z5")]
+    ).withColumn("source", F.lit("feed"))
+
+    for d, gidx in ((gated, gated["gidx"]), (control, None)):
+        corpus_intake.intake_batch(
+            batch1, 1, d["acc"], d["idx"],
+            gram_index_dir=gidx, max_dup_share_bp=5000,
+        )
+        corpus_intake.intake_batch(
+            batch2, 2, d["acc"], d["idx"],
+            gram_index_dir=gidx, max_dup_share_bp=5000,
+        )
+
+    accepted = lambda d: {  # noqa: E731
+        r.doc_id for r in spark.read.parquet(d["acc"]).collect()
+    }
+    assert accepted(control) == {1, 2, 3}  # LSH alone passes all three
+    assert accepted(gated) == {2}  # the gate drops both wrappers
+
+
 @pytest.mark.parametrize("text", ["", "one"])
 def test_degenerate_documents(spark, text):
     row = substrings.remove_duplicated_spans(

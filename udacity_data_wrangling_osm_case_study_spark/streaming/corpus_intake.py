@@ -74,9 +74,22 @@ def intake_batch(
     index_dir: str,
     min_tokens: int = 5,
     min_jaccard: float = 0.5,
+    gram_index_dir: str | None = None,
+    max_dup_share_bp: int = 8000,
 ) -> None:
     """Process ONE ingest batch (the foreachBatch body, callable
-    directly for batch backfills): dedup, gate, probe, append."""
+    directly for batch backfills): dedup, gate, probe, append.
+
+    With ``gram_index_dir`` (a :func:`operators.substrings.
+    build_gram_index` artifact) the intake adds the ExactSubstr gate
+    the LSH probe cannot express: a document that is MOSTLY recycled
+    spans but below the whole-document Jaccard threshold (boilerplate
+    page wrapping a little fresh text) passes the near-dup probe yet
+    gets rejected when its duplicated-span share vs the gram index
+    exceeds ``max_dup_share_bp``. Survivors' gram census is appended to
+    the gram index under the same batch_id discipline (dynamic
+    partition overwrite — retries replace only themselves), so later
+    batches measure against everything accepted before them."""
     norm = dedup.normalize_text(F.col("text"))
     base = batch_df.select(
         "doc_id",
@@ -102,6 +115,21 @@ def intake_batch(
         "doc_id",
         "left_anti",
     ).cache()
+    if gram_index_dir is not None:
+        from udacity_data_wrangling_osm_case_study_spark.operators import (
+            substrings,
+        )
+
+        recycled = (
+            substrings.incremental_span_coverage(
+                accepted.select("doc_id", "text"), gram_index_dir
+            )
+            .filter(F.col("share_bp") > max_dup_share_bp)
+            .select(F.col("id").alias("doc_id"))
+        )
+        survivors = accepted.join(recycled, "doc_id", "left_anti").cache()
+        accepted.unpersist()
+        accepted = survivors
     (
         accepted.select(
             "doc_id", "text", "source", "n_tokens",
@@ -115,6 +143,12 @@ def intake_batch(
     dedup.dedup_index_append(
         accepted.select("doc_id", "text"), index_dir, batch_id=str(batch_id)
     )
+    if gram_index_dir is not None:
+        substrings.gram_index_append(
+            accepted.select("doc_id", "text"),
+            gram_index_dir,
+            batch_id=str(batch_id),
+        )
     accepted.unpersist()
     gated.unpersist()
 
@@ -127,6 +161,8 @@ def start_corpus_intake(
     checkpoint_dir: str,
     min_tokens: int = 5,
     min_jaccard: float = 0.5,
+    gram_index_dir: str | None = None,
+    max_dup_share_bp: int = 8000,
 ):
     """Start the intake stream (availableNow: drain what's there, then
     stop — the replayable-batch trigger used by the parity tests)."""
@@ -136,6 +172,8 @@ def start_corpus_intake(
         intake_batch(
             batch_df, batch_id, accepted_dir, index_dir,
             min_tokens=min_tokens, min_jaccard=min_jaccard,
+            gram_index_dir=gram_index_dir,
+            max_dup_share_bp=max_dup_share_bp,
         )
 
     return (
