@@ -184,6 +184,7 @@ def test_no_cartesian_products_anywhere(spark):
         "bootstrap_mean_ci",            # 1-row replicate-order-stats frame
         "source_centroid_cosine",       # k-row centroid bank, inequality pair join
         "daily_count_autocorr",         # 1-row series-total frame
+        "idle_rich_customers",          # 1-row global-average frame (Q22)
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []
