@@ -190,6 +190,8 @@ HEADLINE = [
     "small_qty_part_revenue",
     "large_quantity_orders",
     "idle_rich_customers",
+    "late_order_priority_check",
+    "top_quarter_supplier",
 ]
 
 

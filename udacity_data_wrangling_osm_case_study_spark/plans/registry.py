@@ -70,6 +70,8 @@ _VERIFY_FIRST = (
     "small_qty_part_revenue",
     "large_quantity_orders",
     "idle_rich_customers",
+    "late_order_priority_check",
+    "top_quarter_supplier",
     # round-6 additions (never attested, newest work first)
     "event_type_hour_chisq",
     "mannwhitney_click_view",

@@ -196,6 +196,102 @@ def large_quantity_orders(spark, sf_dir):
 
 
 @register(
+    "late_order_priority_check",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def late_order_priority_check(spark, sf_dir):
+    """TPC-H Q4-shaped priority check: per priority, how many of one
+    quarter's orders had at least one lineitem shipped more than 60
+    days after the order date (this schema carries no commit/receipt
+    dates, so lateness is ship-vs-order — the ``sole_late_suppliers``
+    convention). The EXISTS is a LEFT SEMI join whose condition mixes
+    the equi orderkey with a non-equi date comparison — the semi join
+    dedups multi-late-lineitem orders for free (a plain join would
+    need a post-distinct)."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "top_quarter_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100)
+                    AS BIGINT) AS total_rev_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_rev_c
+    FROM supplier s
+    JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_quarter_supplier(spark, sf_dir):
+    """TPC-H Q15-shaped top supplier: the supplier(s) whose one-quarter
+    revenue equals the quarter's maximum — Q15's revenue view + scalar
+    MAX subquery. The max arrives as a 1-row aggregate broadcast and
+    the equality is a KEYED broadcast hash join on the revenue value
+    itself (not a keyless nested loop) — ties all surface, matching the
+    view semantics. Revenue folds as exact decimal before one cents
+    rounding per group (the Q8 discipline)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount").cast(_DEC))
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("total_rev_c")
+    )
+    mx = rev.agg(F.max("total_rev_c").alias("total_rev_c"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), "total_rev_c")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "idle_rich_customers",
     """
     WITH pos AS (
