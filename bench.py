@@ -192,6 +192,7 @@ HEADLINE = [
     "idle_rich_customers",
     "late_order_priority_check",
     "top_quarter_supplier",
+    "disjunctive_promo_revenue",
 ]
 
 

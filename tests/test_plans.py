@@ -350,6 +350,21 @@ def test_kmv_windows_are_keyed(spark):
 
 
 @pytest.mark.guard
+def test_disjunctive_predicates_push_to_both_scans(spark):
+    """Q19 shape: the mixed OR spans both join sides, but Catalyst must
+    push each side's INFERRED disjunction into its own parquet scan —
+    quantity ranges to lineitem, brand/size to part — so both prune
+    before the join."""
+    import re
+
+    p = _plan(spark, "disjunctive_promo_revenue")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", p)
+    li = [s for s in pushed if "l_quantity" in s]
+    pt = [s for s in pushed if "p_brand" in s]
+    assert li and "Or(" in li[0], li
+    assert pt and "Or(" in pt[0], pt
+
+
 def test_register_rejects_duplicate_names():
     """A duplicate @register name must fail loudly — a silent overwrite
     shadows an attested query with different semantics (nearly shipped

@@ -72,6 +72,7 @@ _VERIFY_FIRST = (
     "idle_rich_customers",
     "late_order_priority_check",
     "top_quarter_supplier",
+    "disjunctive_promo_revenue",
     # round-6 additions (never attested, newest work first)
     "event_type_hour_chisq",
     "mannwhitney_click_view",

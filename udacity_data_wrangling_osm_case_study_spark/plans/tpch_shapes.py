@@ -292,6 +292,62 @@ def top_quarter_supplier(spark, sf_dir):
 
 
 @register(
+    "disjunctive_promo_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100)
+                AS BIGINT) AS revenue_c
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_promo_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive revenue: three OR-ed
+    brand/size/quantity conjunctions spanning BOTH join sides — the
+    classic test of disjunction handling. Catalyst cannot push the
+    mixed OR below the join whole, but it CAN (and the plan audit
+    confirms it does) push the INFERRED per-side disjunctions —
+    ``p_brand IN (…) AND p_size ≥ 1`` to the part scan and the
+    quantity-range union to the lineitem scan — so both scans prune
+    before the join and the full OR re-evaluates only on survivors.
+    Expressed as one declarative filter; no manual three-branch
+    union-all rewrite."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount").cast(_DEC))
+        ).alias("rev"),
+    )
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).filter(
+        branch("Brand#12", 5, 1, 11)
+        | branch("Brand#23", 10, 10, 20)
+        | branch("Brand#34", 15, 20, 30)
+    )
+    return joined.agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("rev") * 100).cast("long").alias("revenue_c"),
+    )
+
+
+@register(
     "idle_rich_customers",
     """
     WITH pos AS (
