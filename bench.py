@@ -193,6 +193,7 @@ HEADLINE = [
     "late_order_priority_check",
     "top_quarter_supplier",
     "disjunctive_promo_revenue",
+    "conversion_funnel_ordered",
 ]
 
 

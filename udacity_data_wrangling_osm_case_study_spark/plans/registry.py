@@ -73,6 +73,7 @@ _VERIFY_FIRST = (
     "late_order_priority_check",
     "top_quarter_supplier",
     "disjunctive_promo_revenue",
+    "conversion_funnel_ordered",
     # round-6 additions (never attested, newest work first)
     "event_type_hour_chisq",
     "mannwhitney_click_view",

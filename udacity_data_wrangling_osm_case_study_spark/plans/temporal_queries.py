@@ -1108,3 +1108,79 @@ def user_activity_gaps(spark, sf_dir, max_span_days=None):
         .select(*cols)
         .orderBy("user_id")
     )
+
+
+@register(
+    "conversion_funnel_ordered",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+    ),
+    v AS (SELECT user_id, MIN(ms) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ms) AS t2, MIN(v.t1) AS t1
+          FROM e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ms > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ms) AS t3, MIN(c.t2) AS t2
+          FROM e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ms > c.t2
+          GROUP BY e.user_id)
+    SELECT stage, n_users, avg_step_ms FROM (
+        SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(0 AS BIGINT) AS avg_step_ms FROM v
+        UNION ALL
+        SELECT '2_click', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(t2 - t1) // COUNT(*), 0) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(t3 - t2) // COUNT(*), 0) AS BIGINT) FROM p
+    ) ORDER BY stage
+    """,
+)
+def conversion_funnel_ordered(spark, sf_dir):
+    """ORDERED conversion funnel (view → click → purchase): a user
+    counts at stage k only if stage k's first event happens strictly
+    AFTER their first stage-(k-1) event — the product-analytics funnel
+    semantic that unordered per-type mins get wrong (a purchase before
+    the first view must not convert). Each stage is one conditional-min
+    aggregate joined to the previous stage's user frame — user-keyed
+    joins and map-side-combinable mins, no per-user window, no
+    sequence UDF. Step latency reports as integer-exact avg
+    milliseconds (Σdiff div n over unix_millis — both engines truncate
+    sub-ms identically)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ms") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .filter(F.col("ms") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def stage(df, name, diff_expr):
+        return df.agg(
+            F.count("*").alias("n_users"),
+            F.expr(diff_expr).cast("long").alias("avg_step_ms"),
+        ).select(F.lit(name).alias("stage"), "n_users", "avg_step_ms")
+
+    return (
+        stage(v, "1_view", "coalesce(sum(0) div count(*), 0)")
+        .unionByName(stage(c, "2_click", "coalesce(sum(t2 - t1) div count(*), 0)"))
+        .unionByName(stage(p, "3_purchase", "coalesce(sum(t3 - t2) div count(*), 0)"))
+        .orderBy("stage")
+    )
