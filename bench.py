@@ -194,6 +194,7 @@ HEADLINE = [
     "top_quarter_supplier",
     "disjunctive_promo_revenue",
     "conversion_funnel_ordered",
+    "weekly_retention_cohorts",
 ]
 
 

@@ -74,6 +74,7 @@ _VERIFY_FIRST = (
     "top_quarter_supplier",
     "disjunctive_promo_revenue",
     "conversion_funnel_ordered",
+    "weekly_retention_cohorts",
     # round-6 additions (never attested, newest work first)
     "event_type_hour_chisq",
     "mannwhitney_click_view",

@@ -1184,3 +1184,69 @@ def conversion_funnel_ordered(spark, sf_dir):
         .unionByName(stage(p, "3_purchase", "coalesce(sum(t3 - t2) div count(*), 0)"))
         .orderBy("stage")
     )
+
+
+@register(
+    "weekly_retention_cohorts",
+    """
+    WITH su AS (
+        SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cw
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aw
+        FROM events
+    ),
+    j AS (
+        SELECT su.cw, date_diff('day', su.cw, act.aw) // 7 AS k
+        FROM act JOIN su ON su.user_id = act.user_id
+        WHERE act.aw >= su.cw
+    ),
+    counts AS (SELECT cw, k, COUNT(*) AS n_active FROM j
+               WHERE k <= 8 GROUP BY cw, k),
+    sizes AS (SELECT cw, COUNT(*) AS sz FROM su GROUP BY cw)
+    SELECT counts.cw AS cohort_week, CAST(k AS BIGINT) AS week_k,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_active * 10000 // sz AS BIGINT) AS retention_bp
+    FROM counts JOIN sizes ON sizes.cw = counts.cw
+    ORDER BY cohort_week, week_k
+    """,
+)
+def weekly_retention_cohorts(spark, sf_dir):
+    """Weekly retention-cohort matrix — the product-analytics staple:
+    users cohort by their first SIGNUP week (ISO Monday truncation,
+    identical in both engines), and week-k retention is the share of
+    the cohort active in ANY event k weeks later, in integer basis
+    points. The (user, week) activity frame is made DISTINCT before the
+    cohort join, so the per-cell aggregate is a plain COUNT (never
+    COUNT DISTINCT over the fact table), and the week offset is exact
+    integer day-arithmetic between two week-start dates — no float
+    date math. Cohort sizes broadcast back for the share."""
+    ev = table(spark, sf_dir, "events")
+    week = lambda c: F.to_date(F.date_trunc("week", c))  # noqa: E731
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week(F.col("ts"))).alias("cw"))
+    )
+    act = ev.select("user_id", week(F.col("ts")).alias("aw")).distinct()
+    j = (
+        act.join(su, "user_id")
+        .filter(F.col("aw") >= F.col("cw"))
+        .select("cw", F.expr("datediff(aw, cw) div 7").alias("k"))
+        .filter(F.col("k") <= 8)
+    )
+    counts = j.groupBy("cw", "k").agg(F.count("*").alias("n_active"))
+    sizes = su.groupBy("cw").agg(F.count("*").alias("sz"))
+    return (
+        counts.join(F.broadcast(sizes), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("k").cast("long").alias("week_k"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.expr("n_active * 10000 div sz").cast("long").alias(
+                "retention_bp"
+            ),
+        )
+        .orderBy("cohort_week", "week_k")
+    )
