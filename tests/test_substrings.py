@@ -227,6 +227,68 @@ def test_intake_substring_gate_rejects_boilerplate_wrappers(
     assert accepted(gated) == {2}  # the gate drops both wrappers
 
 
+def test_randomized_consistency_vs_python_bruteforce(spark):
+    """Third-implementation check (beyond the DuckDB oracle): on a
+    seeded random corpus with heavy gram collisions, span detection,
+    coverage, and removal must all agree with a direct Python
+    reimplementation, and with each other (dup_tokens ==
+    n_before - n_after exactly — removal excises precisely the
+    covered tokens)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(6)]  # tiny alphabet → many dups
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for i in range(40)
+    ]
+
+    # Python brute force: gram census, duplicated starts, interval
+    # merge per doc.
+    toks = {i: t.split(" ") for i, t in rows}
+    census: dict[tuple, int] = {}
+    for ts in toks.values():
+        for p in range(len(ts) - L + 1):
+            g = tuple(ts[p : p + L])
+            census[g] = census.get(g, 0) + 1
+    expect = {}
+    for i, ts in toks.items():
+        starts = [
+            p + 1
+            for p in range(len(ts) - L + 1)
+            if census[tuple(ts[p : p + L])] >= 2
+        ]
+        spans, covered = [], set()
+        for p in starts:
+            if spans and p - spans[-1][0] <= L:
+                spans[-1] = (p, spans[-1][1])  # extend (track last start)
+            else:
+                spans.append((p, p))
+        total = 0
+        for last_start, first_start in spans:
+            lo, hi = first_start, last_start + L - 1
+            total += hi - lo + 1
+            covered.update(range(lo, hi + 1))
+        kept = [t for j, t in enumerate(ts, start=1) if j not in covered]
+        expect[i] = (len(ts), total, " ".join(kept))
+
+    docs = _docs(spark, rows)
+    cov = {
+        r.id: (r.n_tokens, r.dup_tokens)
+        for r in substrings.span_coverage(docs, l=L, min_count=2).collect()
+    }
+    rem = {
+        r.id: (r.n_before, r.n_after, r.cleaned)
+        for r in substrings.remove_duplicated_spans(
+            docs, l=L, min_count=2
+        ).collect()
+    }
+    assert any(v[1] > 0 for v in expect.values())  # non-vacuous corpus
+    for i, (n, dup, cleaned) in expect.items():
+        assert cov[i] == (n, dup), f"doc {i}"
+        assert rem[i] == (n, n - dup, cleaned), f"doc {i}"
+
+
 @pytest.mark.parametrize("text", ["", "one"])
 def test_degenerate_documents(spark, text):
     row = substrings.remove_duplicated_spans(
