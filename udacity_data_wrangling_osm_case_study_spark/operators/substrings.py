@@ -59,14 +59,24 @@ def tokenized(
     ).select("id", "toks", F.size("toks").alias("n_tokens"))
 
 
+# Gram-key encoding version, persisted in index manifests: probes must
+# key grams exactly like the index build did or census joins silently
+# miss. Bump when gram_starts' key changes shape.
+GRAM_KEY = "md5-binary-v2"
+
+
 def gram_starts(base: DataFrame, l: int) -> DataFrame:
     """(id, pos, g): every L-token gram start position, 1-based, with
-    the gram's md5 key. md5 of the joined gram string — not a 60-bit
-    int surrogate — because the duplicated/not-duplicated decision must
-    be bit-identical to the DuckDB oracle's; a truncated-hash collision
-    would MARK a unique span as duplicated, which (unlike the Jaccard
-    family, where a collision only nudges a count) flips an output row.
-    """
+    the gram's key — the FULL 16-byte binary md5 digest (unhex of the
+    hex form). Full-width, not a 60-bit int surrogate, because the
+    duplicated/not-duplicated decision must be bit-identical to the
+    DuckDB oracle's; a truncated-hash collision would MARK a unique
+    span as duplicated, which (unlike the Jaccard family, where a
+    collision only nudges a count) flips an output row. Binary, not the
+    32-char hex string, because this key rides the family's dominant
+    shuffle (the corpus-wide census groupBy) and binary halves its key
+    bytes; grouping semantics are identical since unhex is injective
+    on md5 output."""
     count = F.col("n_tokens") - (l - 1)
     starts = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>")
@@ -76,7 +86,9 @@ def gram_starts(base: DataFrame, l: int) -> DataFrame:
     ).select(
         "id",
         "pos",
-        F.md5(F.array_join(F.slice("toks", F.col("pos"), l), " ")).alias("g"),
+        F.unhex(
+            F.md5(F.array_join(F.slice("toks", F.col("pos"), l), " "))
+        ).alias("g"),
     )
 
 
@@ -216,7 +228,7 @@ def build_gram_index(
         tokenized(docs, id_col, text_col), index_dir, l, "base", "static"
     )
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump({"l": l}, f)
+        json.dump({"l": l, "key": GRAM_KEY}, f)
 
 
 def _write_gram_batch(

@@ -161,9 +161,15 @@ def ensure_gram_index(spark, sf_dir: str) -> str:
     index_dir = _gram_index_dir(sf_dir)
     marker = os.path.join(index_dir, "grams", "_SUCCESS")
     src = os.path.join(sf_dir, "documents.parquet")
-    if not os.path.exists(marker) or (
-        os.path.exists(src)
-        and os.path.getmtime(marker) < os.path.getmtime(src)
+    meta = substrings.read_gram_index_meta(index_dir)
+    if (
+        not os.path.exists(marker)
+        or meta.get("key") != substrings.GRAM_KEY
+        or meta.get("l") != _L
+        or (
+            os.path.exists(src)
+            and os.path.getmtime(marker) < os.path.getmtime(src)
+        )
     ):
         corpus = table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 7 != 0
