@@ -75,6 +75,12 @@ _VERIFY_FIRST = (
     "disjunctive_promo_revenue",
     "conversion_funnel_ordered",
     "weekly_retention_cohorts",
+    "discount_revenue_forecast",
+    "bilateral_shipping_volume",
+    "returned_item_customers",
+    "late_shipment_priority_split",
+    "promo_revenue_share_monthly",
+    "supplier_count_by_part_attr",
     # round-6 additions (never attested, newest work first)
     "event_type_hour_chisq",
     "mannwhitney_click_view",

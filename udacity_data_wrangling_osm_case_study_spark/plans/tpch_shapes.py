@@ -1,22 +1,33 @@
-"""Classic OLAP decision-support shapes (TPC-H Q13/Q17/Q18/Q22
-analogs), adapted to the driver testdata's column surface.
+"""Classic OLAP decision-support shapes (TPC-H analogs), adapted to
+the driver testdata's column surface.
 
-Round 7 widens the optimizer-workout family started by the Q1/Q3/Q5/
-Q8/Q21 shapes (plans/exploration.py, plans/join_queries.py): each of
-these four exercises a DIFFERENT Catalyst capability —
+Round 7 completes the optimizer-workout family started by the
+Q1/Q3/Q5/Q8/Q21 shapes (plans/exploration.py, plans/join_queries.py).
+Coverage map of the 22 classic shapes, 18 expressible on this schema
+and all 18 implemented:
 
-- Q13: predicate ON an outer join (not a post-filter — pushing it to
-  WHERE would wrongly drop zero-order customers), then an aggregate of
-  an aggregate.
-- Q17: correlated scalar-aggregate subquery (per-part average),
-  decorrelated to aggregate-then-join; the 0.2·avg comparison clears
-  denominators to stay integer-exact.
-- Q18: HAVING on a fact-side aggregate used as a semi-join driver into
-  a 3-table join, then global top-k (TakeOrderedAndProject).
-- Q22: scalar subquery broadcast (global average balance) + NOT EXISTS
-  anti-join.
+  Q1  pricing_summary            Q12 late_shipment_priority_split
+  Q3  shipping_priority          Q13 customer_order_counts_dist
+  Q4  late_order_priority_check  Q14 promo_revenue_share_monthly
+  Q5  supplier_nation_volume     Q15 top_quarter_supplier
+  Q6  discount_revenue_forecast  Q16 supplier_count_by_part_attr
+  Q7  bilateral_shipping_volume  Q17 small_qty_part_revenue
+  Q8  nation_market_share        Q18 large_quantity_orders
+  Q10 returned_item_customers    Q19 disjunctive_promo_revenue
+                                 Q21 sole_late_suppliers
+                                 Q22 idle_rich_customers
 
-All money/quantity arithmetic folds as exact integer cents (doubles →
+Q2/Q9/Q11/Q20 are out of scope: each is ABOUT the partsupp relation
+(supplycost/availqty), which the driver testdata does not carry; Q16's
+part-supplier pairs are recoverable from lineitem (and are, below),
+but supply cost and available quantity have no observable stand-in.
+
+Each shape exercises a DIFFERENT Catalyst capability — outer-join
+ON-conditions (Q13), decorrelated scalar aggregates (Q17), HAVING-
+driven semi-joins + top-k (Q18), scalar-subquery broadcasts (Q15/Q22),
+mixed equi/non-equi EXISTS (Q4/Q12), cross-side disjunctions (Q19/Q7),
+NOT IN anti-joins (Q16/Q22), pure-scan pushdown (Q6). All money/
+quantity arithmetic folds as exact integer cents (doubles →
 ROUND(x·100) → BIGINT) so both engines hash identically; derived
 ratios clear through the round-7 DECIMAL(38,0) discipline where a
 product could pass 2⁶³.
@@ -415,4 +426,361 @@ def idle_rich_customers(spark, sf_dir):
             F.sum("bal_c").cast("long").alias("totacctbal_c"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+_REV_C_SQL = (
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100) AS BIGINT)"
+)
+
+
+def _rev_c():
+    return (
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount").cast(_DEC))
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("revenue_c")
+    )
+
+
+@register(
+    "discount_revenue_forecast",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(l_discount AS DECIMAL(18,4))) * 100) AS BIGINT)
+               AS discount_revenue_c
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def discount_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6-shaped what-if: revenue that would vanish if small-
+    quantity 5-7% discounts were dropped for a year. Deliberately the
+    SIMPLEST shape in the family — one scan, no join — so the plan
+    audit checks the basics at their purest: every predicate reaches
+    PushedFilters, the scan reads 4 columns, and the whole aggregate
+    runs in one WholeStageCodegen span. The discount band compares on
+    exact cents (ROUND(d·100) BETWEEN 5 AND 7), not raw doubles —
+    0.05/0.07 are not exactly representable and a float BETWEEN is an
+    engine-dependent edge."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.round(F.col("l_discount") * 100).cast("long").between(5, 7)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * F.col("l_discount").cast(_DEC)
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("discount_revenue_c"),
+    )
+
+
+@register(
+    "bilateral_shipping_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+           {_REV_C_SQL} AS revenue_c
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def bilateral_shipping_volume(spark, sf_dir):
+    """TPC-H Q7-shaped bilateral trade volume: two-year revenue between
+    one nation PAIR in both directions. The symmetric OR over the two
+    nation dimensions cannot be split per side (each branch constrains
+    BOTH sides), so the interesting plan property is that the nation
+    IN-(two-names) supersets still push into each broadcast nation
+    scan while the exact pairing re-evaluates post-join. Constant-size
+    dims broadcast; customer/supplier left to AQE (the Q8
+    discipline)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    cn = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        base.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_rev_c())
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("l_year").cast("long").alias("l_year"),
+            "revenue_c",
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "returned_item_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name, {_REV_C_SQL} AS revenue_c
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer c ON o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_c DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: the 20 customers who
+    returned the most revenue in one quarter — the "who should support
+    call first" list. Group keys include the customer attributes (no
+    post-aggregation re-join), revenue is exact cents, and the top-20
+    is a TakeOrderedAndProject over the aggregated frame."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev_c())
+        .orderBy(F.desc("revenue_c"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "late_shipment_priority_split",
+    """
+    SELECT CASE WHEN l_quantity > 25 THEN 'heavy' ELSE 'light' END
+               AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY ship_class ORDER BY ship_class
+    """,
+)
+def late_shipment_priority_split(spark, sf_dir):
+    """TPC-H Q12-shaped priority split of late shipments (this schema
+    has no shipmode column, so lines class by quantity weight instead):
+    for every line shipped more than 60 days after its order in one
+    year, count high- vs low-priority orders per class — Q12's
+    conditional-aggregation pivot over a join whose predicate compares
+    columns from BOTH sides (cannot push below the join; evaluates as
+    the join's post-condition)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_quantity", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(
+            F.when(F.col("l_quantity") > 25, "heavy")
+            .otherwise("light")
+            .alias("ship_class")
+        )
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "promo_revenue_share_monthly",
+    """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+               CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                        ELSE 0 END) * 100) AS BIGINT) AS promo_c,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100)
+                    AS BIGINT) AS total_c
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-07-01'
+        GROUP BY ship_month
+    )
+    SELECT ship_month, promo_c, total_c,
+           CAST(CAST(promo_c AS HUGEINT) * 10000 // total_c AS BIGINT)
+               AS promo_share_bp
+    FROM m ORDER BY ship_month
+    """,
+)
+def promo_revenue_share_monthly(spark, sf_dir):
+    """TPC-H Q14-shaped promo share by month: promotional revenue as
+    integer basis points of total, per ship month — Q14's
+    CASE-inside-aggregate ratio, with the ratio's ×10⁴ numerator
+    cleared through DECIMAL(38,0) (the round-7 overflow discipline) and
+    month buckets as dates (identical truncation both engines)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select(
+        F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"),
+        "l_partkey",
+        (
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount").cast(_DEC))
+        ).alias("rev"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    m = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("ship_month")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+                        F.lit(0).cast(_DEC)
+                    )
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("promo_c"),
+            F.round(F.sum("rev") * 100).cast("long").alias("total_c"),
+        )
+    )
+    return m.select(
+        "ship_month",
+        "promo_c",
+        "total_c",
+        F.expr(
+            "cast(promo_c as decimal(38,0)) * 10000"
+            " div cast(total_c as decimal(38,0))"
+        )
+        .cast("long")
+        .alias("promo_share_bp"),
+    ).orderBy("ship_month")
+
+
+@register(
+    "supplier_count_by_part_attr",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def supplier_count_by_part_attr(spark, sf_dir):
+    """TPC-H Q16-shaped supplier census per part attribute (this schema
+    has no partsupp table, so the observed DISTINCT (partkey, suppkey)
+    pairs from lineitem stand in — the same relation Q16 reads, derived
+    instead of stored; negative-balance suppliers play the
+    complaint-denylist role). Exercises the NOT IN anti-join against a
+    broadcast subquery plus COUNT(DISTINCT) over a pre-deduplicated
+    pair frame (the distinct collapses the fact table BEFORE the part
+    join, so the census join is pair-sized, not lineitem-sized)."""
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        ps.join(bad, "l_suppkey", "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("long").alias("p_size"),
+            F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
