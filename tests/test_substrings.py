@@ -289,6 +289,47 @@ def test_randomized_consistency_vs_python_bruteforce(spark):
         assert rem[i] == (n, n - dup, cleaned), f"doc {i}"
 
 
+def test_gram_index_meta_guards_probe_compat(spark, tmp_path):
+    """The index manifest pins gram length and key encoding; a probe
+    against an index built at a different L must measure at the
+    INDEX's L (never the caller's default), and the registered
+    ensure-helper rebuilds when the manifest doesn't match the engine's
+    current encoding (a stale string-keyed index would silently probe
+    empty against binary batch grams)."""
+    from udacity_data_wrangling_osm_case_study_spark.plans import substring_queries as sq
+
+    idx = str(tmp_path / "gidx")
+    substrings.build_gram_index(
+        _docs(spark, [(10, "a b c d e f g h")]), idx, l=3
+    )
+    meta = substrings.read_gram_index_meta(idx)
+    assert meta == {"l": 3, "key": substrings.GRAM_KEY}
+    # probe grams at the index's L=3: the 3-token overlap flags even
+    # though the module-level default L is larger.
+    row = substrings.incremental_span_coverage(
+        _docs(spark, [(1, "x a b c y z")]), idx
+    ).first()
+    assert row.dup_tokens == 3
+
+    # ensure-helper: a manifest with a foreign key encoding triggers a
+    # rebuild (exercised for real when round 7 switched hex -> binary).
+    import json
+    import os
+    import shutil
+
+    sfd = str(tmp_path / "sf")
+    os.makedirs(sfd)
+    docs = _docs(spark, [(i, f"w{i} w w w") for i in range(8)])
+    docs.write.parquet(os.path.join(sfd, "documents.parquet"))
+    d1 = sq.ensure_gram_index(spark, sfd)
+    with open(os.path.join(d1, "meta.json"), "w") as f:
+        json.dump({"l": 999, "key": "legacy"}, f)
+    d2 = sq.ensure_gram_index(spark, sfd)
+    assert d1 == d2
+    assert substrings.read_gram_index_meta(d2)["key"] == substrings.GRAM_KEY
+    shutil.rmtree(d1, ignore_errors=True)
+
+
 @pytest.mark.parametrize("text", ["", "one"])
 def test_degenerate_documents(spark, text):
     row = substrings.remove_duplicated_spans(
