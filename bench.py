@@ -201,6 +201,8 @@ HEADLINE = [
     "late_shipment_priority_split",
     "promo_revenue_share_monthly",
     "supplier_count_by_part_attr",
+    "substring_threshold_profile",
+    "boilerplate_share_by_source",
 ]
 
 

@@ -81,6 +81,8 @@ _VERIFY_FIRST = (
     "late_shipment_priority_split",
     "promo_revenue_share_monthly",
     "supplier_count_by_part_attr",
+    "substring_threshold_profile",
+    "boilerplate_share_by_source",
     # round-6 additions (never attested, newest work first)
     "event_type_hour_chisq",
     "mannwhitney_click_view",

@@ -298,3 +298,148 @@ def top_boilerplate_grams(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "gram")
         .limit(20)
     )
+
+
+def _profile_block(l: int) -> str:
+    # One L's census→spans→corpus-coverage chain, CTE names suffixed by
+    # L so three lengths coexist in a single oracle statement.
+    return f"""
+    gr{l} AS (
+        SELECT id, CAST(p.i AS INT) AS pos,
+               md5(array_to_string(
+                   toks[CAST(p.i AS INT):CAST(p.i AS INT) + {l - 1}],
+                   ' ')) AS g
+        FROM bt, LATERAL unnest(
+            range(1, greatest(n_tokens - {l - 1}, 0) + 1)) p(i)
+    ),
+    ds{l} AS (SELECT id, pos FROM gr{l}
+              WHERE g IN (SELECT g FROM gr{l} GROUP BY g
+                          HAVING COUNT(*) >= {_MIN_COUNT})),
+    fl{l} AS (
+        SELECT id, pos,
+               CASE WHEN pos - LAG(pos) OVER (
+                        PARTITION BY id ORDER BY pos) > {l}
+                    THEN 1 ELSE 0 END AS brk
+        FROM ds{l}
+    ),
+    sp{l} AS (
+        SELECT id, MIN(pos) AS s, MAX(pos) + {l - 1} AS e
+        FROM (SELECT id, pos, SUM(brk) OVER (
+                     PARTITION BY id ORDER BY pos) AS sid
+              FROM fl{l})
+        GROUP BY id, sid
+    ),
+    cov{l} AS (SELECT COALESCE(SUM(e - s + 1), 0) AS dup FROM sp{l})
+    """
+
+
+_PROFILE_LS = (4, 6, 10)
+
+
+@register(
+    "substring_threshold_profile",
+    "WITH bt AS (\n"
+    f"    SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks,\n"
+    f"           len(string_split({_NORM}, ' ')) AS n_tokens\n"
+    "    FROM documents\n"
+    "),\n"
+    "tot AS (SELECT SUM(n_tokens) AS total_tokens FROM bt),"
+    + ",".join(_profile_block(l) for l in _PROFILE_LS)
+    + "\nSELECT l, total_tokens, dup_tokens,\n"
+    "       CAST(CAST(dup_tokens AS HUGEINT) * 10000 // total_tokens\n"
+    "            AS BIGINT) AS share_bp\n"
+    "FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({l} AS BIGINT) AS l,"
+        f" CAST(total_tokens AS BIGINT) AS total_tokens,"
+        f" CAST(dup AS BIGINT) AS dup_tokens FROM cov{l} CROSS JOIN tot"
+        for l in _PROFILE_LS
+    )
+    + "\n) ORDER BY l",
+)
+def substring_threshold_profile(spark, sf_dir):
+    """Threshold-sensitivity curve for ExactSubstr: corpus-level
+    duplicated-span mass at gram lengths 4/6/10 — the report a curator
+    reads to PICK the span threshold before running the removal
+    (coverage falls as L rises; the knee is the operating point, the
+    analysis behind Lee et al.'s 50-token choice on web text). The
+    tokenized corpus is built ONCE and cached across the three census
+    passes; each pass is the standard census shuffle at its own L."""
+    docs = table(spark, sf_dir, "documents")
+    base = substrings.tokenized(docs).cache()
+    total = base.agg(F.sum("n_tokens").alias("total_tokens"))
+
+    def level(l: int):
+        starts = substrings.duplicated_starts(
+            substrings.gram_starts(base, l), _MIN_COUNT
+        )
+        cov = substrings.merge_spans(starts, l).agg(
+            F.coalesce(
+                F.sum(F.col("span_end") - F.col("span_start") + 1), F.lit(0)
+            ).alias("dup_tokens")
+        )
+        return cov.crossJoin(F.broadcast(total)).select(
+            F.lit(l).cast("long").alias("l"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.expr(
+                "cast(dup_tokens as decimal(38,0)) * 10000"
+                " div cast(total_tokens as decimal(38,0))"
+            )
+            .cast("long")
+            .alias("share_bp"),
+        )
+
+    out = level(_PROFILE_LS[0])
+    for l in _PROFILE_LS[1:]:
+        out = out.unionByName(level(l))
+    return out.orderBy("l")
+
+
+@register(
+    "boilerplate_share_by_source",
+    f"""
+    WITH {_SPANS_CTE},
+    cov AS (SELECT id, SUM(e - s + 1) AS dup_tokens FROM sp GROUP BY id),
+    src AS (SELECT doc_id AS id, source FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           CAST(CAST(SUM(COALESCE(dup_tokens, 0)) AS HUGEINT) * 10000
+                // SUM(n_tokens) AS BIGINT) AS share_bp
+    FROM bt JOIN src USING (id) LEFT JOIN cov USING (id)
+    GROUP BY source ORDER BY source
+    """,
+)
+def boilerplate_share_by_source(spark, sf_dir):
+    """Per-SOURCE duplicated-span mass — which feeds are recycling
+    text: the readout that decides where the intake gate's
+    max_dup_share_bp should bite, and the substring twin of
+    ``near_dup_rate_by_source``. One coverage pass + a source
+    re-attach; shares in integer basis points."""
+    docs = table(spark, sf_dir, "documents")
+    cov = substrings.span_coverage(docs, l=_L, min_count=_MIN_COUNT)
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    return (
+        cov.join(src, "id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "dup_tokens",
+            F.expr(
+                "cast(dup_tokens as decimal(38,0)) * 10000"
+                " div cast(total_tokens as decimal(38,0))"
+            )
+            .cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy("source")
+    )
