@@ -96,7 +96,18 @@ def duplicated_starts(grams: DataFrame, min_count: int = 2) -> DataFrame:
     """(id, pos) of gram starts whose gram occurs >= min_count times
     corpus-wide (counting repeats inside one document, like the
     reference: a doc that repeats its own boilerplate is deduplicated
-    against itself)."""
+    against itself).
+
+    The gram frame feeds BOTH the census and the semi-join probe —
+    Spark has no cross-branch subplan reuse, so without a persist the
+    tokenize+slide+md5 explode runs twice (measured ~30% of the
+    coverage query at sf0.1). Cached here following the
+    ``fingerprint_pairs`` convention: the harness/bench clear the
+    catalog cache between queries. The STREAMING probe path
+    (:func:`incremental_span_coverage`) deliberately does NOT use this
+    helper's cache — a per-micro-batch persist would leak storage for
+    the stream's lifetime."""
+    grams = grams.persist()
     dup = (
         grams.groupBy("g")
         .agg(F.count("*").alias("n"))
