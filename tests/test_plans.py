@@ -185,6 +185,7 @@ def test_no_cartesian_products_anywhere(spark):
         "source_centroid_cosine",       # k-row centroid bank, inequality pair join
         "daily_count_autocorr",         # 1-row series-total frame
         "idle_rich_customers",          # 1-row global-average frame (Q22)
+        "substring_threshold_profile",  # 1-row corpus token-total frame
     }
     queries, _ = registry.load_all()
     offenders, bnlj_offenders = [], []
