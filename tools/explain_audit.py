@@ -76,7 +76,12 @@ def main() -> None:
             f"Formatted explain at `{sf_dir}` (initial AQE plan — at "
             "runtime AQE may further convert shuffle joins to "
             "broadcasts and coalesce partitions, so shuffle counts are "
-            "upper bounds). "
+            "upper bounds). Iterative operators (graph supersteps, "
+            "k-means, components) look scan/shuffle-heavy HERE because "
+            "their lazy localCheckpoints have not materialized at "
+            "explain time — their true bounded post-checkpoint scan "
+            "counts are asserted by the registry scan-budget plan "
+            "tests (tests/test_plans.py, SCAN_BUDGETS). "
             f"**{len(rows)} queries: "
             f"{n_cart} with CartesianProduct (target 0), "
             f"{n_python} with Python/Arrow eval nodes (every one a "
