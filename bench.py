@@ -397,7 +397,14 @@ def main() -> None:
     # The full per-query map (120+ entries) once made the stdout line so
     # long the driver tail-truncated it (BENCH_r02.json parsed: null).
     # Keep the printed line SHORT — totals, sf, ETL, and the slowest
-    # queries — and write the complete map to BENCH_QUERIES.json.
+    # queries — and write the complete map to a side file. The DEFAULT
+    # side file is gitignored (BENCH_QUERIES.local.json) so a driver
+    # bench run leaves the tree clean; the builder refreshes the
+    # committed snapshot explicitly with
+    # SPARK_GRAFT_BENCH_QUERIES_OUT=BENCH_QUERIES.json.
+    queries_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_QUERIES_OUT", "BENCH_QUERIES.local.json"
+    )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
@@ -407,14 +414,14 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "queries": slowest,
-        "queries_file": "BENCH_QUERIES.json",
+        "queries_file": queries_file,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if osm_etl_sec is not None:
         out["osm_etl_shatin_sec"] = osm_etl_sec
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_QUERIES.json"),
+                     queries_file),
         "w",
     ) as f:
         json.dump({"sf": out["sf"], "total_sec": total,

@@ -144,17 +144,16 @@ def fingerprint_pairs(
     in a large one. Inverted-index self-join on the fingerprint key:
     cost is sum of per-fingerprint df², never corpus².
     """
-    sets = fingerprint_sets(fingerprints)
+    # Single cache point holding the winnow output (the dominant cost):
+    # it feeds every downstream branch — the hot-fingerprint census,
+    # the capped probe, sizes, and both join sides. When capping, the
+    # cap itself is only a broadcast anti-join over this cache (and its
+    # census exchange is deduped by ReusedExchange across branches), so
+    # caching the POST-cap frame too would pin a second near-full copy
+    # of the winnow output in executor storage for no win.
+    sets = fingerprint_sets(fingerprints).cache()
     if max_fp_df is not None:
-        # Cache BEFORE the cap: the hot-fingerprint census inside
-        # cap_fingerprint_df is its own plan branch, and without this
-        # it re-runs the whole winnow (measured: the winnow is ~the
-        # entire query cost at sf0.1).
-        sets = sets.cache()
         sets = cap_fingerprint_df(sets, max_fp_df)
-    # sets feeds three branches (sizes + both join sides) — cache so the
-    # winnow (or, when capping, the anti-join probe) runs once.
-    sets = sets.cache()
     sizes = sets.groupBy("id").agg(F.count("*").alias("sz"))
     shared = (
         sets.alias("a")

@@ -146,10 +146,16 @@ def substring_dedup_removal(spark, sf_dir):
 
 
 def _gram_index_dir(sf_dir: str) -> str:
+    import hashlib
     import os
     import tempfile
 
-    name = os.path.basename(sf_dir.rstrip("/"))
+    # Key by basename + a hash of the ABSOLUTE path: two checkouts both
+    # holding an "sf0.01" must not share (and silently reuse) an index
+    # built from the other dataset.
+    abs_dir = os.path.abspath(sf_dir.rstrip("/"))
+    digest = hashlib.sha256(abs_dir.encode()).hexdigest()[:12]
+    name = f"{os.path.basename(abs_dir)}-{digest}"
     return os.path.join(tempfile.gettempdir(), "spark_graft_gram_index", name)
 
 

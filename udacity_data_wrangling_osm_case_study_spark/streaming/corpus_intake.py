@@ -115,6 +115,11 @@ def intake_batch(
         "doc_id",
         "left_anti",
     ).cache()
+    # Both gate branches (the span-coverage probe and the survivors
+    # anti-join) read `accepted`; its cache only helps if it stays
+    # registered until the parquet write/index appends run, so the
+    # pre-gate handle is unpersisted at the END with the others.
+    pre_gate = accepted
     if gram_index_dir is not None:
         from udacity_data_wrangling_osm_case_study_spark.operators import (
             substrings,
@@ -127,9 +132,7 @@ def intake_batch(
             .filter(F.col("share_bp") > max_dup_share_bp)
             .select(F.col("id").alias("doc_id"))
         )
-        survivors = accepted.join(recycled, "doc_id", "left_anti").cache()
-        accepted.unpersist()
-        accepted = survivors
+        accepted = accepted.join(recycled, "doc_id", "left_anti").cache()
     (
         accepted.select(
             "doc_id", "text", "source", "n_tokens",
@@ -150,6 +153,8 @@ def intake_batch(
             batch_id=str(batch_id),
         )
     accepted.unpersist()
+    if pre_gate is not accepted:
+        pre_gate.unpersist()
     gated.unpersist()
 
 
