@@ -203,6 +203,10 @@ HEADLINE = [
     "supplier_count_by_part_attr",
     "substring_threshold_profile",
     "boilerplate_share_by_source",
+    "min_cost_supplier",
+    "nation_profit_rollup",
+    "important_stock_parts",
+    "promotable_part_suppliers",
 ]
 
 

@@ -185,6 +185,7 @@ def test_no_cartesian_products_anywhere(spark):
         "source_centroid_cosine",       # k-row centroid bank, inequality pair join
         "daily_count_autocorr",         # 1-row series-total frame
         "idle_rich_customers",          # 1-row global-average frame (Q22)
+        "important_stock_parts",        # 1-row total+count frame (Q11)
         "substring_threshold_profile",  # 1-row corpus token-total frame
     }
     queries, _ = registry.load_all()
@@ -410,3 +411,40 @@ def test_bench_manifest_covers_registry():
         f"{sorted((headline | excluded) - registered)}"
     )
     assert all(bench.BENCH_EXCLUDED.values()), "empty exclusion reason"
+
+
+def test_q2_min_cost_supplier_window_decorrelation(spark):
+    """Q2 shape: the correlated per-part MIN must decorrelate to ONE
+    window over the region-restricted partsupp — no groupBy + join-back
+    (two shuffles) and no correlated re-scan. The LIMIT must lower to
+    TakeOrderedAndProject, and the supplier/nation/region and part dims
+    must broadcast."""
+    p = _plan(spark, "min_cost_supplier")
+    assert p.count(" Window ") + p.count("Window\n") >= 1
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    # lineitem is scanned once for the pair census — the decorrelation
+    # must not re-derive partsupp for the subquery side
+    assert p.count("lineitem.parquet") == 1
+
+
+def test_q11_having_over_global_scalar_broadcasts(spark):
+    """Q11 shape: the HAVING threshold (global total + part count) must
+    arrive as a broadcast 1-row frame (BroadcastNestedLoopJoin over a
+    singleton aggregate), never a shuffled join or a recompute of the
+    per-part branch into a second lineitem scan pair."""
+    p = _plan(spark, "important_stock_parts")
+    assert "BroadcastNestedLoopJoin" in p
+    # both branches scan the same pair census: 2 scans, not more
+    assert p.count("lineitem.parquet") == 2
+
+
+def test_q20_semi_join_and_q9_broadcast_dims(spark):
+    """Q20's IN-chain must lower to a LEFT SEMI into the supplier dim;
+    Q9's part filter and supplier->nation dim must broadcast around the
+    two genuine fact shuffles (pair join, orders join)."""
+    p20 = _plan(spark, "promotable_part_suppliers")
+    assert "LeftSemi" in p20
+    p9 = _plan(spark, "nation_profit_rollup")
+    assert p9.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in p9 and "ArrowEvalPython" not in p9

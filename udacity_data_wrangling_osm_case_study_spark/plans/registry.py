@@ -61,7 +61,12 @@ _loaded = False
 # (registry ∖ (r01 ∪ … ∪ r04)), then round-5 additions; already-attested
 # names follow in registration order.
 _VERIFY_FIRST = (
-    # round-7 additions (never attested, newest work first)
+    # round-8 additions (never attested, newest work first)
+    "min_cost_supplier",
+    "nation_profit_rollup",
+    "important_stock_parts",
+    "promotable_part_suppliers",
+    # round-7 additions (attested green in r7, kept near the front)
     "substring_span_coverage",
     "substring_dedup_removal",
     "top_boilerplate_grams",

@@ -1,26 +1,29 @@
 """Classic OLAP decision-support shapes (TPC-H analogs), adapted to
 the driver testdata's column surface.
 
-Round 7 completes the optimizer-workout family started by the
-Q1/Q3/Q5/Q8/Q21 shapes (plans/exploration.py, plans/join_queries.py).
-Coverage map of the 22 classic shapes, 18 expressible on this schema
-and all 18 implemented:
+Round 7 completed the optimizer-workout family started by the
+Q1/Q3/Q5/Q8/Q21 shapes (plans/exploration.py, plans/join_queries.py);
+round 8 closes the remaining four via a deterministic synthetic
+partsupp (see the _PARTSUPP_CTE comment below). Coverage map — all 22
+classic shapes implemented:
 
   Q1  pricing_summary            Q12 late_shipment_priority_split
-  Q3  shipping_priority          Q13 customer_order_counts_dist
-  Q4  late_order_priority_check  Q14 promo_revenue_share_monthly
-  Q5  supplier_nation_volume     Q15 top_quarter_supplier
-  Q6  discount_revenue_forecast  Q16 supplier_count_by_part_attr
-  Q7  bilateral_shipping_volume  Q17 small_qty_part_revenue
-  Q8  nation_market_share        Q18 large_quantity_orders
-  Q10 returned_item_customers    Q19 disjunctive_promo_revenue
-                                 Q21 sole_late_suppliers
-                                 Q22 idle_rich_customers
+  Q2  min_cost_supplier          Q13 customer_order_counts_dist
+  Q3  shipping_priority          Q14 promo_revenue_share_monthly
+  Q4  late_order_priority_check  Q15 top_quarter_supplier
+  Q5  supplier_nation_volume     Q16 supplier_count_by_part_attr
+  Q6  discount_revenue_forecast  Q17 small_qty_part_revenue
+  Q7  bilateral_shipping_volume  Q18 large_quantity_orders
+  Q8  nation_market_share        Q19 disjunctive_promo_revenue
+  Q9  nation_profit_rollup       Q20 promotable_part_suppliers
+  Q10 returned_item_customers    Q21 sole_late_suppliers
+  Q11 important_stock_parts      Q22 idle_rich_customers
 
-Q2/Q9/Q11/Q20 are out of scope: each is ABOUT the partsupp relation
-(supplycost/availqty), which the driver testdata does not carry; Q16's
-part-supplier pairs are recoverable from lineitem (and are, below),
-but supply cost and available quantity have no observable stand-in.
+The driver testdata carries no partsupp table (no supplycost/availqty
+observables), so Q2/Q9/Q11/Q20 read the derived relation: key set =
+observed DISTINCT (l_partkey, l_suppkey) pairs (the same stand-in Q16
+uses), attributes = pure modular functions of the keys, identical in
+the Spark plan and the DuckDB oracle.
 
 Each shape exercises a DIFFERENT Catalyst capability — outer-join
 ON-conditions (Q13), decorrelated scalar aggregates (Q17), HAVING-
@@ -784,3 +787,371 @@ def supplier_count_by_part_attr(spark, sf_dir):
         )
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic partsupp (round 8): Q2/Q9/Q11/Q20 are ABOUT the partsupp
+# relation, which the driver testdata does not carry. The relation is
+# derived deterministically: its KEY SET is the observed DISTINCT
+# (l_partkey, l_suppkey) pairs (the same stand-in Q16 uses above), and
+# supplycost/availqty are pure modular functions of the keys — so the
+# Spark plan and the DuckDB oracle compute byte-identical relations
+# from the parquet alone, with no side files and no RNG:
+#
+#   ps_supplycost_c = (ps_partkey*7 + ps_suppkey*11) % 90000 + 10000
+#                     (cents; 100.00 .. 999.99)
+#   ps_availqty     = (ps_partkey*13 + ps_suppkey*17) % 9999 + 1
+#
+# Both are BIGINT-exact in both engines (positive operands, so % is
+# identical). At 100 TB the pair census is ONE map-side-combinable
+# shuffle over two pushed columns, and the derived relation is ~1000x
+# smaller than lineitem (TPC-H carries ~7 lineitems per pair).
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+    partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               (ps_partkey * 7 + ps_suppkey * 11) % 90000 + 10000
+                   AS ps_supplycost_c,
+               (ps_partkey * 13 + ps_suppkey * 17) % 9999 + 1
+                   AS ps_availqty
+        FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                              l_suppkey AS ps_suppkey
+              FROM lineitem)
+    )
+"""
+
+
+def _partsupp(spark, sf_dir):
+    """The synthetic partsupp relation (see module comment above)."""
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11) % 90000
+            + 10000
+        ).alias("ps_supplycost_c"),
+        (
+            (F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 17) % 9999 + 1
+        ).alias("ps_availqty"),
+    )
+
+
+@register(
+    "min_cost_supplier",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    euro AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost_c, s.s_name,
+               CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+               n.n_name
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal_c, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           e.ps_supplycost_c
+    FROM euro e
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+      AND e.ps_supplycost_c = (SELECT MIN(e2.ps_supplycost_c) FROM euro e2
+                               WHERE e2.ps_partkey = e.ps_partkey)
+    ORDER BY e.s_acctbal_c DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped minimum-cost supplier: for mid-size STANDARD
+    parts, the EUROPE supplier(s) quoting each part's regional minimum
+    supply cost. The classic correlated-MIN subquery decorrelates to a
+    WINDOW min over the region-restricted partsupp (one shuffle on
+    ps_partkey, no join-back — the window and the equality filter share
+    the pass); supplier->nation->region collapses to one broadcast dim,
+    the part filter broadcasts, and the ORDER BY ... LIMIT lowers to
+    TakeOrderedAndProject (the sort never materializes globally). The
+    tie-break chain (acctbal, n_name, s_name, p_partkey) is a total
+    order — one row per (supplier, part) pair — so the LIMIT is
+    deterministic for the hash compare."""
+    from pyspark.sql import Window
+
+    ps = _partsupp(spark, sf_dir)
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = (
+        supp.join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("s_acctbal_c"),
+            "n_name",
+        )
+    )
+    euro = ps.join(F.broadcast(dim), ps.ps_suppkey == dim.s_suppkey)
+    w = Window.partitionBy("ps_partkey")
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == "STANDARD")
+            & F.col("p_size").between(10, 20)
+        )
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        euro.withColumn("min_cost", F.min("ps_supplycost_c").over(w))
+        .filter(F.col("ps_supplycost_c") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal_c", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost_c",
+        )
+        .orderBy(F.desc("s_acctbal_c"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "nation_profit_rollup",
+    f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) * 100)
+                    AS HUGEINT)
+                - SUM(CAST(ps.ps_supplycost_c
+                    * CAST(ROUND(l.l_quantity) AS BIGINT) AS HUGEINT))
+                AS BIGINT) AS profit_c
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def nation_profit_rollup(spark, sf_dir):
+    """TPC-H Q9-shaped product-line profit: per supplier nation and
+    order year, revenue minus supply cost over one part family — the
+    heaviest classic join tree (lineitem x part x partsupp x orders x
+    supplier x nation). Join strategy: part filter and the
+    supplier->nation dim broadcast; partsupp joins on the fact's own
+    composite key (and, being the fact's pair census, is ~1000x smaller
+    than lineitem at scale); orders is the one genuine big-big shuffle,
+    on l_orderkey. Revenue folds as exact DECIMAL then rounds to cents
+    once per group (the Q8/Q15 discipline); the cost side clears
+    through DECIMAL(38,0)/HUGEINT per the round-7 overflow rule — a
+    per-row cost reaches 5x10^6 cents, so a bigint group sum would
+    overflow near 1.8x10^12 rows per (nation, year), inside 100 TB
+    range."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    ps = _partsupp(spark, sf_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    rev_c = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount").cast(_DEC))
+        )
+        * 100
+    ).cast("decimal(38,0)")
+    cost_c = F.sum(
+        (F.col("ps_supplycost_c") * F.col("qty")).cast("decimal(38,0)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", "o_year")
+        .agg((rev_c - cost_c).cast("long").alias("profit_c"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "important_stock_parts",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    natps AS (
+        SELECT ps.ps_partkey,
+               CAST(ps.ps_supplycost_c * ps.ps_availqty AS HUGEINT) AS v
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_c
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING SUM(v) * (SELECT COUNT(DISTINCT ps_partkey) FROM natps)
+           > 2 * (SELECT SUM(v) FROM natps)
+    ORDER BY value_c DESC, ps_partkey
+    """,
+)
+def important_stock_parts(spark, sf_dir):
+    """TPC-H Q11-shaped important stock: parts whose EUROPE-held
+    inventory value exceeds 2x the regional per-part MEAN — the
+    group-HAVING-over-a-global-scalar shape. The classic query's fixed
+    fraction is divided by SF precisely because a constant threshold
+    degenerates as parts multiply (this query's first cut returned 0
+    rows at 10x the correctness SF); comparing against the mean keeps
+    the predicate scale-free, and cross-multiplying (sum*n > 2*total)
+    keeps it integer-exact. Both scalars ride ONE 1-row aggregate
+    broadcast (crossJoin of a broadcast singleton, not a recompute of
+    the base); the region-restricted supplier dim broadcasts into the
+    partsupp scan, so the only data-sized shuffle is the per-part sum.
+    Inventory value reaches ~10^9 cents per pair, so the sums and the
+    cross-multiplied comparison clear through DECIMAL(38,0) (HUGEINT
+    in the oracle)."""
+    ps = _partsupp(spark, sf_dir)
+    dim = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    natps = ps.join(F.broadcast(dim), ps.ps_suppkey == dim.s_suppkey).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_c") * F.col("ps_availqty"))
+        .cast("decimal(38,0)")
+        .alias("v"),
+    )
+    per_part = natps.groupBy("ps_partkey").agg(F.sum("v").alias("value_dec"))
+    total = natps.agg(
+        F.sum("v").alias("total_dec"),
+        F.countDistinct("ps_partkey").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec") * F.col("n_parts") > F.col("total_dec") * 2
+        )
+        .select(
+            "ps_partkey", F.col("value_dec").cast("long").alias("value_c")
+        )
+        .orderBy(F.desc("value_c"), "ps_partkey")
+    )
+
+
+@register(
+    "promotable_part_suppliers",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+                 AND n.n_name = 'NATION_6'
+    WHERE s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                       AND sh.l_suppkey = ps.ps_suppkey
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+                   AND p.p_name LIKE 'small%'
+        WHERE ps.ps_availqty > sh.qty * 200
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def promotable_part_suppliers(spark, sf_dir):
+    """TPC-H Q20-shaped surplus-stock suppliers: NATION_6 suppliers
+    holding excess inventory (availqty above 200x the 1996 shipped
+    quantity — the multiplier is adapted to the synthetic availqty
+    domain so the predicate discriminates, ~half the pairs) of a
+    'small%' part. The classic nested IN-chain decorrelates to: one
+    filtered year-slice aggregate on the fact's composite key, an
+    equi-join against partsupp ON THAT SAME KEY (no extra shuffle —
+    both sides partition by the pair), a broadcast part filter, then a
+    LEFT SEMI join into the supplier dim (each supplier once, however
+    many parts qualify). A pair with no 1996 shipments drops at the
+    inner join, matching the classic NULL-comparison exclusion."""
+    shipped = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
+    )
+    ps = _partsupp(spark, sf_dir)
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        ps.join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("qty") * 200)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_6"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return supp.join(qualifying, "s_suppkey", "left_semi").orderBy("s_suppkey")
