@@ -202,3 +202,69 @@ def test_dedup_index_compact_probe_invariant(spark, tmp_path):
         for r in dedup.incremental_near_dupes(probe, index_dir, min_jaccard=0.5).collect()
     }
     assert before == after
+
+
+def test_bucketed_gram_index_probe_is_shuffle_free_on_index_side(spark):
+    """build_gram_index's docstring promises the cluster layout: the
+    persisted gram census bucketed by g so probe joins are shuffle-free
+    on the index side. Assert it two ways: (1) the probe's index-side
+    work — the per-gram count sum — plans with ZERO exchanges over the
+    bucketed table; (2) the full incremental-coverage probe plans with
+    strictly fewer exchanges against the bucketed layout than against a
+    path-partitioned parquet index of identical content."""
+    import re
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import (
+        substrings,
+    )
+
+    d = tempfile.mkdtemp(prefix="gram_idx_path_")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = table(spark, SF_DIR, "documents")
+        corpus = docs.filter((docs.doc_id % 7) != 0)
+        batch = docs.filter((docs.doc_id % 7) == 0)
+        spark.sql("DROP TABLE IF EXISTS gram_idx_b_test")
+        substrings.build_gram_index_bucketed(
+            corpus, "gram_idx_b_test", l=8, n_buckets=8
+        )
+        substrings.build_gram_index(corpus, d, l=8)
+
+        # (1) index-side aggregation: no exchange over the bucket files
+        agg = spark.table("gram_idx_b_test").groupBy("g").agg(
+            F.sum("n").alias("ni")
+        )
+        p = _explain(agg)
+        assert "Bucketed: true" in p
+        assert "Exchange" not in p
+
+        # (2) full probe: bucketed layout needs strictly fewer shuffles
+        pb = _explain(
+            substrings.incremental_span_coverage_bucketed(
+                batch, "gram_idx_b_test"
+            )
+        )
+        pp = _explain(substrings.incremental_span_coverage(batch, d))
+        nb = len(re.findall(r"\bExchange\b", pb))
+        np_ = len(re.findall(r"\bExchange\b", pp))
+        assert nb < np_, (nb, np_)
+
+        # and the layouts agree on the answer
+        a = sorted(
+            map(
+                tuple,
+                substrings.incremental_span_coverage_bucketed(
+                    batch, "gram_idx_b_test"
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(tuple, substrings.incremental_span_coverage(batch, d).collect())
+        )
+        assert a == b and a
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS gram_idx_b_test")
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,110 @@
+"""Tile a driver testdata sf dir N-fold with key remapping — the
+parquet twin of tools/replicate_osm.py.
+
+Motivation (VERDICT r7, next-round item 1): correctness runs at sf0.01
+and bench at sf0.1; the one class of bug that ever reached a driver
+gate was "correct at sf0.01, dead at 10x" (the round-6 gini int64
+overflow), caught only by accident of the bench scale. This tool
+manufactures the next decade of scale so the sweep in
+tools/scale_sweep.py can exercise it deliberately.
+
+Key discipline: every copy k shifts each key domain by k * stride
+(strides are fixed per domain, far above the sf0.1 maxima), so
+referential integrity holds within each copy and no keys collide
+across copies. Shared dimensions (region, nation) are NOT replicated —
+they are the same 5/25 rows a 100 TB deployment would broadcast.
+Non-key attributes (names, text, timestamps, vectors) are tiled
+verbatim: cross-copy duplicate text/vectors are exactly the adversarial
+input the dedup/ANN families must survive at scale.
+
+Usage:
+    python3 tools/replicate_sf.py [src_sf_dir] [out_dir] [n_copies]
+    # defaults: /root/testdata/sf0.1 /tmp/spark_graft_sf1x10 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+# Per-domain key strides. Each is >= 10x the sf0.1 maximum of its
+# domain, so they stay valid through a 100x tiling of sf0.1.
+STRIDES = {
+    "custkey": 10_000_000,
+    "orderkey": 100_000_000,
+    "partkey": 10_000_000,
+    "suppkey": 1_000_000,
+    "event_id": 100_000_000,
+    "user_id": 1_000_000,
+    "doc_id": 10_000_000,
+    "vec_id": 10_000_000,
+}
+
+# table -> {column: key domain}; unlisted tables tile verbatim,
+# unlisted columns pass through.
+KEYED = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+
+SHARED_DIMS = ("region", "nation")
+
+TABLES = tuple(KEYED) + SHARED_DIMS
+
+
+def _tile(df: DataFrame, keymap: dict[str, str], n: int) -> DataFrame:
+    """Union n key-shifted copies of df (copy 0 keeps original keys, so
+    literal-key predicates in existing queries still match)."""
+    copies = []
+    for k in range(n):
+        cols = [
+            (F.col(c) + F.lit(k * STRIDES[keymap[c]])).alias(c)
+            if c in keymap
+            else F.col(c)
+            for c in df.columns
+        ]
+        copies.append(df.select(*cols))
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def replicate(spark, src: str, out: str, n: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        if t in KEYED and n > 1:
+            df = _tile(df, KEYED[t], n)
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+        print(f"{t}: written")
+
+
+def main() -> None:
+    from udacity_data_wrangling_osm_case_study_spark.session import get_spark
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1x10"
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark(app_name="replicate_sf")
+    spark.sparkContext.setLogLevel("ERROR")
+    replicate(spark, src, out, n)
+    print(f"tiled {src} x{n} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

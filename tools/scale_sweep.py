@@ -1,0 +1,101 @@
+"""One-pass completion sweep of the bench HEADLINE queries at a
+replicated scale (see tools/replicate_sf.py).
+
+This is NOT an oracle comparison — at 10x the bench SF the point is
+"does the plan survive the next decade of volume": no overflow-nulled
+aggregates, no OOM, no runaway stage. Per query it records wall
+seconds, row count, and per-column null counts; a numeric output
+column that is 100% null at scale but non-null at sf0.1 is the
+signature of a silent arithmetic overflow (Spark wraps/nulls outside
+ANSI mode — exactly how the round-6 gini bug would have surfaced had
+anything swept above bench SF).
+
+Usage:
+    python3 tools/scale_sweep.py [sf_dir] [out_json] [name ...]
+    # default sf_dir /tmp/spark_graft_sf1x10, out SCALE_SWEEP.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    import bench
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+    from udacity_data_wrangling_osm_case_study_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1x10"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_SWEEP.json"
+    queries, _ = registry.load_all()
+    names = sys.argv[3:] or [n for n in bench.HEADLINE if n in queries]
+
+    spark = get_spark(app_name="scale_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries["table_counts"](spark, sf_dir).collect()  # warm-up
+
+    results: dict[str, dict] = {}
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            df = queries[name](spark, sf_dir)
+            # one job: rows + per-column null counts
+            counts = df.select(
+                F.count(F.lit(1)).alias("__rows"),
+                *[
+                    F.sum(F.col(c).isNull().cast("long")).alias(c)
+                    for c in df.columns
+                ],
+            ).collect()[0]
+            rows = counts["__rows"]
+            nulls = {c: counts[c] for c in df.columns if counts[c]}
+            all_null = sorted(
+                c for c in df.columns if rows and counts[c] == rows
+            )
+            results[name] = {
+                "sec": round(time.time() - t0, 3),
+                "rows": rows,
+                "null_counts": nulls,
+                "all_null_cols": all_null,
+            }
+            flag = " ALL-NULL:" + ",".join(all_null) if all_null else ""
+            print(
+                f"OK    {name}: {rows} rows [{results[name]['sec']}s]{flag}"
+            )
+        except Exception as e:  # noqa: BLE001 — sweep must not stop
+            failures += 1
+            results[name] = {
+                "sec": round(time.time() - t0, 3),
+                "error": f"{type(e).__name__}: {e}"[:500],
+            }
+            print(f"FAIL  {name}: {type(e).__name__}: {str(e)[:200]}")
+            traceback.print_exc(limit=2)
+        finally:
+            spark.catalog.clearCache()
+
+    n_all_null = sum(1 for r in results.values() if r.get("all_null_cols"))
+    summary = {
+        "sf_dir": sf_dir,
+        "n": len(names),
+        "failed": failures,
+        "with_all_null_cols": n_all_null,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+    }
+    with open(out_path, "w") as f:
+        json.dump({"summary": summary, "results": results}, f, indent=1,
+                  sort_keys=True)
+    print(json.dumps(summary))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

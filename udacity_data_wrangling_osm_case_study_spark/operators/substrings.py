@@ -225,9 +225,9 @@ def build_gram_index(
     singletons. Partitioned by ``batch_id`` (full build writes
     ``base``); :func:`gram_index_append` adds accepted batches as
     their own partitions with dynamic overwrite (retried batches
-    replace only themselves). On a cluster the relation would be
-    written bucketed by ``g`` so probe joins are shuffle-free on the
-    index side (operators.layout has the bucketed writer).
+    replace only themselves). For the cluster layout — the relation
+    bucketed by ``g`` so probe joins are shuffle-free on the index
+    side — use :func:`build_gram_index_bucketed`.
 
     The gram length persists in ``meta.json``: probes and appends MUST
     gram at the index's own L or counts are meaningless across
@@ -320,10 +320,22 @@ def incremental_span_coverage(
     spark = new_docs.sparkSession
     l = read_gram_index_meta(index_dir).get("l", 50)
     base = tokenized(new_docs, id_col, text_col)
+    return _probe_coverage(
+        base, spark.read.parquet(f"{index_dir}/grams"), l, min_count
+    )
+
+
+def _probe_coverage(
+    base: DataFrame, index: DataFrame, l: int, min_count: int
+) -> DataFrame:
+    """Shared probe body for the path-partitioned and bucketed index
+    layouts: batch census, index semi-join-restricted to batch grams,
+    duplicated-start marking, span merge (see
+    :func:`incremental_span_coverage` for the counting semantics)."""
     grams = gram_starts(base, l)
     census = grams.groupBy("g").agg(F.count("*").alias("nb"))
     idx = (
-        spark.read.parquet(f"{index_dir}/grams")
+        index
         .join(census.select("g"), "g", "left_semi")
         .groupBy("g")
         .agg(F.sum("n").alias("ni"))
@@ -337,6 +349,99 @@ def incremental_span_coverage(
     )
     starts = grams.join(dup, "g", "left_semi").select("id", "pos")
     return _coverage_report(base, starts, l)
+
+
+def build_gram_index_bucketed(
+    docs: DataFrame,
+    table_name: str,
+    l: int = 50,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """The cluster layout :func:`build_gram_index`'s docstring promises:
+    the gram census persisted as a catalog table HASH-BUCKETED (and
+    sorted) by ``g``, so every probe's index-side work — the semi-join
+    restriction and the per-gram count sum — reads bucket files
+    directly with NO exchange; only the (orders-of-magnitude smaller)
+    batch census shuffles, into the index's own bucket layout. At
+    100 TB the index is corpus-sized, so the exchange this removes is
+    the probe's dominant cost. The gram length and key version ride
+    table properties (the manifest role meta.json plays for the
+    path-partitioned layout)."""
+    census = (
+        gram_starts(tokenized(docs, id_col, text_col), l)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+    )
+    (
+        census.write.mode("overwrite")
+        .bucketBy(n_buckets, "g")
+        .sortBy("g")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    docs.sparkSession.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES"
+        f" ('gram_l'='{l}', 'gram_key'='{GRAM_KEY}')"
+    )
+
+
+def gram_index_append_bucketed(
+    docs: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append an accepted batch's census to the bucketed index (same
+    bucket spec, so the layout guarantee survives appends; probes SUM
+    per-gram counts, so appended rows never need merging with base)."""
+    spark = docs.sparkSession
+    l = _bucketed_gram_l(spark, table_name)
+    n_buckets = int(
+        next(
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
+            if r["col_name"] == "Num Buckets"
+        )
+    )
+    census = (
+        gram_starts(tokenized(docs, id_col, text_col), l)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+    )
+    (
+        census.write.mode("append")
+        .bucketBy(n_buckets, "g")
+        .sortBy("g")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def _bucketed_gram_l(spark, table_name: str) -> int:
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    }
+    return int(props.get("gram_l", 50))
+
+
+def incremental_span_coverage_bucketed(
+    new_docs: DataFrame,
+    table_name: str,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`incremental_span_coverage` against a
+    :func:`build_gram_index_bucketed` catalog table — identical
+    semantics, shuffle-free index side (asserted by the layout plan
+    test)."""
+    spark = new_docs.sparkSession
+    l = _bucketed_gram_l(spark, table_name)
+    base = tokenized(new_docs, id_col, text_col)
+    return _probe_coverage(base, spark.table(table_name), l, min_count)
 
 
 def remove_duplicated_spans(
