@@ -171,12 +171,38 @@ def lsh_bands(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Docs sharing any band bucket: (id_a, id_b), id_a < id_b.
 
     The join key is (band, band_key) — candidates never cross buckets,
     which is what keeps this sub-quadratic at corpus scale.
-    """
+
+    ``max_bucket_size`` is the adversarial-skew guard for the bucket
+    SELF-join: a bucket of b docs forms b²/2 pairs, so one giant bucket
+    reintroduces the quadratic term LSH exists to avoid. Buckets that
+    large are near-certainly exact-duplicate clusters (identical text
+    collides in EVERY band), which the linear exact pass
+    (:func:`exact_duplicate_groups`) already collapses — the curation
+    pipelines run it first — so capping drops only pairs another,
+    cheaper operator reports. Measured (tests/test_skew_stress.py): a
+    shared boilerplate SENTENCE does NOT make a hot bucket (band keys
+    hash whole signature slices, so only docs similar overall collide)
+    — the cap matters only under identical-document skew, and salting
+    the band key would not help there (identical docs collide under any
+    salt that preserves the LSH guarantee). Default None: the
+    strict-oracle registered queries keep full semantics."""
+    if max_bucket_size is not None:
+        hot = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("b"))
+            .filter(F.col("b") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        bands = bands.join(
+            F.broadcast(hot), ["band", "band_key"], "left_anti"
+        )
     left = bands.select(
         F.col("band"), F.col("band_key"), F.col("id").alias("id_a")
     )
