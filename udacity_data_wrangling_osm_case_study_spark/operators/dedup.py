@@ -756,13 +756,19 @@ def connected_components(
     sees a changed-count per round; label data never leaves the
     executors. ``max_iter`` bounds runaway graphs.
     """
+    from udacity_data_wrangling_osm_case_study_spark.operators.graph import (
+        symmetrize,
+    )
+
     edges = pairs.select("id_a", "id_b")
     # The symmetric edge frame is probed every round — materialize it
     # once with truncated lineage instead of re-shuffling the distinct.
+    # symmetrize (row-local explode) rather than union-of-swap: pairs
+    # is often an expensive similarity join (leakage_safe_split), and
+    # the swap branch would place that build in the materialization job
+    # twice.
     sym = (
-        edges.unionByName(
-            edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-        )
+        symmetrize(edges, "id_a", "id_b")
         .distinct()
         .localCheckpoint(eager=True)
     )

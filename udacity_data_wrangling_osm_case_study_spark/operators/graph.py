@@ -21,6 +21,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def symmetrize(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Both directions of an undirected edge list in ONE pass, by
+    exploding a 2-element struct array row-locally. The naive
+    ``e.unionAll(e.swap)`` places the edge-BUILD subtree in the plan
+    twice — two fact scans and two build shuffles unless exchange reuse
+    happens to fire at runtime — which matters because the build (a
+    co-purchase census, a similarity join) is usually the expensive
+    half of a graph query. Extra columns ride along unchanged; output
+    multiset is exactly the union-swap's."""
+    carry = [c for c in edges.columns if c not in (src_col, dst_col)]
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+            ),
+            F.struct(
+                F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+            ),
+        )
+    ).alias("e")
+    return edges.select(both, *carry).select(
+        F.col("e.s").alias(src_col), F.col("e.d").alias(dst_col), *carry
+    )
+
+
 def _edge_partition_count(spark, edge_partitions: int | None) -> int:
     """Resolve the edge-frame partition count shared by every iterative
     operator here: defaultParallelism/4 when unset (supersteps are short
@@ -244,8 +271,8 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    sym = symmetrize(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     frontier = seeds.select("seed", F.col("seed").alias("v"))
     visited = frontier
@@ -368,8 +395,8 @@ def pagerank(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    sym = symmetrize(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     # Pregel layout, materialized ONCE: the BIG edge frame is hash-
     # partitioned by src and checkpointed as a plan leaf — the stored

@@ -717,9 +717,7 @@ def part_communities(spark, sf_dir):
         .filter(F.col("shared") >= 2)
         .select("src", "dst")
     )
-    sym = e2.unionAll(
-        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    sym = graph.symmetrize(e2)
     labels = graph.label_propagation(sym, n_iter=3)
     return (
         labels.groupBy("lbl")
@@ -795,9 +793,7 @@ def part_kcore(spark, sf_dir):
         .filter(F.col("shared") >= 2)
         .select("src", "dst")
     )
-    sym = e2.unionAll(
-        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    sym = graph.symmetrize(e2)
     return (
         graph.kcore_peel(sym, k=3, n_rounds=4)
         .select(F.col("v").cast("long").alias("part"), "core_deg")
@@ -872,9 +868,7 @@ def part_bfs_hops(spark, sf_dir):
         .filter(F.col("shared") >= 2)
         .select("src", "dst")
     )
-    sym = e2.unionAll(
-        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    sym = graph.symmetrize(e2)
     seeds = (
         sym.select("src")
         .distinct()
@@ -1288,6 +1282,8 @@ def part_similarity_topk(spark, sf_dir):
     lift/confidence instead)."""
     from pyspark.sql import Window
 
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
     op = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1306,7 +1302,7 @@ def part_similarity_topk(spark, sf_dir):
         )
         .agg(F.count("*").alias("cab"))
     )
-    sym = co.unionAll(co.select(F.col("b").alias("a"), F.col("a").alias("b"), "cab"))
+    sym = graph.symmetrize(co, "a", "b")
     scored = (
         sym.filter(F.col("a") < 100)
         .join(F.broadcast(tot.withColumnRenamed("p", "a").withColumnRenamed("c", "ca")), "a")
@@ -1829,9 +1825,7 @@ def part_random_walk_pairs(spark, sf_dir):
     und = graph.copurchase_pairs(li, "l_orderkey", "l_partkey").select(
         "src", "dst"
     ).distinct()
-    sym = und.unionAll(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    sym = graph.symmetrize(und).distinct()
     return graph.random_walks(sym, n_steps=3, salt="walk").orderBy(
         "anchor", "step"
     )
@@ -2091,9 +2085,7 @@ def part_price_smoothing(spark, sf_dir):
         .filter(F.col("shared") >= 2)
         .select("src", "dst")
     )
-    sym = e2.unionAll(
-        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    sym = graph.symmetrize(e2)
     verts = sym.select("dst").distinct()
     # h0 feeds BOTH the propagation loop and the final shift join — one
     # lazy checkpoint so the second consumer reads the same blocks
@@ -2191,11 +2183,7 @@ def part_cheapest_path(spark, sf_dir):
         .filter(F.col("shared") >= 2)
         .select("src", "dst", F.expr("1000 DIV shared").alias("w"))
     )
-    sym = pp.unionAll(
-        pp.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-        )
-    )
+    sym = graph.symmetrize(pp)
     seeds = (
         sym.select("src")
         .distinct()
