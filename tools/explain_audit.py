@@ -40,6 +40,14 @@ def main() -> None:
     for name, fn in queries.items():
         spark.catalog.clearCache()
         df = fn(spark, sf_dir)
+        # Iterative operators (graph supersteps, k-means, components)
+        # cut lineage with lazy localCheckpoints; pre-execution their
+        # plans LOOK scan/shuffle-heavy (the uncut k-deep join DAG).
+        # Run one action first so the checkpoints materialize and the
+        # recorded plan is the TRUE bounded one every re-execution
+        # uses — the same frame the scan-budget tests assert on.
+        if name in registry.SCAN_BUDGETS:
+            df.count()
         # Formatted explain: node DETAIL headers "(n) <Node>" count each
         # node exactly once (tree lines would double-count); exchanges
         # census via their Arguments lines. No codegen column: AQE hides
@@ -76,12 +84,11 @@ def main() -> None:
             f"Formatted explain at `{sf_dir}` (initial AQE plan — at "
             "runtime AQE may further convert shuffle joins to "
             "broadcasts and coalesce partitions, so shuffle counts are "
-            "upper bounds). Iterative operators (graph supersteps, "
-            "k-means, components) look scan/shuffle-heavy HERE because "
-            "their lazy localCheckpoints have not materialized at "
-            "explain time — their true bounded post-checkpoint scan "
-            "counts are asserted by the registry scan-budget plan "
-            "tests (tests/test_plans.py, SCAN_BUDGETS). "
+            "upper bounds). Iterative operators (the SCAN_BUDGETS "
+            "family) are explained AFTER one materializing action, so "
+            "their rows show the true bounded post-checkpoint plan "
+            "every re-execution uses — the same frame the scan-budget "
+            "plan tests gate (tests/test_plans.py). "
             f"**{len(rows)} queries: "
             f"{n_cart} with CartesianProduct (target 0), "
             f"{n_python} with Python/Arrow eval nodes (every one a "
