@@ -285,9 +285,14 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # The edge frame is probed once per hop (and visited/frontier
+    # lineages each re-embed it) — cache so the k-hop loop reads one
+    # materialization of the edge build instead of re-deriving it per
+    # reference (pre-fix: 6 scans / 18 shuffles in part_2hop_reach's
+    # static plan, all rebuilding the co-purchase census).
     sym = symmetrize(
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
+    ).cache()
     frontier = seeds.select("seed", F.col("seed").alias("v"))
     visited = frontier
     for _ in range(k):

@@ -50,7 +50,13 @@ def global_token_offsets(
         if num_range_partitions
         else df.repartitionByRange(order_col)
     )
-    part = ranged.withColumn("_part", F.spark_partition_id())
+    # Cached: _part feeds BOTH the in-partition cumsum and the
+    # partition-totals branch. Beyond saving a recompute of the whole
+    # upstream per branch, the cache pins ONE materialization of the
+    # range partitioning — repartitionByRange samples its bounds, so
+    # letting each branch re-derive partition ids is a consistency
+    # hazard, not just a cost.
+    part = ranged.withColumn("_part", F.spark_partition_id()).cache()
     w_in = Window.partitionBy("_part").orderBy(order_col)
     within = part.withColumn(
         "_cum_in", F.sum(ntok_col).over(w_in) - F.col(ntok_col)

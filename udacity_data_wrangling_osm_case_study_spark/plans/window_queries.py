@@ -1227,8 +1227,12 @@ def event_value_ks_test(spark, sf_dir):
     ev = table(spark, sf_dir, "events").select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
     )
-    a = ev.filter(F.col("event_type") == "click").select("v")
-    b = ev.filter(F.col("event_type") == "view").select("v")
+    # Each sample feeds the size aggregate AND the delta stream — cache
+    # the filtered one-column frames so the fact is scanned once per
+    # sample, not once per branch (pre-fix: 14 scans in the static
+    # plan).
+    a = ev.filter(F.col("event_type") == "click").select("v").cache()
+    b = ev.filter(F.col("event_type") == "view").select("v").cache()
     n = a.agg(F.count("*").alias("na")).crossJoin(
         F.broadcast(b.agg(F.count("*").alias("nb")))
     )
