@@ -1876,8 +1876,7 @@ def test_gini_matches_bruteforce_sorted_definition(spark):
     i2x = sum(2 * (i + 1) * x for i, x in enumerate(spend))
     assert row.n == n
     assert row.total_cents == sx
-    assert row.gini_num == i2x - (n + 1) * sx
-    assert row.gini_den == n * sx
+    assert row.gini_permille == (i2x - (n + 1) * sx) * 1000 // (n * sx)
 
 
 def test_feature_propagation_hand_computed(spark):

@@ -51,8 +51,51 @@ def test_gini_projection_past_bigint(spark):
         spark.createDataFrame([(n, sx, i2x)], "n long, sx long, i2x long")
     ).first()
     assert row.n == n and row.total_cents == sx
-    assert row.gini_num == num and row.gini_den == den
     assert row.gini_permille == num * 1000 // den
+
+
+def test_gini_aggregation_past_bigint(spark):
+    """Round-8 100x-sweep crash witness: the rank-weighted sum i2x
+    itself (not just the derived rational) passes int64 near 100x the
+    bench SF, and the round-7 output columns gini_num/gini_den were
+    BIGINT-unrepresentable there. The full query pipeline must now
+    complete at such magnitudes and match the exact Python-int Gini."""
+    from udacity_data_wrangling_osm_case_study_spark.plans.exploration import (
+        customer_spend_gini,
+    )
+    import os
+    import shutil
+    import tempfile
+
+    # Magnitudes tuned so sx (a REAL monetary total) still fits int64
+    # (its overflow is a loud, correct failure) while the rank-weighted
+    # i2x ~ n*sx does not: n=30k spenders of ~6e11 cents -> sx ~ 9e15,
+    # i2x ~ 2.7e20.
+    n, v_hi = 30_000, 6_000_000_000  # dollars per big spender
+    assert sum(2 * i * v_hi * 100 for i in range(n // 2, n)) > I64_MAX
+    d = tempfile.mkdtemp(prefix="gini_mag_")
+    try:
+        spark.range(n).select(
+            F.col("id").alias("o_custkey"),
+            # distinct spends, half small, half enormous
+            F.when(F.col("id") % 2 == 0, (F.col("id") + 1) * 100)
+            .otherwise(F.lit(v_hi) + F.col("id"))
+            .cast("double")
+            .alias("o_totalprice"),
+        ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        row = customer_spend_gini(spark, d).collect()[0]
+        spend = sorted(
+            (i + 1) * 100 * 100 if i % 2 == 0 else (v_hi + i) * 100
+            for i in range(n)
+        )
+        sx = sum(spend)
+        i2x = sum(2 * (i + 1) * x for i, x in enumerate(spend))
+        assert sx < I64_MAX  # the representable output stays representable
+        assert i2x > I64_MAX  # the pre-fix long SUM provably overflows
+        assert row.n == n and row.total_cents == sx
+        assert row.gini_permille == (i2x - (n + 1) * sx) * 1000 // (n * sx)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_mannwhitney_projection_past_bigint(spark):

@@ -1028,7 +1028,8 @@ def orders_status_priority_cube(spark, sf_dir):
 
 
 def _gini_projection(agg):
-    """Final Gini projection over a one-row (n, sx, i2x) BIGINT frame.
+    """Final Gini projection over a one-row (n, sx, i2x) frame (sx/i2x
+    may be BIGINT or DECIMAL(38,0)).
 
     The naive permille ``(i2x - (n+1)*sx) * 1000 div (n*sx)`` overflows
     BIGINT at sf0.1 already (n=14,999, sx≈3.75e12 cents → the ×1000
@@ -1036,9 +1037,17 @@ def _gini_projection(agg):
     therefore cleared through DECIMAL(38,0) BEFORE multiplying; ``div``
     on decimals is Spark's exact integral divide (LongType result,
     truncation toward zero — identical to floor for the non-negative
-    numerator). Headroom: n·sx·1000 fits DECIMAL(38,0) up to ~10³⁵,
-    i.e. ~10¹⁶× past sf0.1. Unit-tested at synthetic magnitudes where
-    n·sx·1000 > 2⁶³ (tests/test_overflow_margins.py)."""
+    numerator). Headroom: n·sx·1000 fits DECIMAL(38,0) up to ~10³⁵.
+
+    The round-7 version also SURFACED the intermediate rational
+    (gini_num, gini_den) as BIGINT output columns — which themselves
+    pass 2⁶³ near 100× the bench SF (≈2.8×10²⁰; caught by the round-8
+    100× sweep as an ANSI long-overflow crash), so the projection now
+    reports only the representable quantities: n, total_cents (a real
+    monetary amount — if THAT exceeds int64 cents the domain itself
+    has outgrown the schema and the ANSI cast fails loudly), and the
+    permille (≤ 1000 by construction). Witnessed at past-int64
+    magnitudes in tests/test_overflow_margins.py."""
     num_d = (
         "cast(i2x as decimal(38,0))"
         " - (cast(n as decimal(38,0)) + 1) * cast(sx as decimal(38,0))"
@@ -1047,8 +1056,6 @@ def _gini_projection(agg):
     return agg.select(
         F.col("n").cast("long").alias("n"),
         F.col("sx").cast("long").alias("total_cents"),
-        F.expr(num_d).cast("long").alias("gini_num"),
-        F.expr(den_d).cast("long").alias("gini_den"),
         F.expr(f"({num_d}) * 1000 div ({den_d})")
         .cast("long")
         .alias("gini_permille"),
@@ -1079,8 +1086,6 @@ def _gini_projection(agg):
     )
     SELECT CAST(n AS BIGINT) AS n,
            CAST(sx AS BIGINT) AS total_cents,
-           CAST(i2x - (n + 1) * sx AS BIGINT) AS gini_num,
-           CAST(n * sx AS BIGINT) AS gini_den,
            CAST(CAST(i2x - (n + 1) * sx AS HUGEINT) * 1000
                 // CAST(n * sx AS HUGEINT) AS BIGINT)
                AS gini_permille
@@ -1121,14 +1126,20 @@ def customer_spend_gini(spark, sf_dir):
         F.count("*").alias("cnt")
     )
     ranked = global_token_offsets(per_v, order_col="v", ntok_col="cnt")
+    # The rank-weighted sum's PER-ROW terms fit BIGINT, but their SUM
+    # does not at ~100x the bench SF (i2x grows as ~n·sx ≈ 5.6x10^20
+    # there — caught by the round-8 100x sweep), so sx and i2x
+    # accumulate as DECIMAL(38,0); the DuckDB oracle's SUM(BIGINT) is
+    # HUGEINT-valued already.
+    dec = "decimal(38,0)"
     agg = ranked.agg(
         F.sum("cnt").alias("n"),
-        F.sum(F.col("v") * F.col("cnt")).alias("sx"),
+        F.sum(F.col("v").cast(dec) * F.col("cnt")).alias("sx"),
         F.sum(
-            F.col("v")
+            F.col("v").cast(dec)
             * (
-                2 * F.col("cnt") * F.col("start")
-                + F.col("cnt") * F.col("cnt")
+                2 * F.col("cnt").cast(dec) * F.col("start").cast(dec)
+                + F.col("cnt").cast(dec) * F.col("cnt")
                 + F.col("cnt")
             )
         ).alias("i2x"),
