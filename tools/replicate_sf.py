@@ -18,8 +18,10 @@ verbatim: cross-copy duplicate text/vectors are exactly the adversarial
 input the dedup/ANN families must survive at scale.
 
 Usage:
-    python3 tools/replicate_sf.py [src_sf_dir] [out_dir] [n_copies]
+    python3 tools/replicate_sf.py [src_sf_dir] [out_dir] [n_copies] [perturb]
     # defaults: /root/testdata/sf0.1 /tmp/spark_graft_sf1x10 10
+    # "perturb": token-suffix document text per copy (linear-work
+    # dedup ladder instead of the adversarial verbatim-clone one)
 """
 
 from __future__ import annotations
@@ -66,17 +68,41 @@ SHARED_DIMS = ("region", "nation")
 TABLES = tuple(KEYED) + SHARED_DIMS
 
 
-def _tile(df: DataFrame, keymap: dict[str, str], n: int) -> DataFrame:
+def _tile(
+    df: DataFrame, keymap: dict[str, str], n: int, perturb_text: bool = False
+) -> DataFrame:
     """Union n key-shifted copies of df (copy 0 keeps original keys, so
-    literal-key predicates in existing queries still match)."""
+    literal-key predicates in existing queries still match).
+
+    ``perturb_text`` rewrites the ``text`` column per copy k>0 by
+    suffixing every token with ``_k``: verbatim tiling makes every
+    document a clone of its 9 twins — adversarial for pair-forming
+    dedup (cluster sizes scale with the copy count, pairs
+    quadratically), which is the right COMPLETION stress but the wrong
+    THROUGHPUT ladder. Token-suffixed copies share no shingles/grams
+    across copies while keeping each copy's internal dup structure and
+    token-frequency shape, so the dedup/text family scales linearly in
+    work — like real corpus growth."""
     copies = []
     for k in range(n):
-        cols = [
-            (F.col(c) + F.lit(k * STRIDES[keymap[c]])).alias(c)
-            if c in keymap
-            else F.col(c)
-            for c in df.columns
-        ]
+        cols = []
+        for c in df.columns:
+            if c in keymap:
+                cols.append(
+                    (F.col(c) + F.lit(k * STRIDES[keymap[c]])).alias(c)
+                )
+            elif c == "text" and perturb_text and k > 0:
+                cols.append(
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda t: F.concat(t, F.lit(f"_{k}")),
+                        ),
+                        " ",
+                    ).alias("text")
+                )
+            else:
+                cols.append(F.col(c))
         copies.append(df.select(*cols))
     out = copies[0]
     for c in copies[1:]:
@@ -84,12 +110,17 @@ def _tile(df: DataFrame, keymap: dict[str, str], n: int) -> DataFrame:
     return out
 
 
-def replicate(spark, src: str, out: str, n: int) -> None:
+def replicate(
+    spark, src: str, out: str, n: int, perturb_docs: bool = False
+) -> None:
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
         if t in KEYED and n > 1:
-            df = _tile(df, KEYED[t], n)
+            df = _tile(
+                df, KEYED[t], n,
+                perturb_text=(perturb_docs and t == "documents"),
+            )
         df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
         print(f"{t}: written")
 
@@ -100,10 +131,11 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1x10"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    perturb = len(sys.argv) > 4 and sys.argv[4] == "perturb"
     spark = get_spark(app_name="replicate_sf")
     spark.sparkContext.setLogLevel("ERROR")
-    replicate(spark, src, out, n)
-    print(f"tiled {src} x{n} -> {out}")
+    replicate(spark, src, out, n, perturb_docs=perturb)
+    print(f"tiled {src} x{n} -> {out} (perturb_docs={perturb})")
 
 
 if __name__ == "__main__":
