@@ -41,6 +41,19 @@ def content_fingerprint(col):
     return F.md5(normalize_text(col))
 
 
+def pair_endpoints(pairs: DataFrame, out_col: str = "id") -> DataFrame:
+    """Distinct endpoint ids of an (id_a, id_b) pair frame, in ONE
+    pass: explode a 2-element array row-locally. The naive
+    union-of-two-projections places the pair-BUILD subtree (an LSH
+    self-join, a similarity join) in the plan twice — the same hazard
+    graph.symmetrize removes for edge lists."""
+    return (
+        pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias(out_col)
+        ).distinct()
+    )
+
+
 def exact_duplicate_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -243,11 +256,7 @@ def jaccard_pairs(
         # docs that appear in some candidate pair BEFORE the join — the
         # verification cost scales with the candidate set, not the
         # corpus (the LSH point at 100 TB).
-        cand_ids = (
-            candidates.select(F.col("id_a").alias("id"))
-            .unionByName(candidates.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
+        cand_ids = pair_endpoints(candidates)
         a = a.join(cand_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
         b = b.join(cand_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
     inter = (
@@ -1296,11 +1305,7 @@ def prefix_filter_pairs(
     # referenced twice; Spark has no common-subplan sharing across DAG
     # branches).
     cand = cand.localCheckpoint(eager=True)
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .unionByName(cand.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    cand_ids = pair_endpoints(cand)
     docvecs = (
         hashed.join(cand_ids, "id", "left_semi")
         .groupBy("id")

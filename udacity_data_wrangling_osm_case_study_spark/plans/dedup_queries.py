@@ -1003,11 +1003,7 @@ def weighted_jaccard_pairs(spark, sf_dir):
     # verify cost scales with the candidate set: restrict token counts
     # to candidate docs before the pair join (same economics as the
     # LSH-verify path)
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .unionByName(cand.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    cand_ids = dedup.pair_endpoints(cand)
     cnt_c = cnt.join(cand_ids, "id", "left_semi")
     tots = cnt.groupBy("id").agg(F.sum("c").alias("tot"))
     a = cnt_c.select(F.col("id").alias("id_a"), "tok", F.col("c").alias("ca"))
@@ -1079,11 +1075,8 @@ def near_dup_rate_by_source(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
     pairs = dedup.similarity_pairs(sh, 1, 2).select("id_a", "id_b")
-    duped = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-        .withColumn("is_duped", F.lit(1))
+    duped = dedup.pair_endpoints(pairs, out_col="doc_id").withColumn(
+        "is_duped", F.lit(1)
     )
     return (
         docs.select("doc_id", "source")
