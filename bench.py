@@ -227,7 +227,8 @@ BENCH_EXCLUDED: dict[str, str] = {
         "(embedding_near_dupes->arrow, dedup_clusters|survivors->oracle-run, "
         "rolling_distinct_users->rolling_active_users_exact, "
         "sliding->tumbling, media_frame_sample->media_shared_frames, "
-        "cms_user_event_counts->cms_heavy_hitters)",
+        "cms_user_event_counts->cms_heavy_hitters, "
+        "incr_substring_coverage_bucketed->layout twin of the path variant)",
         "embedding_near_dupes",
         "dedup_clusters",
         "dedup_survivors",
@@ -235,6 +236,7 @@ BENCH_EXCLUDED: dict[str, str] = {
         "event_type_sliding_10min",
         "media_frame_sample",
         "cms_user_event_counts",
+        "incremental_substring_coverage_bucketed",
     ),
     **_excl(
         "diagnostic/report stage dominated by its benched upstream pipeline",

@@ -62,6 +62,7 @@ _loaded = False
 # names follow in registration order.
 _VERIFY_FIRST = (
     # round-8 additions (never attested, newest work first)
+    "incremental_substring_coverage_bucketed",
     "min_cost_supplier",
     "nation_profit_rollup",
     "important_stock_parts",

@@ -449,3 +449,87 @@ def boilerplate_share_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_INCR_ORACLE = f"""
+    WITH bt AS (
+        SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks,
+               len(string_split({_NORM}, ' ')) AS n_tokens
+        FROM documents
+    ),
+    gr AS (
+        SELECT id, CAST(p.i AS INT) AS pos,
+               md5(array_to_string(
+                   toks[CAST(p.i AS INT):CAST(p.i AS INT) + {_L - 1}],
+                   ' ')) AS g
+        FROM bt, LATERAL unnest(
+            range(1, greatest(n_tokens - {_L - 1}, 0) + 1)) p(i)
+    ),
+    idx AS (SELECT g, COUNT(*) AS ni FROM gr WHERE id % 7 <> 0 GROUP BY g),
+    census AS (SELECT g, COUNT(*) AS nb FROM gr WHERE id % 7 = 0 GROUP BY g),
+    dup AS (
+        SELECT census.g FROM census LEFT JOIN idx USING (g)
+        WHERE nb + COALESCE(ni, 0) >= {_MIN_COUNT}
+    ),
+    ds AS (SELECT id, pos FROM gr
+           WHERE id % 7 = 0 AND g IN (SELECT g FROM dup)),
+    fl AS (
+        SELECT id, pos,
+               CASE WHEN pos - LAG(pos) OVER (
+                        PARTITION BY id ORDER BY pos) > {_L}
+                    THEN 1 ELSE 0 END AS brk
+        FROM ds
+    ),
+    sp AS (
+        SELECT id, MIN(pos) AS s, MAX(pos) + {_L - 1} AS e
+        FROM (SELECT id, pos,
+                     SUM(brk) OVER (PARTITION BY id ORDER BY pos) AS sid
+              FROM fl)
+        GROUP BY id, sid
+    ),
+    cov AS (SELECT id, SUM(e - s + 1) AS dup_tokens FROM sp GROUP BY id)
+    SELECT bt.id AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(CAST(COALESCE(dup_tokens, 0) AS HUGEINT) * 10000
+                // n_tokens AS BIGINT) AS share_bp
+    FROM bt LEFT JOIN cov ON cov.id = bt.id
+    WHERE bt.id % 7 = 0
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "incremental_substring_coverage_bucketed",
+    _INCR_ORACLE,
+)
+def incremental_substring_coverage_bucketed(spark, sf_dir):
+    """The BUCKETED-layout twin of ``incremental_substring_coverage``
+    (same oracle SQL verbatim — the layout must be result-invisible):
+    the corpus gram census persists as a catalog table hash-bucketed by
+    g (operators.substrings.build_gram_index_bucketed), so the probe's
+    index side — semi-join restriction and per-gram count sum — reads
+    bucket files with no exchange (plan asserted in
+    tests/test_layout.py). Registered so the layout path carries
+    driver-level oracle attestation, not just the unit-level parity
+    test. The index rebuilds per call (seconds at correctness/bench
+    SF); a deployment would build once per corpus version like the
+    path-partitioned index."""
+    import hashlib
+    import os
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    digest = hashlib.sha256(
+        os.path.abspath(sf_dir.rstrip("/")).encode()
+    ).hexdigest()[:12]
+    tbl = f"gram_idx_bucketed_{digest}"
+    substrings.build_gram_index_bucketed(corpus, tbl, l=_L, n_buckets=16)
+    return (
+        substrings.incremental_span_coverage_bucketed(
+            batch, tbl, min_count=_MIN_COUNT
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
