@@ -999,12 +999,15 @@ def weighted_jaccard_pairs(spark, sf_dir):
         F.col("doc_id").alias("id"),
         F.explode(F.split(dedup.normalize_text(F.col("text")), " ")).alias("tok"),
     )
-    cnt = tok.groupBy("id", "tok").agg(F.count("*").alias("c"))
+    # cnt feeds the candidate-restricted counts AND the per-doc totals;
+    # cnt_c feeds both sides of the pair join — cache each so the
+    # tokenize+count pass runs once, not once per consumer.
+    cnt = tok.groupBy("id", "tok").agg(F.count("*").alias("c")).cache()
     # verify cost scales with the candidate set: restrict token counts
     # to candidate docs before the pair join (same economics as the
     # LSH-verify path)
     cand_ids = dedup.pair_endpoints(cand)
-    cnt_c = cnt.join(cand_ids, "id", "left_semi")
+    cnt_c = cnt.join(cand_ids, "id", "left_semi").cache()
     tots = cnt.groupBy("id").agg(F.sum("c").alias("tot"))
     a = cnt_c.select(F.col("id").alias("id_a"), "tok", F.col("c").alias("ca"))
     b = cnt_c.select(F.col("id").alias("id_b"), "tok", F.col("c").alias("cb"))
