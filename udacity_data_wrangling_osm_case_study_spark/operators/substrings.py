@@ -369,6 +369,22 @@ def build_gram_index_bucketed(
     the probe's dominant cost. The gram length and key version ride
     table properties (the manifest role meta.json plays for the
     path-partitioned layout)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = docs.sparkSession
+    # Idempotent across SESSIONS, not just catalogs: saveAsTable
+    # overwrite only replaces a catalog-REGISTERED table, and a managed
+    # location orphaned by a previous session (directory on disk, no
+    # catalog entry) fails it with LOCATION_ALREADY_EXISTS — so drop
+    # the entry AND clear the owned location before building.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(
+            os.path.join(wh, table_name.lower()), ignore_errors=True
+        )
     census = (
         gram_starts(tokenized(docs, id_col, text_col), l)
         .groupBy("g")
@@ -381,7 +397,7 @@ def build_gram_index_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
-    docs.sparkSession.sql(
+    spark.sql(
         f"ALTER TABLE {table_name} SET TBLPROPERTIES"
         f" ('gram_l'='{l}', 'gram_key'='{GRAM_KEY}')"
     )
