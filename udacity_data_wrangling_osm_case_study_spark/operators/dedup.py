@@ -195,11 +195,16 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` is the adversarial-skew guard for the bucket
     SELF-join: a bucket of b docs forms b²/2 pairs, so one giant bucket
     reintroduces the quadratic term LSH exists to avoid. Buckets that
-    large are near-certainly exact-duplicate clusters (identical text
+    large are usually exact-duplicate clusters (identical text
     collides in EVERY band), which the linear exact pass
     (:func:`exact_duplicate_groups`) already collapses — the curation
-    pipelines run it first — so capping drops only pairs another,
-    cheaper operator reports. Measured (tests/test_skew_stress.py): a
+    pipelines run it first. The cap is lossy for the remainder: a
+    NON-identical near-duplicate that lands in a dropped hot bucket
+    loses that bucket's candidate pairs, and the exact pass does not
+    recover them (it only catches byte-identical text); it is only
+    recovered if the pair also collides in a surviving band. Use the
+    cap as a throughput guard under identical-document skew, not as a
+    recall-preserving rewrite. Measured (tests/test_skew_stress.py): a
     shared boilerplate SENTENCE does NOT make a hot bucket (band keys
     hash whole signature slices, so only docs similar overall collide)
     — the cap matters only under identical-document skew, and salting

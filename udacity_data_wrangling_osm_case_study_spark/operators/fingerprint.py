@@ -143,6 +143,11 @@ def fingerprint_pairs(
     score for clone detection where a small doc may be wholly embedded
     in a large one. Inverted-index self-join on the fingerprint key:
     cost is sum of per-fingerprint df², never corpus².
+
+    Caches the winnow output (never unpersisted — the returned frame's
+    lazy lineage still reads it); in a long-lived session, clear with
+    ``spark.catalog.clearCache()`` after materializing (the
+    harness/bench convention) to release executor storage.
     """
     # Single cache point holding the winnow output (the dominant cost):
     # it feeds every downstream branch — the hot-fingerprint census,

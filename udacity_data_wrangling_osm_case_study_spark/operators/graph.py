@@ -13,6 +13,18 @@ wedge join is bounded even on hub-heavy graphs.
 
 No reference analog (SURVEY.md has no graph surface); public
 algorithm, re-expressed as three DataFrame joins.
+
+Cache contract: operators in this module ``.cache()`` internal frames
+that the plan references multiply (the alternative is a
+multiplicatively nested DAG — a 47-scan static plan in the round-8
+audit). They do NOT unpersist, because the returned DataFrame's
+lineage still reads the cached frames lazily — unpersisting before
+the caller materializes would silently recompute the expensive
+subtree per reference. Callers running many operators in one
+long-lived session should call ``spark.catalog.clearCache()``
+between queries (the harness/bench convention) or unpersist after
+their terminal action; otherwise cached frames accumulate in executor
+storage until LRU eviction.
 """
 
 from __future__ import annotations
@@ -227,6 +239,9 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
 
     Returns (v, deg, n_tri, cc_pm) for vertices with deg >= 2 (cc is
     undefined below that).
+
+    Caches internal frames and does not unpersist (module cache
+    contract — clearCache between queries in long-lived sessions).
     """
     tri_edges, deg = _edge_triangles(edges)
     # tri_edges feeds three corner legs — cache so the wedge join runs
@@ -277,6 +292,10 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     lineage stays shallow. Frontier frames carry (seed, v) pairs, so
     multi-source BFS shares each edge scan across all seeds — one pass
     per hop regardless of seed count, never one traversal per seed.
+
+    Caches the symmetric edge frame and does not unpersist (module
+    cache contract — clearCache between queries in long-lived
+    sessions).
     """
     und = (
         edges.select(

@@ -380,10 +380,16 @@ def build_gram_index_bucketed(
     # catalog entry) fails it with LOCATION_ALREADY_EXISTS — so drop
     # the entry AND clear the owned location before building.
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if wh:
+    # Orphan-location cleanup is a LOCAL-warehouse remedy only: on a
+    # remote warehouse (hdfs://, s3a://) shutil cannot reach the
+    # location, and on a shared metastore deleting by guessed path
+    # could clobber a directory another catalog still references — so
+    # act only when the warehouse URI scheme says local filesystem and
+    # the table name is unqualified (managed location = <wh>/<name>).
+    wh_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh_uri.scheme in ("", "file") and wh_uri.path and "." not in table_name:
         shutil.rmtree(
-            os.path.join(wh, table_name.lower()), ignore_errors=True
+            os.path.join(wh_uri.path, table_name.lower()), ignore_errors=True
         )
     census = (
         gram_starts(tokenized(docs, id_col, text_col), l)
@@ -414,13 +420,21 @@ def gram_index_append_bucketed(
     per-gram counts, so appended rows never need merging with base)."""
     spark = docs.sparkSession
     l = _bucketed_gram_l(spark, table_name)
-    n_buckets = int(
-        next(
+    bucket_row = next(
+        (
             r["data_type"]
             for r in spark.sql(f"DESCRIBE EXTENDED {table_name}").collect()
             if r["col_name"] == "Num Buckets"
-        )
+        ),
+        None,
     )
+    if bucket_row is None:
+        raise ValueError(
+            f"table {table_name!r} exists but has no bucket spec; "
+            "gram_index_append_bucketed requires an index built by "
+            "build_gram_index_bucketed (hash-bucketed and sorted by g)"
+        )
+    n_buckets = int(bucket_row)
     census = (
         gram_starts(tokenized(docs, id_col, text_col), l)
         .groupBy("g")
