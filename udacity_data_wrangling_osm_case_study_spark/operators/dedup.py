@@ -479,7 +479,12 @@ def incremental_near_dupes(
     sh_new = word_shingles(new_docs, n=n).persist()
     sigs = minhash_signatures(sh_new, num_hashes)
     bands_new = lsh_bands(sigs, rows_per_band)
-    bands_idx = spark.read.parquet(f"{index_dir}/bands")
+    # Read-back schemas pinned: an index built from an EMPTY corpus
+    # has no part files, and inference would fail where an empty index
+    # is a valid state (nothing to dedup against).
+    bands_idx = spark.read.schema(
+        "id bigint, band int, band_key string, batch_id string"
+    ).parquet(f"{index_dir}/bands")
     cand = (
         bands_new.select("band", "band_key", F.col("id").alias("new_id"))
         .join(
@@ -494,7 +499,9 @@ def incremental_near_dupes(
     post_new = post_new.join(
         cand.select("new_id").distinct(), "new_id", "left_semi"
     )
-    post_idx = spark.read.parquet(f"{index_dir}/postings").select(
+    post_idx = spark.read.schema(
+        "id bigint, g bigint, batch_id string"
+    ).parquet(f"{index_dir}/postings").select(
         F.col("id").alias("index_id"), "g"
     )
     post_idx = post_idx.join(
@@ -507,7 +514,9 @@ def incremental_near_dupes(
         .join(cand, ["new_id", "index_id"], "left_semi")
     )
     sizes_new = sh_new.groupBy("id").agg(F.count("*").alias("size_new"))
-    sizes_idx = spark.read.parquet(f"{index_dir}/sizes").select(
+    sizes_idx = spark.read.schema(
+        "id bigint, sz bigint, batch_id string"
+    ).parquet(f"{index_dir}/sizes").select(
         F.col("id").alias("index_id"), F.col("sz").alias("size_index")
     )
     scored = (
@@ -696,12 +705,20 @@ def normalized_vectors(
     # Materialize the norm in its own projection: captured inside the
     # transform lambda the O(d) fold would re-run per vector element.
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    # Zero-safe: a zero vector normalizes to the zero vector (cosine 0
+    # to everything) instead of an ANSI division-by-zero error — the
+    # same convention as similarity.cosine and the SQL oracles.
     return (
         base.withColumn("nrm", norm)
         .select(
             "id",
             "blk",
-            F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
+            F.transform(
+                F.col("v"),
+                lambda x: F.coalesce(
+                    F.try_divide(x, F.col("nrm")), F.lit(0.0)
+                ),
+            ).alias("u"),
         )
         .localCheckpoint(eager=True)
     )
@@ -903,7 +920,11 @@ def embedding_near_duplicates_arrow(
                 {"id_a": "int64", "id_b": "int64", "cosine_bp": "int64"}
             )
         M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        U = M / np.linalg.norm(M, axis=1, keepdims=True)
+        # Zero-safe like the expression path: a zero vector normalizes
+        # to the zero vector (cosine 0), not a 0/0 NaN that numpy
+        # would propagate silently into the pair grid.
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        U = np.divide(M, nrm, out=np.zeros_like(M), where=nrm != 0)
         G = U @ U.T
         iu = np.triu_indices(len(ids), k=1)
         bp = np.round(G[iu] * 10000).astype("int64")

@@ -44,6 +44,10 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """Wrap a text column as an opaque binary payload + metadata struct
     (the testdata has no true image bytes; the column type and
     everything downstream is what matters)."""
+    # Ingest contract: a media row HAS a payload — NULL text produces
+    # no media row (downstream byte loops would otherwise crash on a
+    # NULL payload; oracles carry the same IS NOT NULL guard).
+    df = df.filter(F.col(text_col).isNotNull())
     payload = F.encode(F.col(text_col), "utf-8")
     return df.select(
         F.col(id_col).alias("media_id"),

@@ -53,7 +53,13 @@ def l2norm(u):
 
 
 def cosine(u, v):
-    return dot(u, v) / (l2norm(u) * l2norm(v))
+    """Cosine similarity, zero-safe: a zero-norm operand yields 0.0
+    (similar to nothing) instead of an ANSI division-by-zero error —
+    at corpus scale a zero embedding (failed encoder, padded row) is a
+    certainty, not a corner. The oracles encode the same convention as
+    ``COALESCE(dot / NULLIF(norm_product, 0), 0)``."""
+    den = l2norm(u) * l2norm(v)
+    return F.coalesce(F.try_divide(dot(u, v), den), F.lit(0.0))
 
 
 def brute_force_topk(
@@ -154,7 +160,12 @@ def ivf_topk_indexed(
     Corpus data itself never reaches the driver.
     """
     q = array_literal(query_vec)
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    # Schemas pinned: an index built from an EMPTY corpus has no part
+    # files; inference would fail where "no cells, no neighbors" is
+    # the correct answer.
+    cents = spark.read.schema("cell int, centroid array<double>").parquet(
+        f"{index_dir}/centroids"
+    )
     probed = [
         r.cell
         for r in (
@@ -165,9 +176,9 @@ def ivf_topk_indexed(
             .collect()
         )
     ]
-    vecs = spark.read.parquet(f"{index_dir}/vectors").filter(
-        F.col("cell").isin(probed)
-    )
+    vecs = spark.read.schema(
+        "id bigint, v array<double>, cell int, batch_id string"
+    ).parquet(f"{index_dir}/vectors").filter(F.col("cell").isin(probed))
     sim = F.round(cosine(F.col("v"), q), round_dp)
     return (
         vecs.select("id", sim.alias("cosine"))
@@ -574,7 +585,9 @@ def ivf_append(
     periodic compaction step once drift accumulates — the same
     build/maintain split every production ANN index uses.
     """
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cents = spark.read.schema("cell int, centroid array<double>").parquet(
+        f"{index_dir}/centroids"
+    )
     assigned = kmeans_assign(df_new, cents, id_col, vec_col)
     vecs = df_new.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")

@@ -31,7 +31,14 @@ def histogram_median(
     Shape: groupBy (key, value) with map-side combine reduces raw rows
     to histogram rows; the cumulative count + rank pick run per key
     over histogram rows only.
+
+    NULL values (and NULL weights) are ignored, the SQL ``median()``
+    convention — a NULL histogram bucket would otherwise sort at
+    engine-dependent ends of the cumulative scan.
     """
+    df = df.filter(F.col(value).isNotNull())
+    if weight:
+        df = df.filter(F.col(weight).isNotNull())
     agg = F.sum(weight) if weight else F.count("*")
     hist = df.groupBy(F.col(key).alias("k"), F.col(value).alias("v")).agg(
         agg.alias("c")

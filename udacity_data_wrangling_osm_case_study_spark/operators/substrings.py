@@ -320,9 +320,13 @@ def incremental_span_coverage(
     spark = new_docs.sparkSession
     l = read_gram_index_meta(index_dir).get("l", 50)
     base = tokenized(new_docs, id_col, text_col)
-    return _probe_coverage(
-        base, spark.read.parquet(f"{index_dir}/grams"), l, min_count
+    # Schema pinned: an index built from an EMPTY corpus has no part
+    # files, and schema inference would fail where an empty index is a
+    # perfectly valid state (every probe gram is then corpus-unseen).
+    index = spark.read.schema("g binary, n bigint, batch_id string").parquet(
+        f"{index_dir}/grams"
     )
+    return _probe_coverage(base, index, l, min_count)
 
 
 def _probe_coverage(

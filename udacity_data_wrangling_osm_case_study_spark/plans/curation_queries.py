@@ -756,7 +756,8 @@ def weighted_doc_sample(spark, sf_dir):
         JOIN part p ON p.p_partkey = l.l_partkey
     ),
     custs AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
-    brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+    brands AS (SELECT DISTINCT p_brand AS brand FROM part
+               WHERE p_brand IS NOT NULL),
     cand AS (
         SELECT c.custkey, b.brand
         FROM custs c CROSS JOIN brands b
@@ -808,7 +809,10 @@ def negative_sampling_pairs(spark, sf_dir):
         .distinct()
     )
     custs = ords.select("custkey").distinct()
-    brands = part.select("brand").distinct()
+    # A NULL brand is not a sampleable negative (and NULL order keys
+    # sort differently across engines — Spark NULLS FIRST, most SQL
+    # engines NULLS LAST — so it could never rank stably anyway).
+    brands = part.filter(F.col("brand").isNotNull()).select("brand").distinct()
     cand = custs.crossJoin(F.broadcast(brands)).join(
         seen, ["custkey", "brand"], "left_anti"
     )
@@ -942,6 +946,7 @@ def l_diversity_report(spark, sf_dir):
         SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
                CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
         FROM customer
+        WHERE c_acctbal IS NOT NULL
     ),
     gdist AS (SELECT bal_band, COUNT(*) AS q FROM labeled GROUP BY bal_band),
     tot AS (
@@ -959,7 +964,7 @@ def l_diversity_report(spark, sf_dir):
         SELECT gt.segment, gt.nationkey, g.bal_band, g.q, gt.n_g,
                COALESCE(gr.c, 0) AS c
         FROM gtot gt CROSS JOIN gdist g
-        LEFT JOIN grp gr ON gr.segment = gt.segment
+        LEFT JOIN grp gr ON gr.segment IS NOT DISTINCT FROM gt.segment
              AND gr.nationkey = gt.nationkey AND gr.bal_band = g.bal_band
     ),
     cum AS (
@@ -1003,7 +1008,9 @@ def t_closeness_report(spark, sf_dir):
     oracle builds the naive grid + window cumsum — a cross-algorithm
     equivalence attestation)."""
     cust = table(spark, sf_dir, "customer")
-    labeled = cust.select(
+    # A NULL sensitive value cannot leak and cannot be a map key
+    # (NULL_MAP_KEY): excluded from the distribution on both sides.
+    labeled = cust.filter(F.col("c_acctbal").isNotNull()).select(
         F.col("c_mktsegment").alias("segment"),
         F.col("c_nationkey").alias("nationkey"),
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),

@@ -247,7 +247,8 @@ def simhash_near_pairs(spark, sf_dir):
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     n AS (SELECT vec_id, label,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+                 list_transform(v, x -> COALESCE(
+                     x / NULLIF(sqrt(list_dot_product(v, v)), 0), 0)) AS u
           FROM v)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(ROUND(list_dot_product(a.u, b.u) * 10000) AS BIGINT) AS cosine_bp
@@ -514,7 +515,8 @@ def incremental_dedup(spark, sf_dir):
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     n AS (SELECT vec_id, label,
-                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+                 list_transform(v, x -> COALESCE(
+                     x / NULLIF(sqrt(list_dot_product(v, v)), 0), 0)) AS u
           FROM v)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(ROUND(list_dot_product(a.u, b.u) * 10000) AS BIGINT) AS cosine_bp
@@ -670,10 +672,10 @@ def duplicated_span_share(spark, sf_dir):
     c AS (SELECT vec_id AS cell, v AS centroid FROM v WHERE vec_id < 8),
     scored AS (
         SELECT v.vec_id AS id, c.cell,
-               CAST(ROUND(list_dot_product(v.v, c.centroid) /
-                    (sqrt(list_dot_product(v.v, v.v))
-                     * sqrt(list_dot_product(c.centroid, c.centroid)))
-                    * 10000) AS BIGINT) AS cos_bp
+               CAST(ROUND(COALESCE(list_dot_product(v.v, c.centroid) /
+                    NULLIF(sqrt(list_dot_product(v.v, v.v))
+                     * sqrt(list_dot_product(c.centroid, c.centroid)), 0)
+                    , 0) * 10000) AS BIGINT) AS cos_bp
         FROM v, c
     ),
     best AS (
@@ -687,10 +689,10 @@ def duplicated_span_share(spark, sf_dir):
     dropped AS (
         SELECT DISTINCT y.id
         FROM e x JOIN e y ON x.cell = y.cell AND x.id < y.id
-        WHERE CAST(ROUND(list_dot_product(x.v, y.v) /
-                   (sqrt(list_dot_product(x.v, x.v))
-                    * sqrt(list_dot_product(y.v, y.v)))
-                   * 10000) AS BIGINT) >= 4000
+        WHERE CAST(ROUND(COALESCE(list_dot_product(x.v, y.v) /
+                   NULLIF(sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v)), 0)
+                   , 0) * 10000) AS BIGINT) >= 4000
     )
     SELECT id, cell,
            CASE WHEN id IN (SELECT id FROM dropped) THEN 0 ELSE 1 END AS kept

@@ -33,17 +33,20 @@ _DEC = "decimal(18,4)"
     """,
 )
 def table_counts(spark, sf_dir):
-    """§2.9(1): table row counts (nodes/ways analog)."""
+    """§2.9(1): table row counts (nodes/ways analog). Per-table SCALAR
+    aggregates union'd — a global agg yields its one row even for an
+    empty table (n=0), exactly like SQL COUNT(*); the earlier
+    union-then-groupBy rewrite silently dropped empty tables."""
     parts = [
-        table(spark, sf_dir, name).select(
-            F.lit(name).alias("tbl"), F.lit(1).alias("one")
-        )
+        table(spark, sf_dir, name)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit(name).alias("tbl"), "n")
         for name in ("customer", "orders", "lineitem", "events")
     ]
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
-    return unioned.groupBy("tbl").agg(F.count("*").alias("n")).orderBy("tbl")
+    return unioned.orderBy("tbl")
 
 
 @register(
@@ -988,6 +991,8 @@ def incremental_agg_maintenance(spark, sf_dir):
                AS revenue_c
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0  -- Spark cube emits no grand-total row on
+                         -- empty input; no-op otherwise
     ORDER BY gid, status, priority
     """,
 )
@@ -1071,7 +1076,8 @@ def _gini_projection(agg):
                    AS c
         FROM orders GROUP BY o_custkey
     ),
-    per_v AS (SELECT c AS v, COUNT(*) AS cnt FROM spend GROUP BY c),
+    per_v AS (SELECT c AS v, COUNT(*) AS cnt FROM spend
+              WHERE c IS NOT NULL GROUP BY c),
     ranked AS (
         SELECT v, cnt,
                COALESCE(SUM(cnt) OVER (ORDER BY v
@@ -1122,8 +1128,13 @@ def customer_spend_gini(spark, sf_dir):
         .cast("long")
         .alias("c")
     )
-    per_v = spend.groupBy(F.col("c").alias("v")).agg(
-        F.count("*").alias("cnt")
+    # A customer whose every order total is NULL has no measurable
+    # spend (SUM over all-NULL is NULL, not 0) — excluded both sides;
+    # a NULL rank bucket would sort at engine-dependent ends anyway.
+    per_v = (
+        spend.filter(F.col("c").isNotNull())
+        .groupBy(F.col("c").alias("v"))
+        .agg(F.count("*").alias("cnt"))
     )
     ranked = global_token_offsets(per_v, order_col="v", ntok_col="cnt")
     # The rank-weighted sum's PER-ROW terms fit BIGINT, but their SUM

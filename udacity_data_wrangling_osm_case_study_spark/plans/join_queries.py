@@ -115,6 +115,9 @@ def supplier_nation_volume(spark, sf_dir):
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP(r_name, n_name)
+    HAVING COUNT(*) > 0  -- Spark rollup emits NO grand-total row on
+                         -- empty input; SQL emits one with n=0. No-op
+                         -- on non-empty data.
     ORDER BY r_name, n_name
     """,
 )
@@ -339,7 +342,8 @@ def merge_upsert_customers(spark, sf_dir):
     WITH t AS (
         SELECT o_orderpriority, o_totalprice,
                NTILE(10) OVER (PARTITION BY o_orderpriority
-                               ORDER BY o_totalprice, o_orderkey) AS decile
+                               ORDER BY o_totalprice NULLS FIRST, o_orderkey)
+                   AS decile
         FROM orders
     )
     SELECT o_orderpriority, decile, COUNT(*) AS n,
@@ -379,6 +383,8 @@ def order_value_deciles(spark, sf_dir):
                AS total_price
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0  -- Spark cube emits no grand-total row on
+                         -- empty input; no-op otherwise
     ORDER BY status, priority
     """,
 )
@@ -460,6 +466,7 @@ def parts_only_returned(spark, sf_dir):
                AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    HAVING COUNT(*) > 0  -- Spark emits no ()-set row on empty input
     ORDER BY n_name, seg
     """,
 )

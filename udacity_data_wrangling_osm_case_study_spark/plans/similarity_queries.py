@@ -16,9 +16,9 @@ from udacity_data_wrangling_osm_case_study_spark.operators import multimodal, si
 from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
 
 _COS_BP = (
-    "CAST(ROUND(list_dot_product(e.v, q.q) / "
-    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.q, q.q))) "
-    "* 10000) AS BIGINT)"
+    "CAST(ROUND(COALESCE(list_dot_product(e.v, q.q) / "
+    "NULLIF(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.q, q.q)), 0)"
+    ", 0) * 10000) AS BIGINT)"
 )
 
 
@@ -65,10 +65,10 @@ def knn_bruteforce(spark, sf_dir):
     c AS (SELECT vec_id AS cell, v AS centroid FROM v WHERE vec_id < 8),
     scored AS (
         SELECT v.vec_id AS id, c.cell,
-               CAST(ROUND(list_dot_product(v.v, c.centroid) /
-                    (sqrt(list_dot_product(v.v, v.v))
-                     * sqrt(list_dot_product(c.centroid, c.centroid)))
-                    * 10000) AS BIGINT) AS cos_bp
+               CAST(ROUND(COALESCE(list_dot_product(v.v, c.centroid) /
+                    NULLIF(sqrt(list_dot_product(v.v, v.v))
+                     * sqrt(list_dot_product(c.centroid, c.centroid)), 0)
+                    , 0) * 10000) AS BIGINT) AS cos_bp
         FROM v, c
     ),
     best AS (
@@ -213,9 +213,9 @@ def ensure_ivf_index(spark, sf_dir: str) -> str:
     ),
     ranked AS (
         SELECT cell,
-               CAST(ROUND(list_dot_product(c, q.q) /
-                    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.q, q.q)))
-                    * 10000) AS BIGINT) AS csim
+               CAST(ROUND(COALESCE(list_dot_product(c, q.q) /
+                    NULLIF(sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.q, q.q)), 0)
+                    , 0) * 10000) AS BIGINT) AS csim
         FROM cents, q
         ORDER BY csim DESC, cell LIMIT 3
     ),
@@ -240,7 +240,11 @@ def knn_ivf(spark, sf_dir):
     v = similarity.as_double_vec(F.col("embedding"))
     q = emb.filter(F.col("vec_id") == 0).select(v.alias("q"))
 
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    # Schemas pinned: an index over an EMPTY embeddings table has no
+    # part files; "no cells, no neighbors" is the correct answer.
+    cents = spark.read.schema("cell int, centroid array<double>").parquet(
+        f"{index_dir}/centroids"
+    )
     ranked = (
         cents.crossJoin(F.broadcast(q))
         .select(
@@ -255,7 +259,8 @@ def knn_ivf(spark, sf_dir):
     )
     cells = [r.cell for r in ranked.collect()]
     vecs = (
-        spark.read.parquet(f"{index_dir}/vectors")
+        spark.read.schema("id bigint, v array<double>, cell int, batch_id string")
+        .parquet(f"{index_dir}/vectors")
         .filter(F.col("cell").isin(cells))
         .filter(F.col("id") != 0)
     )
@@ -273,9 +278,9 @@ def knn_ivf(spark, sf_dir):
     """
     SELECT doc_id AS media_id,
            'application/octet-stream' AS media_type,
-           CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            md5(text) AS checksum
-    FROM documents ORDER BY media_id
+    FROM documents WHERE text IS NOT NULL ORDER BY media_id
     """,
 )
 def media_metadata(spark, sf_dir):
@@ -295,9 +300,15 @@ def media_metadata(spark, sf_dir):
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            ROUND(CAST(octet_length(encode(text)) AS DOUBLE), 4) AS f0,
            ROUND(CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
-                      ELSE CAST(ascii(substr(text, 1, 1)) AS DOUBLE) END,
-                 4) AS f1
-    FROM documents ORDER BY media_id
+                      ELSE CAST(CASE
+                          WHEN unicode(text) < 128 THEN unicode(text)
+                          WHEN unicode(text) < 2048
+                              THEN 192 + unicode(text) // 64
+                          WHEN unicode(text) < 65536
+                              THEN 224 + unicode(text) // 4096
+                          ELSE 240 + unicode(text) // 262144
+                      END AS DOUBLE) END, 4) AS f1
+    FROM documents WHERE text IS NOT NULL ORDER BY media_id
     """,
 )
 def media_features(spark, sf_dir):
@@ -402,7 +413,7 @@ def knn_srp_lsh(spark, sf_dir):
     WITH m AS (
         SELECT doc_id AS media_id, hex(encode(text)) AS hx,
                octet_length(encode(text)) AS L
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     fr AS (
         SELECT media_id, f AS frame_idx,
@@ -581,10 +592,10 @@ def ann_recall_report(spark, sf_dir):
     q AS (SELECT v AS q FROM v WHERE vec_id = 0),
     e AS (SELECT vec_id, v FROM v WHERE vec_id <> 0)
     SELECT e.vec_id AS id,
-           CAST(ROUND(list_dot_product(e.v, q.q) /
-                (sqrt(list_dot_product(e.v, e.v))
-                 * sqrt(list_dot_product(q.q, q.q)))
-                * 10000) AS BIGINT) AS cosine_bp
+           CAST(ROUND(COALESCE(list_dot_product(e.v, q.q) /
+                NULLIF(sqrt(list_dot_product(e.v, e.v))
+                 * sqrt(list_dot_product(q.q, q.q)), 0)
+                , 0) * 10000) AS BIGINT) AS cosine_bp
     FROM e JOIN short ON short.id = e.vec_id, q
     ORDER BY cosine_bp DESC, id LIMIT 10
     """,
@@ -815,10 +826,10 @@ def ann_rank_overlap_rbo(spark, sf_dir):
     c AS (SELECT vec_id AS cell, v AS centroid FROM v WHERE vec_id < 8),
     scored AS (
         SELECT v.vec_id AS id, c.cell,
-               CAST(ROUND(list_dot_product(v.v, c.centroid) /
-                    (sqrt(list_dot_product(v.v, v.v))
-                     * sqrt(list_dot_product(c.centroid, c.centroid)))
-                    * 10000) AS BIGINT) AS cos_bp
+               CAST(ROUND(COALESCE(list_dot_product(v.v, c.centroid) /
+                    NULLIF(sqrt(list_dot_product(v.v, v.v))
+                     * sqrt(list_dot_product(c.centroid, c.centroid)), 0)
+                    , 0) * 10000) AS BIGINT) AS cos_bp
         FROM v, c
     ),
     best AS (
@@ -831,10 +842,10 @@ def ann_rank_overlap_rbo(spark, sf_dir):
     e AS (SELECT a.id, a.cell, v.v FROM assign a JOIN v ON v.vec_id = a.id),
     pairs AS (
         SELECT a.id AS anchor_id, b.id AS negative_id,
-               CAST(ROUND(list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v))
-                     * sqrt(list_dot_product(b.v, b.v)))
-                    * 10000) AS BIGINT) AS cosine_bp
+               CAST(ROUND(COALESCE(list_dot_product(a.v, b.v) /
+                    NULLIF(sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v)), 0)
+                    , 0) * 10000) AS BIGINT) AS cosine_bp
         FROM e a JOIN e b ON a.cell = b.cell AND a.id <> b.id
         WHERE a.id % 10 = 0
     ),
@@ -971,7 +982,7 @@ def embedding_standardize(spark, sf_dir):
     WITH m AS (
         SELECT doc_id AS media_id, hex(encode(text)) AS hx,
                octet_length(encode(text)) AS L
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     fr AS (
         SELECT media_id, f AS frame_idx,
@@ -1205,9 +1216,9 @@ def hybrid_search_rrf(spark, sf_dir):
     p AS (SELECT a.source AS src_a, b.source AS src_b, a.c AS ca, b.c AS cb
           FROM cent a JOIN cent b ON a.source < b.source)
     SELECT src_a, src_b,
-           CAST(ROUND(list_dot_product(ca, cb) /
-                (sqrt(list_dot_product(ca, ca))
-                 * sqrt(list_dot_product(cb, cb))) * 10000) AS BIGINT)
+           CAST(ROUND(COALESCE(list_dot_product(ca, cb) /
+                NULLIF(sqrt(list_dot_product(ca, ca))
+                 * sqrt(list_dot_product(cb, cb)), 0), 0) * 10000) AS BIGINT)
                AS cos_bp
     FROM p ORDER BY src_a, src_b
     """,

@@ -145,7 +145,7 @@ def event_value_resample_locf(spark, sf_dir):
                CAST(ROUND(value * 100) AS BIGINT) AS cents,
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
-        FROM events WHERE user_id < 5
+        FROM events WHERE user_id < 5 AND value IS NOT NULL
     ),
     j AS (
         SELECT a.user_id, a.event_id, a.rn,
@@ -171,7 +171,12 @@ def event_value_ewma(spark, sf_dir):
     division (micro-units: value × 1e6). One ordered window + row-local
     fold (operators.temporal.ewma_halving); the oracle recomputes the
     identical weighted sum via a rank-banded self-join."""
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    # A NULL value is not an observation of the smoothed series —
+    # excluded BEFORE ranking on both sides, so the lookback window
+    # spans real observations only.
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 5) & F.col("value").isNotNull()
+    )
     prepped = ev.select(
         "user_id",
         "ts",
@@ -795,7 +800,7 @@ def recency_weighted_user_value(spark, sf_dir):
                epoch_us(ts) // 1000000 AS x,
                CAST(ROUND(value * 100) AS BIGINT) AS y,
                event_id
-        FROM events WHERE user_id < 5
+        FROM events WHERE user_id < 5 AND value IS NOT NULL
     ),
     slopes AS (
         SELECT a.user_id,
@@ -832,7 +837,11 @@ def theilsen_user_trend(spark, sf_dir):
     across a corpus)."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    # A NULL value is not a data point — a NULL slope would rank at
+    # engine-dependent ends of the median scan.
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 5) & F.col("value").isNotNull()
+    )
     pts = ev.select(
         "user_id",
         F.expr("unix_micros(ts) div 1000000").alias("x"),

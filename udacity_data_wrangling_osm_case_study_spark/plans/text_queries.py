@@ -188,18 +188,22 @@ def char_census(spark, sf_dir):
 @register(
     "props_key_histogram",
     """
-    SELECT CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k,
+    SELECT TRY_CAST(NULLIF(regexp_extract(props, '(\\d+)', 1), '') AS INT) AS k,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events GROUP BY k ORDER BY k
     """,
 )
 def props_key_histogram(spark, sf_dir):
-    """Semi-structured props column: regex field extraction + rollup."""
+    """Semi-structured props column: regex field extraction + rollup.
+    A props value with no digit field maps to the NULL bucket on both
+    sides (regexp_extract's no-match '' would be an ANSI cast error)."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.select(
-            F.regexp_extract(F.col("props"), "(\\d+)", 1).cast("int").alias("k"),
+            F.nullif(F.regexp_extract(F.col("props"), "(\\d+)", 1), F.lit(""))
+            .try_cast("int")
+            .alias("k"),
             "value",
         )
         .groupBy("k")

@@ -659,9 +659,13 @@ def late_shipment_priority_split(spark, sf_dir):
             F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias(
                 "high_line_count"
             ),
-            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias(
-                "low_line_count"
-            ),
+            # NOT IN semantics: a NULL priority is neither high nor
+            # low (SQL's CASE yields 0 for NULL on both branches); the
+            # naive otherwise(1) would silently count NULLs as low.
+            F.sum(
+                F.when(F.col("o_orderpriority").isNotNull() & ~hi, 1)
+                .otherwise(0)
+            ).cast("long").alias("low_line_count"),
         )
         .orderBy("ship_class")
     )

@@ -21,9 +21,11 @@ from udacity_data_wrangling_osm_case_study_spark.plans.registry import register,
     WITH kv AS (
         SELECT unnest(json_keys(props)) AS key, props
         FROM events
+        WHERE props IS NOT NULL AND json_valid(props)
+          AND json_type(props) = 'OBJECT'
     )
     SELECT key, COUNT(*) AS n,
-           CAST(SUM(CAST(TRUNC(CAST(json_extract_string(props, '$.' || key)
+           CAST(SUM(CAST(TRUNC(TRY_CAST(json_extract_string(props, '$.' || key)
                 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS total
     FROM kv GROUP BY key ORDER BY key
     """,
@@ -40,9 +42,18 @@ def json_props_udtf(spark, sf_dir):
         def eval(self, props: str):
             import json
 
+            # Open-schema ingest contract: rows whose props is NULL,
+            # malformed JSON, or a non-object contribute no fields
+            # (the oracle's json_valid + json_type='OBJECT' guard).
             if props is None:
                 return
-            for k, v in json.loads(props).items():
+            try:
+                obj = json.loads(props)
+            except ValueError:
+                return
+            if not isinstance(obj, dict):
+                return
+            for k, v in obj.items():
                 yield (
                     k,
                     str(int(v))
@@ -54,7 +65,8 @@ def json_props_udtf(spark, sf_dir):
     table(spark, sf_dir, "events").createOrReplaceTempView("_udtf_events")
     return spark.sql(
         """
-        SELECT f.key AS key, COUNT(*) AS n, SUM(CAST(f.value AS BIGINT)) AS total
+        SELECT f.key AS key, COUNT(*) AS n,
+               SUM(TRY_CAST(f.value AS BIGINT)) AS total
         FROM _udtf_events, LATERAL json_fields(props) f
         GROUP BY f.key ORDER BY key
         """

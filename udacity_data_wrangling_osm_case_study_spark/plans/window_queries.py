@@ -378,10 +378,12 @@ def weekly_cohort_retention(spark, sf_dir):
     """
     SELECT c_mktsegment, c_custkey,
            ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
-                                      ORDER BY c_acctbal, c_custkey), 6)
+                                      ORDER BY c_acctbal NULLS FIRST,
+                                               c_custkey), 6)
              AS pct_rank,
            ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
-                                   ORDER BY c_acctbal, c_custkey), 6)
+                                   ORDER BY c_acctbal NULLS FIRST,
+                                            c_custkey), 6)
              AS cume
     FROM customer WHERE c_custkey <= 200
     ORDER BY c_mktsegment, c_custkey
@@ -489,8 +491,10 @@ def event_type_sliding_10min(spark, sf_dir):
     SELECT event_type,
            ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
            ROUND(quantile_cont(value, 0.95), 4) AS p95_exact,
-           TRUE AS p50_within_band,
-           TRUE AS p95_within_band
+           CAST(CASE WHEN COUNT(value) >= 50 THEN 1 END AS BIGINT)
+               AS p50_within_band,
+           CAST(CASE WHEN COUNT(value) >= 50 THEN 1 END AS BIGINT)
+               AS p95_within_band
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -528,19 +532,26 @@ def approx_event_value_p95(spark, sf_dir):
             F.expr("percentile(value, 0.93)").alias("p93"),
             F.expr("percentile(value, 0.95)").alias("p95"),
             F.expr("percentile(value, 0.97)").alias("p97"),
+            F.count("value").alias("n_vals"),
         )
         .select(
             "event_type",
             F.round("p50", 4).alias("p50_exact"),
             F.round("p95", 4).alias("p95_exact"),
-            (
+            # The rank band only bounds the sketch once the +-2
+            # percentile window spans whole order statistics (n >= 50);
+            # below that, interpolated bounds cannot contain an
+            # element answer — verdict NULL, same as the oracle.
+            F.when(
+                F.col("n_vals") >= 50,
                 within_value("p50_approx", "p50")
-                | within_rank("p50_approx", "p48", "p52")
-            ).alias("p50_within_band"),
-            (
+                | within_rank("p50_approx", "p48", "p52"),
+            ).cast("bigint").alias("p50_within_band"),
+            F.when(
+                F.col("n_vals") >= 50,
                 within_value("p95_approx", "p95")
-                | within_rank("p95_approx", "p93", "p97")
-            ).alias("p95_within_band"),
+                | within_rank("p95_approx", "p93", "p97"),
+            ).cast("bigint").alias("p95_within_band"),
         )
         .orderBy("event_type")
     )
@@ -562,7 +573,7 @@ def approx_event_value_p95(spark, sf_dir):
         SELECT window_start_epoch, event_type, n,
                ROW_NUMBER() OVER (
                    PARTITION BY window_start_epoch
-                   ORDER BY n DESC, event_type
+                   ORDER BY n DESC, event_type NULLS FIRST
                ) AS rank
         FROM counts
     )
@@ -710,7 +721,7 @@ def event_transition_matrix(spark, sf_dir):
                ROW_NUMBER() OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     med AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
     d AS (
@@ -749,7 +760,13 @@ def event_value_mad_outliers(spark, sf_dir):
     sort concentrates on |types| partitions; at 100 TB swap the ranked
     window for a distributed-selection median (binary search over
     value with salted partial counts) — the flagging join is unchanged."""
-    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    # NULL values carry no deviation information and would sort at
+    # engine-dependent ends of the rank windows: excluded both sides.
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
     w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
     w_all = Window.partitionBy("event_type")
     r = ev.withColumn("rn", F.row_number().over(w_rank)).withColumn(
@@ -863,7 +880,7 @@ def rolling_distinct_users(spark, sf_dir):
                ROW_NUMBER() OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            CAST(MAX(n) AS BIGINT) AS n,
@@ -896,6 +913,7 @@ def event_value_median_histogram(spark, sf_dir):
                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
                CAST(l_quantity AS BIGINT) AS w
         FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     h AS (SELECT flag, price_c, SUM(w) AS cw FROM c GROUP BY flag, price_c),
     r AS (
@@ -1032,7 +1050,8 @@ def event_hourly_seasonality(spark, sf_dir):
     ),
     paths AS (
         SELECT user_id, sid,
-               string_agg(event_type, '>' ORDER BY rn) AS path
+               string_agg(COALESCE(event_type, '<null>'), '>' ORDER BY rn)
+                   AS path
         FROM r WHERE rn <= 4
         GROUP BY user_id, sid
     )
@@ -1066,12 +1085,15 @@ def top_session_paths(spark, sf_dir):
     paths = (
         r.groupBy("user_id", "sid")
         .agg(
+            # An unknown event type is still a step in the journey:
+            # token it as '<null>' (array_join would silently DROP
+            # null elements, string_agg likewise — divergent and wrong).
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(F.struct("rn", "event_type"))
                     ),
-                    lambda x: x["event_type"],
+                    lambda x: F.coalesce(x["event_type"], F.lit("<null>")),
                 ),
                 ">",
             ).alias("path")
@@ -1089,17 +1111,18 @@ def top_session_paths(spark, sf_dir):
     "next_event_training_pairs",
     """
     WITH seq AS (
-        SELECT user_id, event_type,
-               lag(event_type, 3) OVER w AS c1,
-               lag(event_type, 2) OVER w AS c2,
-               lag(event_type, 1) OVER w AS c3
+        SELECT user_id, ROW_NUMBER() OVER w AS pos,
+               COALESCE(event_type, '<null>') AS event_type,
+               lag(COALESCE(event_type, '<null>'), 3) OVER w AS c1,
+               lag(COALESCE(event_type, '<null>'), 2) OVER w AS c2,
+               lag(COALESCE(event_type, '<null>'), 1) OVER w AS c3
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT c1 || '>' || c2 || '>' || c3 AS context,
            event_type AS label,
            COUNT(*) AS n
-    FROM seq WHERE c1 IS NOT NULL
+    FROM seq WHERE pos > 3
     GROUP BY context, label
     ORDER BY n DESC, context, label
     LIMIT 50
@@ -1117,17 +1140,22 @@ def next_event_training_pairs(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULL event types are tokened '<null>' BEFORE the lags, and the
+    # "context complete" guard is positional (row 4+), not c1 IS NOT
+    # NULL — a genuinely-null type in slot 1 is a valid context.
+    typed = F.coalesce(F.col("event_type"), F.lit("<null>"))
     seq = ev.select(
-        "event_type",
-        F.lag("event_type", 3).over(w).alias("c1"),
-        F.lag("event_type", 2).over(w).alias("c2"),
-        F.lag("event_type", 1).over(w).alias("c3"),
+        typed.alias("etype"),
+        F.row_number().over(w).alias("pos"),
+        F.lag(typed, 3).over(w).alias("c1"),
+        F.lag(typed, 2).over(w).alias("c2"),
+        F.lag(typed, 1).over(w).alias("c3"),
     )
     return (
-        seq.filter(F.col("c1").isNotNull())
+        seq.filter(F.col("pos") > 3)
         .select(
             F.concat_ws(">", "c1", "c2", "c3").alias("context"),
-            F.col("event_type").alias("label"),
+            F.col("etype").alias("label"),
         )
         .groupBy("context", "label")
         .agg(F.count("*").alias("n"))
@@ -1186,9 +1214,9 @@ def cumulative_unique_users(spark, sf_dir):
     "event_value_ks_test",
     """
     WITH a AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
-               WHERE event_type = 'click'),
+               WHERE event_type = 'click' AND value IS NOT NULL),
     b AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
-          WHERE event_type = 'view'),
+          WHERE event_type = 'view' AND value IS NOT NULL),
     n AS (SELECT (SELECT COUNT(*) FROM a) AS na, (SELECT COUNT(*) FROM b) AS nb),
     deltas AS (
         SELECT v, SUM(d) AS delta FROM (
@@ -1224,8 +1252,14 @@ def event_value_ks_test(spark, sf_dir):
         global_token_offsets,
     )
 
-    ev = table(spark, sf_dir, "events").select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    # A NULL value is not an observation (and would sort at an
+    # engine-dependent end of the CDF axis): excluded both sides.
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+        )
     )
     # Each sample feeds the size aggregate AND the delta stream — cache
     # the filtered one-column frames so the fact is scanned once per
@@ -1584,7 +1618,8 @@ def _mannwhitney_projection(rn):
     """
     WITH ev AS (
         SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
-        FROM events WHERE event_type IN ('click', 'view')
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
     ),
     per_v AS (
         SELECT v, COUNT(*) AS cnt,
@@ -1638,8 +1673,10 @@ def mannwhitney_click_view(spark, sf_dir):
         global_token_offsets,
     )
 
+    # A NULL value has no rank: excluded from both samples, both sides.
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
     ).select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("v"),
