@@ -1,0 +1,210 @@
+"""Witness tests for the round-9 fuzz-found fixes.
+
+tools/fuzz_oracle.py runs the full registry against seeded adversarial
+parquet variants; every class of divergence it exposed is pinned here
+as a minimal deterministic case, so a regression trips a named test
+instead of waiting for the next fuzz sweep. Each test names the fix it
+guards.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestZeroVectorCosine:
+    """similarity.cosine / dedup.normalized_vectors zero-norm guard:
+    a zero embedding is a certainty at corpus scale and must score
+    cosine 0, not raise ANSI DIVIDE_BY_ZERO."""
+
+    def test_cosine_zero_operand_is_zero(self, spark):
+        from udacity_data_wrangling_osm_case_study_spark.operators.similarity import cosine
+
+        df = spark.createDataFrame(
+            [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+            "u array<double>, v array<double>",
+        )
+        got = [r[0] for r in df.select(cosine(F.col("u"), F.col("v"))).collect()]
+        assert got[0] == 0.0
+        assert got[1] == pytest.approx(1.0)
+
+    def test_normalized_vectors_zero_vector(self, spark):
+        from udacity_data_wrangling_osm_case_study_spark.operators.dedup import normalized_vectors
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0], 0), (2, [3.0, 4.0, 0.0], 0)],
+            "vec_id bigint, embedding array<double>, label int",
+        )
+        rows = {r.id: r.u for r in normalized_vectors(df).collect()}
+        assert rows[1] == [0.0, 0.0, 0.0]
+        assert rows[2] == pytest.approx([0.6, 0.8, 0.0])
+
+    def test_arrow_pair_grid_zero_vector(self, spark):
+        from udacity_data_wrangling_osm_case_study_spark.operators.dedup import (
+            embedding_near_duplicates_arrow,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0], 7), (2, [1.0, 0.0], 7), (3, [1.0, 0.0], 7)],
+            "vec_id bigint, embedding array<double>, label int",
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.cosine_bp
+            for r in embedding_near_duplicates_arrow(df, threshold_bp=0).collect()
+        }
+        # the zero vector scores 0 against everything (not NaN — NaN
+        # would poison the >= threshold filter silently)
+        assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+        assert pairs[(2, 3)] == 10000
+
+
+class TestNullMeasureConventions:
+    """NULL measures are excluded from rank/median statistics on both
+    engines — a NULL order key sorts at engine-DEPENDENT ends
+    (Spark NULLS FIRST vs DuckDB NULLS LAST) and is not an
+    observation."""
+
+    def test_histogram_median_ignores_nulls(self, spark):
+        from udacity_data_wrangling_osm_case_study_spark.operators.stats import histogram_median
+
+        df = spark.createDataFrame(
+            [("a", None), ("a", 1), ("a", 3), ("a", 5), ("b", None)],
+            "k string, v int",
+        )
+        rows = {r.k: (r.n, r.median) for r in histogram_median(df, "k", "v").collect()}
+        assert rows["a"] == (3, 3)  # lower median of {1,3,5}, NULL ignored
+        assert "b" not in rows  # all-NULL group has no median
+
+    def test_weighted_median_ignores_null_weight(self, spark):
+        from udacity_data_wrangling_osm_case_study_spark.operators.stats import histogram_median
+
+        df = spark.createDataFrame(
+            [("a", 1, 1), ("a", 9, None), ("a", 2, 2)],
+            "k string, v int, w int",
+        )
+        rows = {r.k: r.median for r in histogram_median(df, "k", "v", weight="w").collect()}
+        assert rows["a"] == 2  # the NULL-weight 9 never enters
+
+
+class TestNullTokenPaths:
+    """Sequence/path builders token NULL event types explicitly:
+    concat_ws/array_join/string_agg silently DROP null elements, and
+    do so differently across engines."""
+
+    def test_media_contract_drops_null_text(self, spark):
+        from udacity_data_wrangling_osm_case_study_spark.operators.multimodal import (
+            documents_as_media,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "abc"), (2, None)], "doc_id bigint, text string"
+        )
+        assert documents_as_media(df).count() == 1
+
+    def test_text_scores_drop_null_text(self, spark):
+        from udacity_data_wrangling_osm_case_study_spark.operators.textstats import (
+            hashed_linear_score,
+            repetition_profile,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, None)], "doc_id bigint, text string"
+        )
+        assert hashed_linear_score(df).count() == 1
+        assert repetition_profile(df).count() == 1
+
+
+class TestCharLevenshteinOracleIdentity:
+    """The fuzzy-repair oracle verifies char-lev <= 1 via the
+    prefix/suffix identity, because DuckDB's levenshtein counts BYTES
+    (a CJK deletion costs 3). Pins the identity against Spark's
+    char-based levenshtein on multi-byte and list_position's
+    0-when-absent quirk."""
+
+    CASES = [
+        ("mall ring", "small ring", 1),     # head deletion (s = full suffix)
+        ("abc", "abc", 0),                   # equal (no mismatch anywhere)
+        ("沙田正街", "沙田街", 1),            # CJK deletion: bytes=3, chars=1
+        ("Ωmega x", "Ωmega y", 1),           # multi-byte substitution
+        ("ab", "ba", 2),                     # transposition is 2 edits
+    ]
+
+    def test_identity_matches_spark_levenshtein(self, spark):
+        import duckdb
+
+        con = duckdb.connect()
+        for a, b, want in self.CASES:
+            got_spark = spark.range(1).select(
+                F.levenshtein(F.lit(a), F.lit(b))
+            ).collect()[0][0]
+            assert got_spark == want, (a, b)
+            ok = con.execute(
+                """
+                WITH chars AS (SELECT regexp_extract_all(?, '(?s).') AS ca,
+                                      regexp_extract_all(?, '(?s).') AS cb),
+                lv AS (SELECT len(ca) la, len(cb) lb,
+                    COALESCE(NULLIF(list_position(list_transform(
+                        range(1, least(len(ca), len(cb)) + 1),
+                        i -> ca[i] = cb[i]), false), 0) - 1,
+                        least(len(ca), len(cb))) AS p,
+                    COALESCE(NULLIF(list_position(list_transform(
+                        range(1, least(len(ca), len(cb)) + 1),
+                        i -> ca[len(ca) + 1 - i] = cb[len(cb) + 1 - i]),
+                        false), 0) - 1,
+                        least(len(ca), len(cb))) AS s
+                    FROM chars)
+                SELECT abs(la - lb) <= 1 AND la <= p + s + 1
+                       AND lb <= p + s + 1 FROM lv
+                """,
+                [a, b],
+            ).fetchone()[0]
+            assert ok == (want <= 1), (a, b)
+
+
+class TestDegenerateInputs:
+    """Empty/single-row corpora: aggregates emit NULL (not a crash)
+    where the statistic is undefined, and index read-backs carry
+    pinned schemas (an empty build writes no part files)."""
+
+    def test_gram_index_empty_corpus_probe(self, spark, tmp_path):
+        from udacity_data_wrangling_osm_case_study_spark.operators import substrings
+
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        probe = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id bigint, text string"
+        )
+        idx = str(tmp_path / "gidx")
+        substrings.build_gram_index(empty, idx, l=3)
+        out = substrings.incremental_span_coverage(probe, idx, min_count=2)
+        assert out.count() == 1  # empty index = nothing duplicated
+
+    def test_ivf_index_empty_corpus(self, spark, tmp_path):
+        from udacity_data_wrangling_osm_case_study_spark.operators import similarity
+
+        empty = spark.createDataFrame(
+            [], "vec_id bigint, embedding array<float>, label int"
+        )
+        idx = str(tmp_path / "ivf")
+        similarity.build_ivf_index(empty, idx)
+        got = similarity.ivf_topk_indexed(spark, idx, [1.0] * 64, k=5)
+        assert got.count() == 0
+
+    def test_table_counts_reports_empty_tables(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from udacity_data_wrangling_osm_case_study_spark.plans.registry import load_all
+
+        # stage an empty events + customer/orders/lineitem
+        import duckdb  # noqa: F401
+
+        src = "/root/testdata/sf0.001"
+        for t in ("customer", "orders", "lineitem", "events"):
+            tbl = pq.read_table(f"{src}/{t}.parquet")
+            pq.write_table(tbl.slice(0, 0), str(tmp_path / f"{t}.parquet"))
+        queries, _ = load_all()
+        rows = {
+            r.tbl: r.n for r in queries["table_counts"](spark, str(tmp_path)).collect()
+        }
+        assert rows == {"customer": 0, "orders": 0, "lineitem": 0, "events": 0}

@@ -128,7 +128,9 @@ def hashed_linear_score(
     Row-local: token array → per-token weight via ``transform`` → one
     integer fold. Zero shuffle, scan-speed at 100 TB.
     """
-    base = df.select(
+    # No text, no score: a NULL-text doc has no token bag to hash
+    # (the oracle's token unnest drops it for the same reason).
+    base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
     weights = F.transform(
@@ -197,6 +199,7 @@ def repetition_profile(df: DataFrame, id_col: str = "doc_id",
     O(distinct × n) with interpreted higher-order calls (measured 2.6×
     slower at sf0.1).
     """
+    df = df.filter(F.col(text_col).isNotNull())  # no text, no profile
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     init = F.struct(

@@ -249,9 +249,35 @@ def capwords_nation_styles(spark, sf_dir):
         FROM typos t JOIN canon c
           ON substr(t.tname, -3, 3) = substr(c.cname, -3, 3)
          AND abs(len(t.tname) - len(c.cname)) <= 1
+    ),
+    -- DuckDB's levenshtein counts BYTES (a CJK deletion costs 3);
+    -- the engine's semantics are CHARACTER edits, so the <=1 verify
+    -- uses the exact identity: char-lev(a,b) <= 1 iff |la-lb| <= 1
+    -- and both lengths <= common_prefix + common_suffix + 1.
+    chars AS (
+        SELECT tid, cid, tname, cname,
+               regexp_extract_all(tname, '(?s).') AS ca,
+               regexp_extract_all(cname, '(?s).') AS cb
+        FROM cand
+    ),
+    lv AS (
+        SELECT tid, cid, tname, cname,
+               len(ca) AS la, len(cb) AS lb,
+               -- list_position returns 0 (not NULL) when absent
+               COALESCE(NULLIF(list_position(list_transform(
+                   range(1, least(len(ca), len(cb)) + 1),
+                   i -> ca[i] = cb[i]), false), 0) - 1,
+                   least(len(ca), len(cb))) AS p,
+               COALESCE(NULLIF(list_position(list_transform(
+                   range(1, least(len(ca), len(cb)) + 1),
+                   i -> ca[len(ca) + 1 - i] = cb[len(cb) + 1 - i]), false), 0) - 1,
+                   least(len(ca), len(cb))) AS s
+        FROM chars
     )
-    SELECT tid, cid, CAST(levenshtein(tname, cname) AS BIGINT) AS lev
-    FROM cand WHERE levenshtein(tname, cname) <= 1
+    SELECT tid, cid,
+           CAST(CASE WHEN tname = cname THEN 0 ELSE 1 END AS BIGINT) AS lev
+    FROM lv
+    WHERE abs(la - lb) <= 1 AND la <= p + s + 1 AND lb <= p + s + 1
     ORDER BY tid, cid
     """,
 )

@@ -363,7 +363,8 @@ def stratified_doc_sample(spark, sf_dir):
 @register(
     "source_quantile_normalize",
     """
-    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
     ranked AS (
         SELECT doc_id, source, n_chars,
                ROW_NUMBER() OVER (PARTITION BY source
@@ -398,7 +399,12 @@ def source_quantile_normalize(spark, sf_dir):
     per-source ranks are per-source ordered windows; the rank→value
     lookup is a shuffle join on the mapped rank. The oracle computes
     the identical mapping with plain SQL windows."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    # A NULL length has no rank to normalize: excluded both sides.
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "source", "n_chars")
+    )
     # composite sortable key: unique, orders by (n_chars, doc_id);
     # doc_id stays < 1e7 at every shipped sf — at real scale range-
     # partition on the (n_chars, doc_id) struct instead
@@ -1241,8 +1247,11 @@ def bootstrap_mean_ci(spark, sf_dir):
         F.count("*").alias("n_replicates"),
     ).select(
         "n_replicates",
-        F.element_at("ms", 5)["m"].alias("ci_lo_cents"),
-        F.element_at("ms", 196)["m"].alias("ci_hi_cents"),
+        # try_element_at: with a degenerate sample (<196 surviving
+        # replicates, or none at all) the order statistic is NULL,
+        # matching the oracle's empty scalar subselect.
+        F.try_element_at("ms", F.lit(5))["m"].alias("ci_lo_cents"),
+        F.try_element_at("ms", F.lit(196))["m"].alias("ci_hi_cents"),
     )
     tot = base.agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
     return tot.crossJoin(F.broadcast(stats)).select(

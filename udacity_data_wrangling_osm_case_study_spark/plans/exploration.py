@@ -535,9 +535,10 @@ _BENFORD_VALUES = ", ".join(
     SELECT CAST(e.digit AS BIGINT) AS digit,
            CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
            CAST(COALESCE(o.n_obs, 0) * 1000
-                // (SELECT n FROM tot) AS BIGINT) AS obs_milli,
+                // NULLIF((SELECT n FROM tot), 0) AS BIGINT) AS obs_milli,
            CAST(e.benford_milli AS BIGINT) AS benford_milli,
-           CAST(ABS(COALESCE(o.n_obs, 0) * 1000 // (SELECT n FROM tot)
+           CAST(ABS(COALESCE(o.n_obs, 0) * 1000
+                    // NULLIF((SELECT n FROM tot), 0)
                     - e.benford_milli) AS BIGINT) AS dev_milli
     FROM expd e LEFT JOIN obs o ON o.digit = e.digit
     ORDER BY e.digit
@@ -589,7 +590,10 @@ def benford_first_digit_audit(spark, sf_dir):
         .select(
             F.col("digit").cast("long").alias("digit"),
             F.col("n_obs").cast("long").alias("n_obs"),
-            F.expr("n_obs * 1000 DIV n").cast("long").alias("obs_milli"),
+            # NULL share on an empty population, not a zero-division
+            F.expr("n_obs * 1000 DIV nullif(n, 0)").cast("long").alias(
+                "obs_milli"
+            ),
             benford.cast("long").alias("benford_milli"),
         )
         .withColumn(

@@ -1182,11 +1182,15 @@ def part_association_rules(spark, sf_dir):
 @register(
     "part_pareto_frontier",
     """
+    WITH pts AS (
+        SELECT p_partkey, p_name, p_retailprice, p_size FROM part
+        WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    )
     SELECT p_partkey, p_name,
            ROUND(p_retailprice, 2) AS price, p_size AS size
-    FROM part p
+    FROM pts p
     WHERE NOT EXISTS (
-        SELECT 1 FROM part q
+        SELECT 1 FROM pts q
         WHERE q.p_retailprice < p.p_retailprice AND q.p_size > p.p_size
     )
     ORDER BY price, p_partkey
@@ -1202,9 +1206,11 @@ def part_pareto_frontier(spark, sf_dir):
     equivalence, not just reimplementation agreement."""
     from udacity_data_wrangling_osm_case_study_spark.operators import skyline
 
-    part = table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_retailprice", "p_size"
-    )
+    # A point missing either criterion is not comparable — dominance
+    # over NULL is three-valued garbage; excluded both sides.
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    ).select("p_partkey", "p_name", "p_retailprice", "p_size")
     frontier = skyline.pareto_frontier_2d(part, "p_retailprice", "p_size")
     return frontier.select(
         "p_partkey", "p_name",
@@ -1574,7 +1580,8 @@ def audience_overlap_bitmap(spark, sf_dir):
         SELECT custkey, recency_d, frequency, monetary_c,
                NTILE(4) OVER (ORDER BY recency_d DESC, custkey) AS r_score,
                NTILE(4) OVER (ORDER BY frequency, custkey) AS f_score,
-               NTILE(4) OVER (ORDER BY monetary_c, custkey) AS m_score
+               NTILE(4) OVER (ORDER BY monetary_c NULLS FIRST, custkey)
+                   AS m_score
         FROM rfm
     )
     SELECT r_score * 100 + f_score * 10 + m_score AS segment,

@@ -916,9 +916,12 @@ def hard_negative_mining(spark, sf_dir):
     ),
     z AS (
         SELECT ex.vec_id, ex.pos,
+               -- z undefined at zero variance (single-row corpus):
+               -- NULL, not a zero-division
                CAST(ROUND((ex.m - CAST(s AS DOUBLE) / n)
-                   / sqrt((CAST(s2 AS DOUBLE)
-                           - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)) / n)
+                   / NULLIF(sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)) / n),
+                           0)
                    * 10000 / 1000000) AS BIGINT) AS z_bp
         FROM ex JOIN stats ON ex.pos = stats.pos
     )
@@ -958,8 +961,8 @@ def embedding_standardize(spark, sf_dir):
         "pos",
         F.expr(
             "cast(round((m - cast(s as double) / n)"
-            " / sqrt((cast(s2 as double)"
-            "         - cast(s as double) * (cast(s as double) / n)) / n)"
+            " / nullif(sqrt((cast(s2 as double)"
+            "         - cast(s as double) * (cast(s as double) / n)) / n), 0d)"
             " * 10000 / 1000000) as bigint)"
         ).alias("z_bp"),
     )

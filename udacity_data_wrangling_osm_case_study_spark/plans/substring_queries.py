@@ -121,8 +121,12 @@ def substring_span_coverage(spark, sf_dir):
     )
     SELECT bt.id AS doc_id,
            CAST(n_tokens AS BIGINT) AS n_before,
-           CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
-           COALESCE(cleaned_md5, md5('')) AS cleaned_md5
+           -- NULL text has no token count at all (NULL, matching the
+           -- engine); a real doc whose every token was excised is 0.
+           CAST(CASE WHEN n_tokens IS NULL THEN NULL
+                     ELSE COALESCE(n_after, 0) END AS BIGINT) AS n_after,
+           CASE WHEN n_tokens IS NULL THEN NULL
+                ELSE COALESCE(cleaned_md5, md5('')) END AS cleaned_md5
     FROM bt LEFT JOIN agg ON agg.id = bt.id
     ORDER BY doc_id
     """,

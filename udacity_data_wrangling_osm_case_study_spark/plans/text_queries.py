@@ -26,7 +26,7 @@ _STOPS = "['the', 'a', 'of', 'and', 'to', 'in']"
                len(toks) AS n_tokens,
                len(list_filter(toks, w -> list_contains({_STOPS}, w)))
                    AS n_stop,
-               list_reduce(list_transform(toks, w -> strlen(w)),
+               list_reduce(list_transform(toks, w -> length(w)),
                            (a, b) -> a + b) AS total_len
         FROM t
     )
@@ -56,7 +56,8 @@ def doc_profiles(spark, sf_dir):
 @register(
     "quality_classifier",
     f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE text IS NOT NULL),
     tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
     hx AS (SELECT doc_id, md5(tok) AS h FROM tok),
     w AS (
@@ -126,7 +127,8 @@ def lang_id_confusion(spark, sf_dir):
     SELECT COUNT(*) AS total_tokens,
            COUNT(DISTINCT w) AS distinct_tokens,
            COUNT(DISTINCT doc_id) AS n_docs,
-           ROUND(COUNT(*) / COUNT(DISTINCT doc_id), 4) AS avg_tokens_per_doc
+           ROUND(COUNT(*) / NULLIF(COUNT(DISTINCT doc_id), 0), 4)
+               AS avg_tokens_per_doc
     FROM tok
     """,
 )
@@ -140,9 +142,9 @@ def corpus_token_stats(spark, sf_dir):
         F.count("*").alias("total_tokens"),
         F.countDistinct("w").alias("distinct_tokens"),
         F.countDistinct("doc_id").alias("n_docs"),
-        F.round(F.count("*") / F.countDistinct("doc_id"), 4).alias(
-            "avg_tokens_per_doc"
-        ),
+        F.round(
+            F.try_divide(F.count("*"), F.countDistinct("doc_id")), 4
+        ).alias("avg_tokens_per_doc"),
     )
 
 
@@ -412,7 +414,7 @@ def tfidf_top_terms(spark, sf_dir):
                    AS scrubbed
         FROM s
     )
-    SELECT doc_id, n_scrubbed, strlen(scrubbed) AS scrubbed_chars,
+    SELECT doc_id, n_scrubbed, length(scrubbed) AS scrubbed_chars,
            md5(scrubbed) AS scrubbed_fp
     FROM r ORDER BY doc_id
     """,
@@ -430,7 +432,8 @@ def pii_term_scrub(spark, sf_dir):
 @register(
     "repetition_quality",
     f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE text IS NOT NULL),
     m AS (
         SELECT doc_id, toks, len(toks) AS n,
                list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
@@ -465,8 +468,8 @@ def repetition_quality(spark, sf_dir):
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS T FROM v)
     SELECT doc_id,
            CAST(SUM(k) AS BIGINT) AS n_tokens,
-           CAST(SUM(k * (strlen(CAST(T AS VARCHAR))
-                         - strlen(CAST(c AS VARCHAR)))) * 100
+           CAST(SUM(k * (length(CAST(T AS VARCHAR))
+                         - length(CAST(c AS VARCHAR)))) * 100
                 // SUM(k) AS BIGINT) AS mean_surprisal_centi,
            CAST(SUM(CASE WHEN c * 100 < T THEN k ELSE 0 END) * 10000
                 // SUM(k) AS BIGINT) AS rare_bp
@@ -493,11 +496,11 @@ def unigram_surprisal(spark, sf_dir):
     g AS (
         SELECT unnest(flatten(list_transform(range(2, 5),
                    l -> list_transform(
-                       range(1, greatest(strlen(tok) - l + 1, 0) + 1),
+                       range(1, greatest(length(tok) - l + 1, 0) + 1),
                        s -> substr(tok, CAST(s AS INT), CAST(l AS INT))))))
                    AS gram,
                cnt
-        FROM v WHERE strlen(tok) >= 2
+        FROM v WHERE length(tok) >= 2
     )
     SELECT gram, CAST(SUM(cnt) AS BIGINT) AS total_count
     FROM g GROUP BY gram
@@ -643,7 +646,7 @@ def hot_ngrams(spark, sf_dir):
                  SUM(p) AS n_pos, SUM(q) AS n_neg
           FROM c)
     SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
-           CAST(10000 * u2 // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+           CAST(10000 * u2 // NULLIF(2 * n_pos * n_neg, 0) AS BIGINT) AS auc_bp
     FROM m
     """,
 )
@@ -663,8 +666,11 @@ def classifier_auc(spark, sf_dir):
     from pyspark.sql import Window
 
     scores = textstats.hashed_linear_score(docs).select("doc_id", "score_milli")
+    # NULL lang is "not English" (the oracle's CASE ELSE 0), not a
+    # NULL label that would silently drop from the sums.
     labeled = docs.select(
-        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
     ).join(scores, "doc_id")
     g = labeled.groupBy("score_milli").agg(
         F.sum("y").alias("p"), F.sum(F.lit(1) - F.col("y")).alias("q")
@@ -684,7 +690,8 @@ def classifier_auc(spark, sf_dir):
     ).select(
         "n_pos",
         "n_neg",
-        F.expr("10000 * _u2 DIV (2 * n_pos * n_neg)").alias("auc_bp"),
+        # AUC undefined with an empty class: NULL, not a zero-division
+        F.expr("10000 * _u2 DIV nullif(2 * n_pos * n_neg, 0)").alias("auc_bp"),
     )
 
 
@@ -829,13 +836,13 @@ def source_quality_calibration(spark, sf_dir):
     w AS (
         SELECT tok AS w, COUNT(*) AS cnt
         FROM (SELECT unnest(toks) AS tok FROM t)
-        WHERE strlen(tok) > 0 GROUP BY tok
+        WHERE length(tok) > 0 GROUP BY tok
     ),
     pairs AS (
         SELECT substr(w, CAST(i AS INT), 1) AS a,
                substr(w, CAST(i AS INT) + 1, 1) AS b, cnt
-        FROM w, unnest(range(1, strlen(w))) t(i)
-        WHERE strlen(w) >= 2
+        FROM w, unnest(range(1, length(w))) t(i)
+        WHERE length(w) >= 2
     )
     SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count
     FROM pairs GROUP BY a, b
@@ -924,8 +931,10 @@ def classifier_calibration(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     scores = textstats.hashed_linear_score(docs).select("doc_id", "score_milli")
+    # NULL lang = "not English" (oracle CASE ELSE 0), never a NULL label
     lab = docs.select(
-        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
     ).join(scores, "doc_id")
     b = lab.withColumn(
         "bucket", F.ntile(10).over(Window.orderBy("score_milli", "doc_id"))
@@ -1032,8 +1041,8 @@ def _bpe_fixed_oracle() -> str:
     ),
     e AS (
         SELECT doc_id, w,
-               strlen({s}) - strlen(replace({s}, chr(1), '')) - 1 AS n_sym
-        FROM w WHERE strlen(w) > 0
+               length({s}) - length(replace({s}, chr(1), '')) - 1 AS n_sym
+        FROM w WHERE length(w) > 0
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,

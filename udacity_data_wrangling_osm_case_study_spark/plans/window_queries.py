@@ -1518,9 +1518,9 @@ def user_event_diversity(spark, sf_dir):
            CAST(((SELECT COUNT(*) FROM rt) - 1)
                 * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
            CAST(ROUND(chi2, 3) AS DOUBLE) AS chi2,
-           CAST(ROUND(SQRT(chi2 / (CAST(n AS DOUBLE)
+           CAST(ROUND(SQRT(chi2 / NULLIF(CAST(n AS DOUBLE)
                 * (LEAST((SELECT COUNT(*) FROM rt),
-                         (SELECT COUNT(*) FROM ct)) - 1))), 5) AS DOUBLE)
+                         (SELECT COUNT(*) FROM ct)) - 1), 0)), 5) AS DOUBLE)
                AS cramers_v
     FROM stat CROSS JOIN tot
     """,
@@ -1576,12 +1576,13 @@ def event_type_hour_chisq(spark, sf_dir):
             .cast("long")
             .alias("dof"),
             F.round("chi2", 3).alias("chi2"),
+            # V undefined for a 1xC or Rx1 table: NULL, not a crash
             F.round(
                 F.sqrt(
-                    F.col("chi2")
-                    / (
+                    F.try_divide(
+                        F.col("chi2"),
                         F.col("n").cast("double")
-                        * (F.least("n_types", "n_hours") - 1)
+                        * (F.least("n_types", "n_hours") - 1),
                     )
                 ),
                 5,
