@@ -1,0 +1,211 @@
+"""Concurrency / crash stress for the persisted indexes (round-9,
+VERDICT item 4).
+
+Commit 95e81f4 fixed one INSTANCE of the stale-warehouse class (a
+cross-session LOCATION_ALREADY_EXISTS on the bucketed gram index);
+these tests exercise the CLASS:
+
+- two real sessions (separate JVM subprocesses) building the bucketed
+  gram index under the same warehouse, and appending different batches
+  to the LSH dedup index concurrently;
+- a crash mid-append, simulated by the exact artifacts an uncommitted
+  FileOutputCommitter attempt leaves behind (files under a
+  ``_temporary`` attempt dir — a SIGKILL before commit never promotes
+  them), asserting the index reads back COMPLETE-or-absent, never
+  half; and that the batch retry converges to the clean result.
+
+The subprocess harness costs one JVM startup per session (~8 s each);
+the whole file stays under ~2 min.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_py(code: str, env_extra: dict | None = None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.setdefault("SPARK_GRAFT_CPUS", "8")
+    env.update(env_extra or {})
+    return subprocess.Popen(
+        [sys.executable, "-c", textwrap.dedent(code)],
+        cwd=REPO,
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+    )
+
+
+_BUILD_BUCKETED = """
+import sys
+from udacity_data_wrangling_osm_case_study_spark.session import get_spark
+from udacity_data_wrangling_osm_case_study_spark.operators import substrings
+warehouse, table_name = sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None
+"""
+
+
+def test_concurrent_bucketed_gram_index_builds(tmp_path):
+    """Two sessions race to build the SAME bucketed index table under
+    one shared warehouse. Both inputs are identical, so whichever
+    commit wins, the surviving table must read back with the correct
+    per-gram census (complete — never a half-table, never a stale
+    LOCATION_ALREADY_EXISTS wreck)."""
+    warehouse = str(tmp_path / "wh")
+    code = f"""
+    import sys
+    sys.path.insert(0, {REPO!r})
+    from udacity_data_wrangling_osm_case_study_spark.session import get_spark
+    from udacity_data_wrangling_osm_case_study_spark.operators import substrings
+    spark = get_spark(
+        app_name="race-" + sys.argv[0],
+        shuffle_partitions=4,
+        extra_conf={{"spark.sql.warehouse.dir": {warehouse!r}}},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    substrings.build_gram_index_bucketed(docs, "race_gram_idx", l=6, n_buckets=4)
+    print("BUILT-OK")
+    """
+    p1, p2 = _run_py(code), _run_py(code)
+    out1, out2 = p1.communicate(timeout=300)[0], p2.communicate(timeout=300)[0]
+    # At least one build must fully succeed; a loser may fail on the
+    # concurrent DROP/CREATE race, but must not corrupt the winner.
+    assert b"BUILT-OK" in out1 or b"BUILT-OK" in out2, (out1[-2000:], out2[-2000:])
+
+    # Fresh session validates the surviving table end to end.
+    from udacity_data_wrangling_osm_case_study_spark.operators import substrings
+    from udacity_data_wrangling_osm_case_study_spark.session import get_spark
+
+    spark = get_spark(app_name="race-validate")
+    spark.sparkContext.setLogLevel("ERROR")
+    old_wh = spark.conf.get("spark.sql.warehouse.dir")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # Table lives in the subprocess warehouse — register it here.
+    files = f"{warehouse}/race_gram_idx"
+    got = (
+        spark.read.schema("g binary, n bigint").parquet(files)
+        .agg(F.sum("n"), F.count("*"))
+        .collect()[0]
+    )
+    want = (
+        substrings.gram_starts(substrings.tokenized(docs), 6)
+        .groupBy("g").agg(F.count("*").alias("n"))
+        .agg(F.sum("n"), F.count("*"))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want), (got, want, old_wh)
+
+
+def test_concurrent_dedup_index_appends_land_both_batches(tmp_path):
+    """Two sessions append DIFFERENT batch_ids to one LSH dedup index
+    concurrently (dynamic partition overwrite): afterwards both
+    partitions must be present and the probe must see both batches'
+    docs — concurrent writers touch disjoint partition directories."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+    from udacity_data_wrangling_osm_case_study_spark.session import get_spark
+
+    spark = get_spark(app_name="idx-conc")
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = str(tmp_path / "dedup_idx")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    dedup.build_dedup_index(base, idx)
+
+    def append_code(tag: str, mod: int) -> str:
+        return f"""
+        import sys
+        sys.path.insert(0, {REPO!r})
+        from pyspark.sql import functions as F
+        from udacity_data_wrangling_osm_case_study_spark.session import get_spark
+        from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+        spark = get_spark(app_name="append-{tag}", shuffle_partitions=4)
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        batch = docs.filter(F.col("doc_id") % 3 == {mod})
+        dedup.dedup_index_append(batch, {idx!r}, "b{tag}")
+        print("APPEND-OK")
+        """
+
+    p1 = _run_py(append_code("one", 1))
+    p2 = _run_py(append_code("two", 2))
+    out1 = p1.communicate(timeout=300)[0]
+    out2 = p2.communicate(timeout=300)[0]
+    assert b"APPEND-OK" in out1, out1[-2000:]
+    assert b"APPEND-OK" in out2, out2[-2000:]
+
+    parts = set(os.listdir(os.path.join(idx, "bands")))
+    assert {"batch_id=base", "batch_id=bone", "batch_id=btwo"} <= parts
+    # the probe sees docs from BOTH appended batches
+    probe = docs.limit(50)
+    pairs = dedup.incremental_near_dupes(probe, idx, min_jaccard=0.0)
+    seen = {
+        r.index_id % 3
+        for r in pairs.select("index_id").distinct().collect()
+    }
+    assert {0, 1, 2} <= seen  # base + both concurrent batches
+
+
+def test_crash_mid_append_leaves_index_complete(tmp_path):
+    """A killed append never half-commits: FileOutputCommitter stages
+    every task file under ``_temporary`` and only the job commit
+    promotes them. Simulate the post-SIGKILL state (staged files, no
+    commit) and assert the index reads back EXACTLY its pre-append
+    content; then retry the batch and assert convergence to the clean
+    result."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import substrings
+    from udacity_data_wrangling_osm_case_study_spark.session import get_spark
+
+    spark = get_spark(app_name="idx-crash")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = str(tmp_path / "gidx")
+    substrings.build_gram_index(base, idx, l=6)
+    probe_before = sorted(
+        map(tuple, substrings.incremental_span_coverage(batch, idx).collect())
+    )
+
+    # Crash artifacts: a task attempt staged under _temporary plus an
+    # in-progress partition dir holding ONLY staged (dot-prefixed)
+    # files — the states visible after SIGKILL at any point pre-commit.
+    grams = os.path.join(idx, "grams")
+    staged = os.path.join(
+        grams, "_temporary", "0", "_temporary", "attempt_000", "batch_id=crash"
+    )
+    os.makedirs(staged, exist_ok=True)
+    with open(os.path.join(staged, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00" * 128)  # garbage — must never be read
+    half = os.path.join(grams, "batch_id=crash")
+    os.makedirs(half, exist_ok=True)
+    with open(os.path.join(half, ".part-00001.parquet.crc"), "wb") as f:
+        f.write(b"\x00" * 8)
+
+    probe_after_crash = sorted(
+        map(tuple, substrings.incremental_span_coverage(batch, idx).collect())
+    )
+    assert probe_after_crash == probe_before  # nothing half-visible
+
+    # Retry the same batch id cleanly: dynamic overwrite replaces the
+    # crashed partition; result equals a never-crashed append.
+    substrings.gram_index_append(batch, idx, "crash")
+    got = sorted(
+        map(tuple, substrings.incremental_span_coverage(batch, idx).collect())
+    )
+    clean_idx = str(tmp_path / "gidx_clean")
+    substrings.build_gram_index(base, clean_idx, l=6)
+    substrings.gram_index_append(batch, clean_idx, "crash")
+    want = sorted(
+        map(tuple,
+            substrings.incremental_span_coverage(batch, clean_idx).collect())
+    )
+    assert got == want

@@ -2,11 +2,18 @@
 
 For every registered query, count the plan features that decide scale
 behavior: parquet scans, shuffle exchanges, broadcast exchanges,
-whole-stage-codegen spans, and the anti-patterns (Python eval nodes,
+pushed-filter scans, and the anti-patterns (Python eval nodes,
 cartesian products). The per-query rows make plan regressions visible
 as a diff; the summary line is the registry-wide posture.
 
-Usage: python3 tools/explain_audit.py [sf_dir]
+With ``--write-budgets`` the (scans, shuffles, cartesian) triple per
+query is also snapshotted to PLAN_BUDGETS.json — the committed budget
+file tests/test_plan_budgets.py gates against (run it at sf0.001, the
+gate's sf, not the audit's default sf0.01: AQE's initial broadcast
+decisions depend on size estimates, so counts are only comparable at
+the same SF).
+
+Usage: python3 tools/explain_audit.py [sf_dir] [--write-budgets]
 """
 
 from __future__ import annotations
@@ -15,67 +22,27 @@ import os
 import sys
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from udacity_data_wrangling_osm_case_study_spark.plans import registry
-from udacity_data_wrangling_osm_case_study_spark.session import get_spark
+from plan_census import census_one, write_budgets  # noqa: E402
+
+from udacity_data_wrangling_osm_case_study_spark.plans import registry  # noqa: E402
+from udacity_data_wrangling_osm_case_study_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     queries, _ = registry.load_all()
     spark = get_spark(app_name="explain-audit", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    import contextlib
-    import io
-    import re
-
-    def _explain(df, mode: str) -> str:
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain(mode)
-        return buf.getvalue()
-
-    rows = []
+    rows = {}
     for name, fn in queries.items():
-        spark.catalog.clearCache()
-        df = fn(spark, sf_dir)
-        # Iterative operators (graph supersteps, k-means, components)
-        # cut lineage with lazy localCheckpoints; pre-execution their
-        # plans LOOK scan/shuffle-heavy (the uncut k-deep join DAG).
-        # Run one action first so the checkpoints materialize and the
-        # recorded plan is the TRUE bounded one every re-execution
-        # uses — the same frame the scan-budget tests assert on.
-        if name in registry.SCAN_BUDGETS:
-            df.count()
-        # Formatted explain: node DETAIL headers "(n) <Node>" count each
-        # node exactly once (tree lines would double-count); exchanges
-        # census via their Arguments lines. No codegen column: AQE hides
-        # whole-stage spans until execution, so a pre-execution count
-        # would read 0 for every exchange-bearing plan — the JVM-side
-        # guarantee this census CAN state is the python/arrow column.
-        p = _explain(df, "formatted")
-        rows.append(
-            (
-                name,
-                len(re.findall(r"\(\d+\) Scan parquet", p)),
-                p.count("Arguments: hashpartitioning")
-                + p.count("Arguments: rangepartitioning"),
-                len(re.findall(r"\(\d+\) BroadcastExchange", p)),
-                p.count("PushedFilters: [")
-                - p.count("PushedFilters: []"),
-                ("EvalPython" in p)
-                or ("MapInPandas" in p)
-                or ("FlatMapGroupsInPandas" in p)
-                or ("FlatMapCoGroupsInPandas" in p)
-                or ("MapGroupsWithState" in p)
-                or ("InPandasWithState" in p),
-                "CartesianProduct" in p,
-            )
-        )
+        rows[name] = census_one(spark, name, fn, sf_dir)
 
-    n_python = sum(1 for r in rows if r[5])
-    n_cart = sum(1 for r in rows if r[6])
+    n_python = sum(1 for r in rows.values() if r["python"])
+    n_cart = sum(1 for r in rows.values() if r["cartesian"])
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "EXPLAIN_AUDIT.md")
     with open(out, "w") as f:
@@ -100,15 +67,22 @@ def main() -> None:
             " scans w/ pushed filters | python/arrow | cartesian |\n"
             "|---|---|---|---|---|---|---|\n"
         )
-        for r in sorted(rows, key=lambda r: (-r[2], r[0])):
+        for name, r in sorted(
+            rows.items(), key=lambda kv: (-kv[1]["shuffles"], kv[0])
+        ):
             f.write(
-                f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} |"
-                f" {'yes' if r[5] else ''} | {'YES' if r[6] else ''} |\n"
+                f"| {name} | {r['scans']} | {r['shuffles']} |"
+                f" {r['broadcasts']} | {r['pushed']} |"
+                f" {'yes' if r['python'] else ''} |"
+                f" {'YES' if r['cartesian'] else ''} |\n"
             )
     print(
         f"{len(rows)} queries -> {out}; cartesian={n_cart}"
         f" python={n_python}"
     )
+    if "--write-budgets" in sys.argv:
+        write_budgets(rows, sf_dir)
+        print(f"budgets -> PLAN_BUDGETS.json ({len(rows)} queries)")
 
 
 if __name__ == "__main__":

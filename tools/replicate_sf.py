@@ -18,10 +18,18 @@ verbatim: cross-copy duplicate text/vectors are exactly the adversarial
 input the dedup/ANN families must survive at scale.
 
 Usage:
-    python3 tools/replicate_sf.py [src_sf_dir] [out_dir] [n_copies] [perturb]
+    python3 tools/replicate_sf.py [src_sf_dir] [out_dir] [n_copies] [mode]
     # defaults: /root/testdata/sf0.1 /tmp/spark_graft_sf1x10 10
-    # "perturb": token-suffix document text per copy (linear-work
+    # mode "perturb": token-suffix document text per copy (linear-work
     # dedup ladder instead of the adversarial verbatim-clone one)
+    # mode "perturb-graph-ann" (round-9, VERDICT item 5): additionally
+    # jitters embedding vectors per copy (deterministic per
+    # (vec_id, dim, copy) — clone cliques would distort ANN recall
+    # structure: every vector would have n-1 exact twins) and rewires
+    # ~1/7 of each copy's lineitem part keys within the copy's part
+    # range (so the co-purchase graph per copy is a genuine variant,
+    # not n disjoint clones of one graph). FK validity holds: rewired
+    # keys stay inside the same copy's part key set.
 """
 
 from __future__ import annotations
@@ -69,7 +77,12 @@ TABLES = tuple(KEYED) + SHARED_DIMS
 
 
 def _tile(
-    df: DataFrame, keymap: dict[str, str], n: int, perturb_text: bool = False
+    df: DataFrame,
+    keymap: dict[str, str],
+    n: int,
+    perturb_text: bool = False,
+    perturb_vecs: bool = False,
+    rewire_partkey_mod: int | None = None,
 ) -> DataFrame:
     """Union n key-shifted copies of df (copy 0 keeps original keys, so
     literal-key predicates in existing queries still match).
@@ -87,9 +100,44 @@ def _tile(
     for k in range(n):
         cols = []
         for c in df.columns:
-            if c in keymap:
+            if c == "l_partkey" and rewire_partkey_mod and k > 0:
+                # Rewire ~1/7 of copy k's co-purchase edges: rows
+                # selected by a deterministic key condition get their
+                # part rotated WITHIN the copy's own part key range
+                # (base stride + rotated original key < mod).
+                base = F.lit(k * STRIDES["partkey"])
+                rotated = (F.col(c) + F.lit(997 * k)) % F.lit(
+                    rewire_partkey_mod
+                )
+                rewire = (
+                    (F.col("l_orderkey") + F.col("l_linenumber")) % 7 == k % 7
+                )
+                cols.append(
+                    F.when(rewire, base + rotated)
+                    .otherwise(F.col(c) + base)
+                    .alias(c)
+                )
+            elif c in keymap:
                 cols.append(
                     (F.col(c) + F.lit(k * STRIDES[keymap[c]])).alias(c)
+                )
+            elif c == "embedding" and perturb_vecs and k > 0:
+                # Deterministic per-(vec_id, dim, copy) jitter in
+                # [-0.03, +0.03]: breaks exact-twin cliques while
+                # keeping the cell/label geometry roughly intact.
+                cols.append(
+                    F.transform(
+                        F.col(c),
+                        lambda x, i: (
+                            x.cast("double")
+                            + (
+                                (F.col("vec_id") * 31 + i * 17 + F.lit(k * 13))
+                                % 7
+                                - 3
+                            )
+                            * 0.01
+                        ).cast("float"),
+                    ).alias(c)
                 )
             elif c == "text" and perturb_text and k > 0:
                 cols.append(
@@ -111,15 +159,34 @@ def _tile(
 
 
 def replicate(
-    spark, src: str, out: str, n: int, perturb_docs: bool = False
+    spark,
+    src: str,
+    out: str,
+    n: int,
+    perturb_docs: bool = False,
+    perturb_graph_ann: bool = False,
 ) -> None:
     os.makedirs(out, exist_ok=True)
+    part_mod = None
+    if perturb_graph_ann:
+        part_mod = (
+            spark.read.parquet(os.path.join(src, "part.parquet"))
+            .agg(F.max("p_partkey"))
+            .collect()[0][0]
+            + 1
+        )
     for t in TABLES:
         df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
         if t in KEYED and n > 1:
             df = _tile(
                 df, KEYED[t], n,
-                perturb_text=(perturb_docs and t == "documents"),
+                perturb_text=(
+                    (perturb_docs or perturb_graph_ann) and t == "documents"
+                ),
+                perturb_vecs=(perturb_graph_ann and t == "embeddings"),
+                rewire_partkey_mod=(
+                    part_mod if perturb_graph_ann and t == "lineitem" else None
+                ),
             )
         df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
         print(f"{t}: written")
@@ -131,11 +198,15 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1x10"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    perturb = len(sys.argv) > 4 and sys.argv[4] == "perturb"
+    mode = sys.argv[4] if len(sys.argv) > 4 else ""
     spark = get_spark(app_name="replicate_sf")
     spark.sparkContext.setLogLevel("ERROR")
-    replicate(spark, src, out, n, perturb_docs=perturb)
-    print(f"tiled {src} x{n} -> {out} (perturb_docs={perturb})")
+    replicate(
+        spark, src, out, n,
+        perturb_docs=(mode == "perturb"),
+        perturb_graph_ann=(mode == "perturb-graph-ann"),
+    )
+    print(f"tiled {src} x{n} -> {out} (mode={mode or 'verbatim'})")
 
 
 if __name__ == "__main__":

@@ -479,12 +479,19 @@ def incremental_near_dupes(
     sh_new = word_shingles(new_docs, n=n).persist()
     sigs = minhash_signatures(sh_new, num_hashes)
     bands_new = lsh_bands(sigs, rows_per_band)
-    # Read-back schemas pinned: an index built from an EMPTY corpus
-    # has no part files, and inference would fail where an empty index
-    # is a valid state (nothing to dedup against).
-    bands_idx = spark.read.schema(
-        "id bigint, band int, band_key string, batch_id string"
-    ).parquet(f"{index_dir}/bands")
+    # Inference-or-empty read-backs: an index built from an EMPTY
+    # corpus has no part files, and inference would fail where an
+    # empty index is a valid state (nothing to dedup against); with
+    # data present, inference keeps the builder's caller-typed ids.
+    from udacity_data_wrangling_osm_case_study_spark.operators.similarity import (
+        read_parquet_or_empty,
+    )
+
+    bands_idx = read_parquet_or_empty(
+        spark,
+        f"{index_dir}/bands",
+        "id bigint, band int, band_key string, batch_id string",
+    )
     cand = (
         bands_new.select("band", "band_key", F.col("id").alias("new_id"))
         .join(
@@ -499,11 +506,9 @@ def incremental_near_dupes(
     post_new = post_new.join(
         cand.select("new_id").distinct(), "new_id", "left_semi"
     )
-    post_idx = spark.read.schema(
-        "id bigint, g bigint, batch_id string"
-    ).parquet(f"{index_dir}/postings").select(
-        F.col("id").alias("index_id"), "g"
-    )
+    post_idx = read_parquet_or_empty(
+        spark, f"{index_dir}/postings", "id bigint, g bigint, batch_id string"
+    ).select(F.col("id").alias("index_id"), "g")
     post_idx = post_idx.join(
         cand.select("index_id").distinct(), "index_id", "left_semi"
     )
@@ -514,11 +519,9 @@ def incremental_near_dupes(
         .join(cand, ["new_id", "index_id"], "left_semi")
     )
     sizes_new = sh_new.groupBy("id").agg(F.count("*").alias("size_new"))
-    sizes_idx = spark.read.schema(
-        "id bigint, sz bigint, batch_id string"
-    ).parquet(f"{index_dir}/sizes").select(
-        F.col("id").alias("index_id"), F.col("sz").alias("size_index")
-    )
+    sizes_idx = read_parquet_or_empty(
+        spark, f"{index_dir}/sizes", "id bigint, sz bigint, batch_id string"
+    ).select(F.col("id").alias("index_id"), F.col("sz").alias("size_index"))
     scored = (
         inter.join(
             F.broadcast(sizes_new.withColumnRenamed("id", "new_id")), "new_id"
@@ -756,8 +759,11 @@ def embedding_near_duplicates(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # Null-safe block join: a missing blocking label is still a block
+    # (docs must not escape dedup by lacking a label) — matches the
+    # Arrow path's groupBy(block), which keeps the NULL group.
     pairs = (
-        a.join(b, "blk")
+        a.join(b, a["blk"].eqNullSafe(b["blk"]))
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(dot, 4))
     )

@@ -44,6 +44,21 @@ def array_literal(xs):
     return F.expr(render(xs))
 
 
+def read_parquet_or_empty(spark, path: str, fallback_schema: str):
+    """Read a persisted index relation, tolerating the EMPTY-build
+    state: an index built from zero rows writes a directory with no
+    part files, where schema inference fails but "empty relation" is
+    the correct answer. With data present, inference keeps the
+    builder's actual types (id/cell columns are caller-typed — a
+    pinned schema here would reject legitimate builds)."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], fallback_schema)
+
+
 def dot(u, v):
     return F.aggregate(F.zip_with(u, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -160,11 +175,8 @@ def ivf_topk_indexed(
     Corpus data itself never reaches the driver.
     """
     q = array_literal(query_vec)
-    # Schemas pinned: an index built from an EMPTY corpus has no part
-    # files; inference would fail where "no cells, no neighbors" is
-    # the correct answer.
-    cents = spark.read.schema("cell int, centroid array<double>").parquet(
-        f"{index_dir}/centroids"
+    cents = read_parquet_or_empty(
+        spark, f"{index_dir}/centroids", "cell int, centroid array<double>"
     )
     probed = [
         r.cell
@@ -176,9 +188,11 @@ def ivf_topk_indexed(
             .collect()
         )
     ]
-    vecs = spark.read.schema(
-        "id bigint, v array<double>, cell int, batch_id string"
-    ).parquet(f"{index_dir}/vectors").filter(F.col("cell").isin(probed))
+    vecs = read_parquet_or_empty(
+        spark,
+        f"{index_dir}/vectors",
+        "id bigint, v array<double>, cell int, batch_id string",
+    ).filter(F.col("cell").isin(probed))
     sim = F.round(cosine(F.col("v"), q), round_dp)
     return (
         vecs.select("id", sim.alias("cosine"))
@@ -585,8 +599,8 @@ def ivf_append(
     periodic compaction step once drift accumulates — the same
     build/maintain split every production ANN index uses.
     """
-    cents = spark.read.schema("cell int, centroid array<double>").parquet(
-        f"{index_dir}/centroids"
+    cents = read_parquet_or_empty(
+        spark, f"{index_dir}/centroids", "cell int, centroid array<double>"
     )
     assigned = kmeans_assign(df_new, cents, id_col, vec_col)
     vecs = df_new.select(

@@ -320,11 +320,15 @@ def incremental_span_coverage(
     spark = new_docs.sparkSession
     l = read_gram_index_meta(index_dir).get("l", 50)
     base = tokenized(new_docs, id_col, text_col)
-    # Schema pinned: an index built from an EMPTY corpus has no part
-    # files, and schema inference would fail where an empty index is a
-    # perfectly valid state (every probe gram is then corpus-unseen).
-    index = spark.read.schema("g binary, n bigint, batch_id string").parquet(
-        f"{index_dir}/grams"
+    # Inference-or-empty: an index built from an EMPTY corpus has no
+    # part files, and schema inference would fail where an empty index
+    # is a perfectly valid state (every probe gram is corpus-unseen).
+    from udacity_data_wrangling_osm_case_study_spark.operators.similarity import (
+        read_parquet_or_empty,
+    )
+
+    index = read_parquet_or_empty(
+        spark, f"{index_dir}/grams", "g binary, n bigint, batch_id string"
     )
     return _probe_coverage(base, index, l, min_count)
 
@@ -372,29 +376,26 @@ def build_gram_index_bucketed(
     100 TB the index is corpus-sized, so the exchange this removes is
     the probe's dominant cost. The gram length and key version ride
     table properties (the manifest role meta.json plays for the
-    path-partitioned layout)."""
+    path-partitioned layout).
+
+    Publish protocol (stage-then-rename): the census is written to a
+    UNIQUE staging table, then atomically renamed over ``table_name``.
+    A direct overwrite-in-place is not crash- or race-safe: two
+    sessions building concurrently (separate metastores, one
+    warehouse) can BOTH commit files into the shared location and the
+    survivor reads a ~2x census — measured by
+    tests/test_index_concurrency.py before this protocol landed. With
+    staging, the racing writers touch disjoint directories and only
+    the directory RENAME (atomic on local FS and HDFS) publishes; a
+    loser's failed rename leaves the winner intact. The index is
+    therefore always absent or complete, never half."""
     import os
     import shutil
+    import uuid
     from urllib.parse import urlparse
 
     spark = docs.sparkSession
-    # Idempotent across SESSIONS, not just catalogs: saveAsTable
-    # overwrite only replaces a catalog-REGISTERED table, and a managed
-    # location orphaned by a previous session (directory on disk, no
-    # catalog entry) fails it with LOCATION_ALREADY_EXISTS — so drop
-    # the entry AND clear the owned location before building.
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    # Orphan-location cleanup is a LOCAL-warehouse remedy only: on a
-    # remote warehouse (hdfs://, s3a://) shutil cannot reach the
-    # location, and on a shared metastore deleting by guessed path
-    # could clobber a directory another catalog still references — so
-    # act only when the warehouse URI scheme says local filesystem and
-    # the table name is unqualified (managed location = <wh>/<name>).
-    wh_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-    if wh_uri.scheme in ("", "file") and wh_uri.path and "." not in table_name:
-        shutil.rmtree(
-            os.path.join(wh_uri.path, table_name.lower()), ignore_errors=True
-        )
+    stage = f"{table_name}_stage_{uuid.uuid4().hex[:12]}"
     census = (
         gram_starts(tokenized(docs, id_col, text_col), l)
         .groupBy("g")
@@ -405,12 +406,36 @@ def build_gram_index_bucketed(
         .bucketBy(n_buckets, "g")
         .sortBy("g")
         .format("parquet")
-        .saveAsTable(table_name)
+        .saveAsTable(stage)
     )
     spark.sql(
-        f"ALTER TABLE {table_name} SET TBLPROPERTIES"
+        f"ALTER TABLE {stage} SET TBLPROPERTIES"
         f" ('gram_l'='{l}', 'gram_key'='{GRAM_KEY}')"
     )
+    # Clear any prior incarnation. Orphan-location cleanup is a
+    # LOCAL-warehouse remedy only: on a remote warehouse (hdfs://,
+    # s3a://) shutil cannot reach the location, and on a shared
+    # metastore deleting by guessed path could clobber a directory
+    # another catalog still references — act only when the warehouse
+    # URI scheme says local filesystem and the name is unqualified
+    # (managed location = <wh>/<name>).
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh_uri = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh_uri.scheme in ("", "file") and wh_uri.path and "." not in table_name:
+        shutil.rmtree(
+            os.path.join(wh_uri.path, table_name.lower()), ignore_errors=True
+        )
+    try:
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table_name}")
+    except Exception:
+        # Lost the publish race: a concurrent builder renamed first.
+        # Our staged build is equivalent (same input); discard it and
+        # accept the winner rather than corrupting it.
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        if wh_uri.scheme in ("", "file") and wh_uri.path:
+            shutil.rmtree(
+                os.path.join(wh_uri.path, stage.lower()), ignore_errors=True
+            )
 
 
 def gram_index_append_bucketed(

@@ -252,7 +252,7 @@ def simhash_near_pairs(spark, sf_dir):
           FROM v)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(ROUND(list_dot_product(a.u, b.u) * 10000) AS BIGINT) AS cosine_bp
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM n a JOIN n b ON a.label IS NOT DISTINCT FROM b.label AND a.vec_id < b.vec_id
     WHERE CAST(ROUND(list_dot_product(a.u, b.u) * 10000) AS BIGINT) >= 4000
     ORDER BY id_a, id_b
     """,
@@ -278,8 +278,10 @@ def embedding_near_dupes(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     bp = F.round(dot * 10000).cast("bigint")
+    # Null-safe block join: a missing label is still a block (matches
+    # the Arrow path's groupBy and the oracle's IS NOT DISTINCT FROM)
     return (
-        a.join(b, "blk")
+        a.join(b, a["blk"].eqNullSafe(b["blk"]))
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_bp", bp)
         .filter(F.col("cosine_bp") >= 4000)
@@ -520,7 +522,7 @@ def incremental_dedup(spark, sf_dir):
           FROM v)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(ROUND(list_dot_product(a.u, b.u) * 10000) AS BIGINT) AS cosine_bp
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM n a JOIN n b ON a.label IS NOT DISTINCT FROM b.label AND a.vec_id < b.vec_id
     WHERE CAST(ROUND(list_dot_product(a.u, b.u) * 10000) AS BIGINT) >= 4000
     ORDER BY id_a, id_b
     """,

@@ -240,10 +240,8 @@ def knn_ivf(spark, sf_dir):
     v = similarity.as_double_vec(F.col("embedding"))
     q = emb.filter(F.col("vec_id") == 0).select(v.alias("q"))
 
-    # Schemas pinned: an index over an EMPTY embeddings table has no
-    # part files; "no cells, no neighbors" is the correct answer.
-    cents = spark.read.schema("cell int, centroid array<double>").parquet(
-        f"{index_dir}/centroids"
+    cents = similarity.read_parquet_or_empty(
+        spark, f"{index_dir}/centroids", "cell int, centroid array<double>"
     )
     ranked = (
         cents.crossJoin(F.broadcast(q))
@@ -259,8 +257,11 @@ def knn_ivf(spark, sf_dir):
     )
     cells = [r.cell for r in ranked.collect()]
     vecs = (
-        spark.read.schema("id bigint, v array<double>, cell int, batch_id string")
-        .parquet(f"{index_dir}/vectors")
+        similarity.read_parquet_or_empty(
+            spark,
+            f"{index_dir}/vectors",
+            "id bigint, v array<double>, cell int, batch_id string",
+        )
         .filter(F.col("cell").isin(cells))
         .filter(F.col("id") != 0)
     )
