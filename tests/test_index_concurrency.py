@@ -44,15 +44,7 @@ def _run_py(code: str, env_extra: dict | None = None):
     )
 
 
-_BUILD_BUCKETED = """
-import sys
-from udacity_data_wrangling_osm_case_study_spark.session import get_spark
-from udacity_data_wrangling_osm_case_study_spark.operators import substrings
-warehouse, table_name = sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None
-"""
-
-
-def test_concurrent_bucketed_gram_index_builds(tmp_path):
+def test_concurrent_bucketed_gram_index_builds(spark, tmp_path):
     """Two sessions race to build the SAME bucketed index table under
     one shared warehouse. Both inputs are identical, so whichever
     commit wins, the surviving table must read back with the correct
@@ -80,13 +72,13 @@ def test_concurrent_bucketed_gram_index_builds(tmp_path):
     # concurrent DROP/CREATE race, but must not corrupt the winner.
     assert b"BUILT-OK" in out1 or b"BUILT-OK" in out2, (out1[-2000:], out2[-2000:])
 
-    # Fresh session validates the surviving table end to end.
+    # The suite session validates the surviving table end to end.
+    # (Do NOT call get_spark here: getOrCreate applies its default
+    # runtime confs to the EXISTING fixture session — a direct call
+    # silently flipped the whole suite to 32 shuffle partitions and
+    # planner-disabled bucketed scans in test_layout.)
     from udacity_data_wrangling_osm_case_study_spark.operators import substrings
-    from udacity_data_wrangling_osm_case_study_spark.session import get_spark
 
-    spark = get_spark(app_name="race-validate")
-    spark.sparkContext.setLogLevel("ERROR")
-    old_wh = spark.conf.get("spark.sql.warehouse.dir")
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     # Table lives in the subprocess warehouse — register it here.
     files = f"{warehouse}/race_gram_idx"
@@ -101,19 +93,16 @@ def test_concurrent_bucketed_gram_index_builds(tmp_path):
         .agg(F.sum("n"), F.count("*"))
         .collect()[0]
     )
-    assert tuple(got) == tuple(want), (got, want, old_wh)
+    assert tuple(got) == tuple(want), (got, want)
 
 
-def test_concurrent_dedup_index_appends_land_both_batches(tmp_path):
+def test_concurrent_dedup_index_appends_land_both_batches(spark, tmp_path):
     """Two sessions append DIFFERENT batch_ids to one LSH dedup index
     concurrently (dynamic partition overwrite): afterwards both
     partitions must be present and the probe must see both batches'
     docs — concurrent writers touch disjoint partition directories."""
     from udacity_data_wrangling_osm_case_study_spark.operators import dedup
-    from udacity_data_wrangling_osm_case_study_spark.session import get_spark
 
-    spark = get_spark(app_name="idx-conc")
-    spark.sparkContext.setLogLevel("ERROR")
     idx = str(tmp_path / "dedup_idx")
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     base = docs.filter(F.col("doc_id") % 3 == 0)
@@ -153,7 +142,7 @@ def test_concurrent_dedup_index_appends_land_both_batches(tmp_path):
     assert {0, 1, 2} <= seen  # base + both concurrent batches
 
 
-def test_crash_mid_append_leaves_index_complete(tmp_path):
+def test_crash_mid_append_leaves_index_complete(spark, tmp_path):
     """A killed append never half-commits: FileOutputCommitter stages
     every task file under ``_temporary`` and only the job commit
     promotes them. Simulate the post-SIGKILL state (staged files, no
@@ -161,10 +150,7 @@ def test_crash_mid_append_leaves_index_complete(tmp_path):
     content; then retry the batch and assert convergence to the clean
     result."""
     from udacity_data_wrangling_osm_case_study_spark.operators import substrings
-    from udacity_data_wrangling_osm_case_study_spark.session import get_spark
 
-    spark = get_spark(app_name="idx-crash")
-    spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     base = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)

@@ -43,3 +43,25 @@ def test_sharded_etl_at_10x(spark):
 
         if os.path.exists(big):
             os.remove(big)
+
+
+@pytest.mark.slow
+def test_audits_scale_exactly_at_10x(spark):
+    """Both reference audits at 10x input must report exactly 10x
+    their 1x rows (each id-offset copy contributes its own audit
+    findings) — the per-copy invariant the round-9 100x city-scale run
+    (NOTES_r9) measured, pinned here at 10x so the suite guards it."""
+    from udacity_data_wrangling_osm_case_study_spark.plans import audits
+
+    big = tempfile.mktemp(suffix=".osm")
+    try:
+        replicate(OSM_SAMPLE, big, 10)
+        names = audits.audit_bilingual_street_names(spark, big, PSI_SAMPLE)
+        assert names.count() == 2 * 10
+        phones = audits.audit_phone_numbers(spark, big)
+        assert phones.count() == 11 * 10
+    finally:
+        import os
+
+        if os.path.exists(big):
+            os.remove(big)

@@ -29,6 +29,13 @@ def get_spark(
 
     Honors ``SPARK_GRAFT_CPUS`` for local parallelism so the driver's
     bench harness and pytest share one configuration path.
+
+    One call per process: ``getOrCreate`` applies this call's RUNTIME
+    confs (shuffle partitions etc.) onto an already-existing session,
+    so a second call with different arguments silently reconfigures
+    the first caller's session (it flipped the pytest fixture to 32
+    shuffle partitions once — round-9 notes). In-process callers that
+    need the session should receive it, not re-create it.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
