@@ -247,3 +247,82 @@ def test_adversarial_witnesses_are_real(shape):
         "share:rev*10^4": 2_000_000_000_000_000_000 * 10_000,
     }
     assert witnesses[shape] > I64_MAX
+
+
+def test_nation_revenue_share_numerators_past_bigint(spark, tmp_path):
+    """Round-9 mag6-variant crash witness: rev_c fits BIGINT but the
+    x10000 share numerators do not once per-nation revenue passes
+    ~9.2e14 cents. Drives the FULL registered query over a synthetic
+    sf dir at provable-overflow magnitudes and checks exact big-int
+    shares."""
+    import pyspark.sql.functions as F
+
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+    rev_per_order = 10**13  # cents per order after rounding
+    orders = spark.range(200).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 4).alias("o_custkey"),
+        F.lit(rev_per_order / 100.0).alias("o_totalprice"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("o_orderdate"),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+    )
+    cust = spark.range(4).select(
+        F.col("id").alias("c_custkey"),
+        F.lit("c").alias("c_name"),
+        (F.col("id") % 2).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("SEG").alias("c_mktsegment"),
+    )
+    nation = spark.createDataFrame(
+        [(0, "N0", 0), (1, "N1", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    region = spark.createDataFrame(
+        [(0, "R0"), (1, "R1")], "r_regionkey int, r_name string"
+    )
+    d = tmp_path / "sf"
+    for name, df in (
+        ("orders", orders), ("customer", cust),
+        ("nation", nation), ("region", region),
+    ):
+        df.write.parquet(str(d / f"{name}.parquet"))
+    per_nation = 100 * rev_per_order
+    assert per_nation * 10000 > I64_MAX  # pre-fix numerator overflows
+    queries, _ = registry.load_all()
+    rows = {r.n_name: r for r in
+            queries["nation_revenue_share"](spark, str(d)).collect()}
+    assert rows["N0"].rev_c == per_nation
+    assert rows["N0"].share_of_region_bp == 10000  # sole nation of R0
+    assert rows["N0"].region_share_bp == 5000
+
+
+def test_time_weighted_avg_wsum_past_bigint(spark, tmp_path):
+    """Round-9 mag6-variant crash witness: wsum x10000 passes 2^63 at
+    ~1e11-cent values held over hour gaps; the accumulation now rides
+    DECIMAL(38,0)."""
+    import pyspark.sql.functions as F
+
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+    cents = 10**11          # value * 100
+    gap_s = 3600
+    n = 100
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id") * gap_s)).alias("ts"),
+        F.lit(7).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(cents / 100.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    d = tmp_path / "sf"
+    events.write.parquet(str(d / "events.parquet"))
+    wsum = cents * gap_s * (n - 1)
+    assert wsum * 10000 > I64_MAX  # pre-fix numerator overflows
+    queries, _ = registry.load_all()
+    row = queries["event_value_time_weighted_avg"](spark, str(d)).first()
+    assert row.span_s == gap_s * (n - 1)
+    assert row.twa_micro == wsum * 10000 // (gap_s * (n - 1))

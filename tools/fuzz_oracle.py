@@ -24,8 +24,13 @@ Mutations (numpy-seeded, mixed per seed):
 - hot-key skew: a sampled fraction of a fact FK collapsed to one key
 - embeddings: sign flips and all-zero vectors (cosine's 0/0 corner)
 
-Special variants: ``empty`` (every table 0 rows) and ``single``
-(1 row per table).
+Special variants: ``empty`` (every table 0 rows), ``single`` (1 row
+per table), and ``mag6`` (every monetary/measure column scaled by
+1e6, nothing else touched — the overflow hunter: both gini crashes
+and the Mann-Whitney audit were int64 overflows in DERIVED terms that
+only fired at high magnitude, so this variant drives cents-scale
+arithmetic to ~1e13 per row and sum-of-products terms past 2^63 while
+the oracle's HUGEINT keeps exact truth).
 
 Data contract (columns the mutator never nulls — the engine's
 documented input requirements): identity and join key columns, and
@@ -75,6 +80,16 @@ PROTECTED: dict[str, set[str]] = {
     "events": {"event_id", "ts", "user_id"},
     "documents": {"doc_id"},
     "embeddings": {"vec_id"},
+}
+
+# Measure columns scaled by the "mag6" overflow-hunter variant.
+MAG_COLS = {
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_extendedprice", "l_quantity"],
+    "events": ["value"],
 }
 
 # FK columns eligible for the dangling-key mutation (stay non-null).
@@ -166,6 +181,17 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
             out = tbl.slice(0, 0)
         elif variant == "single":
             out = tbl.slice(0, 1)
+        elif variant == "mag6":
+            cols = {}
+            for field in schema:
+                vals = tbl.column(field.name).to_pylist()
+                if field.name in MAG_COLS.get(t, []):
+                    vals = [None if v is None else v * 1e6 for v in vals]
+                cols[field.name] = vals
+            out = pa.table(
+                {f.name: pa.array(cols[f.name], type=f.type) for f in schema},
+                schema=schema,
+            )
         else:
             cols = {}
             n = tbl.num_rows

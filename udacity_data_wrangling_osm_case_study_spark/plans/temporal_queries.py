@@ -519,9 +519,12 @@ def event_value_time_weighted_avg(spark, sf_dir):
     or all in one second) are excluded — in both engines.
 
     Shape: one ordered window (lead) and one groupBy over the same
-    (user, time) sort — Catalyst plans a single shuffle. BIGINT bounds:
-    cents·span_s ≤ 5e4·3e6 per hold; documented headroom to ~1e5
-    events/user at month spans, switch wsum to DECIMAL(38) beyond."""
+    (user, time) sort — Catalyst plans a single shuffle. Overflow
+    posture: per-hold cents·dt fits BIGINT through extreme magnitudes,
+    but wsum and especially wsum×10000 do not (the mag6 fuzz variant
+    crossed 2^63 at ~1e11-cent values), so the accumulation and the
+    derived micro numerator clear through DECIMAL(38,0) — the DuckDB
+    oracle's SUM is HUGEINT-backed already."""
     ev = table(spark, sf_dir, "events")
     c = ev.select(
         "user_id",
@@ -534,7 +537,9 @@ def event_value_time_weighted_avg(spark, sf_dir):
         "dt", F.coalesce(F.lead("ep").over(w) - F.col("ep"), F.lit(0))
     )
     s = d.groupBy("user_id").agg(
-        F.sum(F.col("cents") * F.col("dt")).alias("wsum"),
+        F.sum((F.col("cents") * F.col("dt")).cast("decimal(38,0)")).alias(
+            "wsum"
+        ),
         (F.max("ep") - F.min("ep")).alias("span_s"),
     )
     return (
@@ -542,7 +547,7 @@ def event_value_time_weighted_avg(spark, sf_dir):
         .select(
             "user_id",
             F.col("span_s").cast("bigint").alias("span_s"),
-            F.expr("wsum * 10000 div span_s").alias("twa_micro"),
+            F.expr("wsum * 10000 div span_s").cast("long").alias("twa_micro"),
         )
         .orderBy("user_id")
     )

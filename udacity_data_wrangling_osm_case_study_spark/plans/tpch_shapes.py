@@ -257,8 +257,8 @@ def late_order_priority_check(spark, sf_dir):
     """
     WITH rev AS (
         SELECT l_suppkey,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100)
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                    * (1 - CAST(l_discount AS DECIMAL(30,4)))) * 100)
                     AS BIGINT) AS total_rev_c
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -309,8 +309,8 @@ def top_quarter_supplier(spark, sf_dir):
     "disjunctive_promo_revenue",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                * (1 - CAST(l_discount AS DECIMAL(30,4)))) * 100)
                 AS BIGINT) AS revenue_c
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -433,8 +433,8 @@ def idle_rich_customers(spark, sf_dir):
 
 
 _REV_C_SQL = (
-    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
-    " * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100) AS BIGINT)"
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(30,4)))) * 100) AS BIGINT)"
 )
 
 
@@ -456,8 +456,8 @@ def _rev_c():
     "discount_revenue_forecast",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * CAST(l_discount AS DECIMAL(18,4))) * 100) AS BIGINT)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                * CAST(l_discount AS DECIMAL(30,4))) * 100) AS BIGINT)
                AS discount_revenue_c
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -677,11 +677,11 @@ def late_shipment_priority_split(spark, sf_dir):
     WITH m AS (
         SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
                CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                        THEN CAST(l_extendedprice AS DECIMAL(18,4))
-                             * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                        THEN CAST(l_extendedprice AS DECIMAL(30,4))
+                             * (1 - CAST(l_discount AS DECIMAL(30,4)))
                         ELSE 0 END) * 100) AS BIGINT) AS promo_c,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) * 100)
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                        * (1 - CAST(l_discount AS DECIMAL(30,4)))) * 100)
                     AS BIGINT) AS total_c
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -931,8 +931,8 @@ def min_cost_supplier(spark, sf_dir):
     WITH {_PARTSUPP_CTE}
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) * 100)
+           CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(30,4)))) * 100)
                     AS HUGEINT)
                 - SUM(CAST(ps.ps_supplycost_c
                     * CAST(ROUND(l.l_quantity) AS BIGINT) AS HUGEINT))

@@ -216,7 +216,7 @@ def user_running_total(spark, sf_dir):
     "trailing_hour_user_value",
     """
     SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+           CAST(SUM(CAST(value AS DECIMAL(30,4)))
                     OVER (PARTITION BY user_id
                           ORDER BY epoch_us(ts)
                           RANGE BETWEEN 3600000000 PRECEDING
@@ -415,7 +415,7 @@ def balance_distribution(spark, sf_dir):
     SELECT event_type,
            CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS window_start_epoch_5min,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type, window_start_epoch_5min
     HAVING COUNT(*) > 1
@@ -452,7 +452,7 @@ def event_type_tumbling_5min(spark, sf_dir):
         FROM events
     )
     SELECT event_type, window_start_epoch, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
     FROM starts
     GROUP BY event_type, window_start_epoch
     HAVING COUNT(*) > 1
