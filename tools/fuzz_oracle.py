@@ -30,7 +30,10 @@ per table), and ``mag6`` (every monetary/measure column scaled by
 and the Mann-Whitney audit were int64 overflows in DERIVED terms that
 only fired at high magnitude, so this variant drives cents-scale
 arithmetic to ~1e13 per row and sum-of-products terms past 2^63 while
-the oracle's HUGEINT keeps exact truth).
+the oracle's HUGEINT keeps exact truth). A numeric seed suffixed with
+``m`` (``1m``, ``2m``, …) composes both: magnitude scaling FIRST,
+then that seed's full mutation pipeline — the interaction hunter
+(NULLs and negatives at overflow-adjacent magnitudes).
 
 Data contract (columns the mutator never nulls — the engine's
 documented input requirements): identity and join key columns, and
@@ -177,6 +180,9 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
     for t in TABLES:
         tbl = pq.read_table(f"{base}/{t}.parquet")
         schema = tbl.schema
+        magnify = variant == "mag6" or (
+            variant.endswith("m") and variant[:-1].isdigit()
+        )
         if variant == "empty":
             out = tbl.slice(0, 0)
         elif variant == "single":
@@ -197,6 +203,8 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
             n = tbl.num_rows
             for field in schema:
                 vals = tbl.column(field.name).to_pylist()
+                if magnify and field.name in MAG_COLS.get(t, []):
+                    vals = [None if v is None else v * 1e6 for v in vals]
                 protected = field.name in PROTECTED.get(t, set())
                 if not protected:
                     if pa.types.is_floating(field.type) or pa.types.is_integer(

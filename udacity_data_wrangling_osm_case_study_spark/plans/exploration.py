@@ -159,9 +159,12 @@ def region_rollup(spark, sf_dir):
            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_qty,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_base_price,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS DOUBLE) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) * 1000000
+                AS HUGEINT) // COUNT(*) AS DOUBLE) / 1000000 AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) * 1000000
+                AS HUGEINT) // COUNT(*) AS DOUBLE) / 1000000 AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) * 1000000
+                AS HUGEINT) // COUNT(*) AS DOUBLE) / 1000000 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -172,13 +175,28 @@ def region_rollup(spark, sf_dir):
 def pricing_summary(spark, sf_dir):
     """Flagship: TPC-H Q1-shaped pricing summary (A6 aggregate surface).
 
-    Decimal-exact sums (addition order independent), divisions done once
-    in double — bit-identical across engines.
+    Decimal-exact sums (addition order independent). Averages are
+    floor-to-micro integer divisions of the exact decimal sums, then
+    ONE division by 1e6 — the same IEEE op on the same exact integer
+    in both engines, deterministic at ANY magnitude (a ROUND(double,6)
+    here diverged in the last ulp once the composed magnitude+mutation
+    fuzz seed pushed values to 1e10, where 6 decimal places exceed
+    double precision).
     """
     li = table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast(_DEC)
     price = F.col("l_extendedprice").cast(_DEC)
     disc = F.col("l_discount").cast(_DEC)
+
+    def avg_micro(col):
+        return (
+            F.expr(
+                f"cast(sum(cast({col} as decimal(30,4))) * 1000000"
+                " as decimal(38,0)) div count(*)"
+            ).cast("double")
+            / 1_000_000
+        )
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -186,9 +204,9 @@ def pricing_summary(spark, sf_dir):
             F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
             F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
             F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            avg_micro("l_quantity").alias("avg_qty"),
+            avg_micro("l_extendedprice").alias("avg_price"),
+            avg_micro("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
