@@ -61,6 +61,73 @@ _loaded = False
 # (registry ∖ (r01 ∪ … ∪ r04)), then round-5 additions; already-attested
 # names follow in registration order.
 _VERIFY_FIRST = (
+    # Round-9 semantics-changed queries (fuzz hardening: NULL/zero/
+    # magnitude conventions now explicit on BOTH engines — the output
+    # hash of several changed, so the driver should re-attest these
+    # first; every one is already green under tools/check_oracle.py
+    # and 17 fuzz variants).
+    "pricing_summary",
+    "nation_revenue_share",
+    "event_value_time_weighted_avg",
+    "customer_spend_gini",
+    "mannwhitney_click_view",
+    "event_value_ks_test",
+    "event_value_ewma",
+    "event_value_mad_outliers",
+    "event_value_median_histogram",
+    "quantity_weighted_median_price",
+    "theilsen_user_trend",
+    "approx_event_value_p95",
+    "trending_event_types",
+    "top_session_paths",
+    "next_event_training_pairs",
+    "order_value_deciles",
+    "balance_distribution",
+    "customer_rfm_segments",
+    "late_shipment_priority_split",
+    "table_counts",
+    "revenue_rollup",
+    "order_status_cube",
+    "orders_status_priority_cube",
+    "nation_segment_grouping_sets",
+    "t_closeness_report",
+    "negative_sampling_pairs",
+    "part_pareto_frontier",
+    "benford_first_digit_audit",
+    "corpus_token_stats",
+    "event_type_hour_chisq",
+    "bootstrap_mean_ci",
+    "classifier_auc",
+    "classifier_calibration",
+    "source_quality_calibration",
+    "source_quantile_normalize",
+    "quality_classifier",
+    "repetition_quality",
+    "doc_profiles",
+    "pii_term_scrub",
+    "fuzzy_typo_repair",
+    "capwords_nation_styles",
+    "props_key_histogram",
+    "json_props_udtf",
+    "embedding_standardize",
+    "embedding_near_dupes",
+    "embedding_near_dupes_arrow",
+    "semantic_dedup",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_srp_lsh",
+    "kmeans_step",
+    "hard_negative_mining",
+    "hybrid_search_rrf",
+    "ann_recall_report",
+    "ann_rank_overlap_rbo",
+    "media_metadata",
+    "media_features",
+    "media_frame_sample",
+    "media_shared_frames",
+    "media_near_dupes",
+    "substring_dedup_removal",
+    "nation_profit_rollup",
     # round-8 additions (never attested, newest work first)
     "incremental_substring_coverage_bucketed",
     "min_cost_supplier",
