@@ -303,3 +303,66 @@ def test_stream_stream_join_matches_across_batches(spark, tmp_path):
     )
     assert len(want_rows) > 0
     assert got_rows == want_rows
+
+
+def test_windowed_counts_survive_query_restart(spark, tmp_path):
+    """Exactly-once across restart: a watermarked windowed aggregation
+    writes through the transactional parquet file sink with a
+    checkpoint; the query is STOPPED mid-stream and a new query object
+    resumes from the same checkpoint. Open windows straddling the stop
+    must merge correctly from recovered state, already-committed
+    batches must not replay into the sink, and the final files must
+    equal the batch twin exactly."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    ev = _events_with_rank(spark)
+    n = ev.count()
+    n1, n2 = int(n * 0.4), int(n * 0.7)
+    b1 = ev.filter(F.col("_rn") <= n1).select(COLS)
+    b2 = ev.filter((F.col("_rn") > n1) & (F.col("_rn") <= n2)).select(COLS)
+    b3 = ev.filter(F.col("_rn") > n2).select(COLS)
+    b4 = _sentinel(spark, ev, "3 DAYS", 10**9 + 1)
+    b5 = _sentinel(spark, ev, "3 DAYS + 1 HOUR", 10**9 + 2)
+
+    def start():
+        stream = events_stream.windowed_event_counts(
+            events_stream.read_events_stream(spark, src),
+            window="6 hours",
+            watermark="2 days",
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q1 = start()
+    try:
+        _land(b1, src, "b0")
+        q1.processAllAvailable()
+        _land(b2, src, "b1")
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    q2 = start()  # fresh query object, same checkpoint
+    try:
+        for i, b in enumerate((b3, b4, b5), start=2):
+            _land(b, src, f"b{i}")
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = spark.read.parquet(out)
+    want = events_stream.windowed_event_counts(
+        ev.select(COLS), window="6 hours", watermark="2 days"
+    )
+    key = ["window_start", "event_type", "n", "total_value"]
+    got_rows = sorted(map(tuple, got.select(key).collect()))
+    want_rows = sorted(map(tuple, want.select(key).collect()))
+    assert len(got_rows) > 50
+    assert got_rows == want_rows
