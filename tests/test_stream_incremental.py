@@ -366,3 +366,70 @@ def test_windowed_counts_survive_query_restart(spark, tmp_path):
     want_rows = sorted(map(tuple, want.select(key).collect()))
     assert len(got_rows) > 50
     assert got_rows == want_rows
+
+
+def test_custom_state_survives_query_restart(spark, tmp_path):
+    """GroupState (applyInPandasWithState) recovery — a different
+    checkpoint codepath than built-in window state: per-user running
+    counts accumulate across TWO query incarnations sharing one
+    checkpoint. If state were lost at restart, the post-restart
+    snapshots would equal the final batch's own counts; they must
+    instead equal the full-stream totals."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(out)
+    ev = _events_with_rank(spark)
+    n = ev.count()
+    thirds = [
+        ev.filter(
+            (F.col("_rn") > i * n // 3) & (F.col("_rn") <= (i + 1) * n // 3)
+        ).select(COLS)
+        for i in range(3)
+    ]
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("_b", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    def start():
+        stream = events_stream.running_user_counts(
+            events_stream.read_events_stream(spark, src)
+        )
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+
+    q1 = start()
+    try:
+        _land(thirds[0], src, "b0")
+        q1.processAllAvailable()
+        _land(thirds[1], src, "b1")
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    q2 = start()  # same checkpoint, fresh query + state store handles
+    try:
+        _land(thirds[2], src, "b2")
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    snaps = spark.read.parquet(out)
+    final = snaps.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    batch = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # Teeth: state genuinely crossed the restart — the post-restart
+    # snapshot exceeds what batch 3 alone could produce for every user.
+    last = snaps.filter(F.col("_b") == snaps.agg(F.max("_b")).collect()[0][0])
+    b3_only = thirds[2].groupBy("user_id").agg(F.count("*").alias("n3"))
+    joined = last.join(b3_only, "user_id")
+    assert joined.filter(F.col("n_events") <= F.col("n3")).count() == 0
