@@ -45,18 +45,31 @@ def array_literal(xs):
 
 
 def read_parquet_or_empty(spark, path: str, fallback_schema: str):
-    """Read a persisted index relation, tolerating the EMPTY-build
-    state: an index built from zero rows writes a directory with no
-    part files, where schema inference fails but "empty relation" is
-    the correct answer. With data present, inference keeps the
-    builder's actual types (id/cell columns are caller-typed — a
-    pinned schema here would reject legitimate builds)."""
+    """Read a persisted index relation, tolerating ONLY the
+    EMPTY-build state: an index built from zero rows writes a
+    directory with no part files, where schema inference fails
+    (UNABLE_TO_INFER_SCHEMA) but "empty relation" is the correct
+    answer. Every other analysis error — above all PATH_NOT_FOUND
+    from a deleted or typo'd index_dir — re-raises: silently treating
+    a missing index as empty would disable dedup/ANN without a trace
+    (zero duplicates / zero neighbors reported as a clean result).
+    With data present, inference keeps the builder's actual types
+    (id/cell columns are caller-typed — a pinned schema here would
+    reject legitimate builds)."""
     from pyspark.sql.utils import AnalysisException
 
     try:
         return spark.read.parquet(path)
-    except AnalysisException:
-        return spark.createDataFrame([], fallback_schema)
+    except AnalysisException as e:
+        getter = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        cls = getter() if getter else None
+        if cls == "UNABLE_TO_INFER_SCHEMA" or (
+            cls is None and "UNABLE_TO_INFER_SCHEMA" in str(e)
+        ):
+            return spark.createDataFrame([], fallback_schema)
+        raise
 
 
 def dot(u, v):

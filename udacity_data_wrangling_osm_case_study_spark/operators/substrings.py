@@ -428,14 +428,21 @@ def build_gram_index_bucketed(
     try:
         spark.sql(f"ALTER TABLE {stage} RENAME TO {table_name}")
     except Exception:
-        # Lost the publish race: a concurrent builder renamed first.
-        # Our staged build is equivalent (same input); discard it and
-        # accept the winner rather than corrupting it.
+        # A rename failure is only benign when it means "lost the
+        # publish race" — a concurrent builder renamed first, so the
+        # target exists and our staged build (same input) is
+        # redundant. Verify that before swallowing: if the target is
+        # NOT in the catalog the failure is a real error (destination
+        # dir not removable, invalid name, metastore fault) and
+        # swallowing it would report success with nothing published.
+        # Either way the stage is discarded — it must not leak.
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
         if wh_uri.scheme in ("", "file") and wh_uri.path:
             shutil.rmtree(
                 os.path.join(wh_uri.path, stage.lower()), ignore_errors=True
             )
+        if not spark.catalog.tableExists(table_name):
+            raise
 
 
 def gram_index_append_bucketed(

@@ -131,12 +131,10 @@ _VERIFY_FIRST = (
     # round-8 additions (never attested, newest work first)
     "incremental_substring_coverage_bucketed",
     "min_cost_supplier",
-    "nation_profit_rollup",
     "important_stock_parts",
     "promotable_part_suppliers",
     # round-7 additions (attested green in r7, kept near the front)
     "substring_span_coverage",
-    "substring_dedup_removal",
     "top_boilerplate_grams",
     "incremental_substring_coverage",
     "customer_order_counts_dist",
@@ -151,17 +149,12 @@ _VERIFY_FIRST = (
     "discount_revenue_forecast",
     "bilateral_shipping_volume",
     "returned_item_customers",
-    "late_shipment_priority_split",
     "promo_revenue_share_monthly",
     "supplier_count_by_part_attr",
     "substring_threshold_profile",
     "boilerplate_share_by_source",
     # round-6 additions (never attested, newest work first)
-    "event_type_hour_chisq",
-    "mannwhitney_click_view",
-    "bootstrap_mean_ci",
     "source_centroid_cosine",
-    "customer_spend_gini",
     "daily_count_autocorr",
     "event_markov_stationary",
     "event_bigram_entropy",
@@ -173,16 +166,13 @@ _VERIFY_FIRST = (
     "part_bfs_hops",
     "part_kcore",
     "part_communities",
-    "benford_first_digit_audit",
     "part_clustering_coeff",
     "kmv_distinct_sketch",
-    "t_closeness_report",
     # never driver-attested through round 4 (10 names)
     "weighted_doc_sample",
     "cms_user_event_counts",
     "salted_priority_revenue",
     "cogrouped_entity_profile",
-    "negative_sampling_pairs",
     "user_activity_gaps",
     "feature_hash_crosses",
     "l_diversity_report",
@@ -190,6 +180,14 @@ _VERIFY_FIRST = (
     "weighted_doc_sample_aes",
     # round-5 additions (never attested, newest work first)
     "entity_profile_native",
+)
+
+# The hoist list is an honest record of verification priority; a name
+# listed twice means a later block silently shadows an earlier intent
+# (harmless to load_all's dict rebuild, misleading to a reader). Keep
+# it duplicate-free by construction.
+assert len(_VERIFY_FIRST) == len(set(_VERIFY_FIRST)), sorted(
+    n for n in set(_VERIFY_FIRST) if _VERIFY_FIRST.count(n) > 1
 )
 
 
