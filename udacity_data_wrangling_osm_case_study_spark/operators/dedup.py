@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from udacity_data_wrangling_osm_case_study_spark.operators.iterative import snap_eager
+
 HEX = "0123456789abcdef"
 
 
@@ -539,7 +541,7 @@ def incremental_near_dupes(
         .select("new_id", "index_id", "jaccard")
     )
     if materialize:
-        out = scored.localCheckpoint(eager=True)
+        out = scored.transform(snap_eager)
         sh_new.unpersist()
         cand.unpersist()
         return out
@@ -638,7 +640,7 @@ def simhash_near_pairs(
         "simhash",
         F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long").alias("w_hi"),
         F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long").alias("w_lo"),
-    ).localCheckpoint(eager=True)
+    ).transform(snap_eager)
     bands = fp.select(
         "id",
         F.explode(
@@ -723,7 +725,7 @@ def normalized_vectors(
                 ),
             ).alias("u"),
         )
-        .localCheckpoint(eager=True)
+        .transform(snap_eager)
     )
 
 
@@ -771,7 +773,9 @@ def embedding_near_duplicates(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame,
+    max_iter: int = 20,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Transitive closure of the duplicate-pair graph: (id, comp) where
     comp is the minimum id reachable from id — the canonical keeper of
@@ -785,18 +789,27 @@ def connected_components(
     rounds, not 1000 (same round bound as the small-star/large-star
     formulation, one fewer join per round for min-label semantics).
 
-    Every round's frame is ``localCheckpoint(eager=True)``-ed: the
-    round materializes once, its lineage is CUT (the planner never
-    re-analyzes a k-deep join DAG), and superseded round storage is
-    released by the context cleaner when the previous frame goes out of
-    scope — no cache pinning across rounds. The driver loop only ever
-    sees a changed-count per round; label data never leaves the
-    executors. ``max_iter`` bounds runaway graphs.
+    Every round's frame is eagerly snapshotted (see
+    ``operators.iterative``): the round materializes once, its lineage
+    is CUT (the planner never re-analyzes a k-deep join DAG), and
+    superseded round storage is released by the context cleaner when
+    the previous frame goes out of scope — no cache pinning across
+    rounds. The driver loop only ever sees a changed-count per round;
+    label data never leaves the executors. ``max_iter`` bounds runaway
+    graphs. On clusters with executor churn (or long sessions under
+    block-shedding memory pressure — the round-9 30x sweep's failure
+    mode), pass ``reliable_checkpoint_dir`` or set the session conf
+    ``spark.graft.reliableCheckpointDir`` so each round snapshots to
+    reliable storage instead of executor-local blocks.
     """
     from udacity_data_wrangling_osm_case_study_spark.operators.graph import (
         symmetrize,
     )
+    from udacity_data_wrangling_osm_case_study_spark.operators.iterative import snapshotter
 
+    snap_round = snapshotter(
+        pairs.sparkSession, reliable_checkpoint_dir, eager=True
+    )
     edges = pairs.select("id_a", "id_b")
     # The symmetric edge frame is probed every round — materialize it
     # once with truncated lineage instead of re-shuffling the distinct.
@@ -807,13 +820,13 @@ def connected_components(
     sym = (
         symmetrize(edges, "id_a", "id_b")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(snap_round)
     )
     labels = (
         sym.select(F.col("id_a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
+        .transform(snap_round)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -843,7 +856,7 @@ def connected_components(
                 F.coalesce(F.col("pcomp"), F.col("hop")).alias("new_comp"),
                 "old_comp",
             )
-            .localCheckpoint(eager=True)
+            .transform(snap_round)
         )
         changed = updated.filter(F.col("new_comp") != F.col("old_comp")).count()
         labels = updated.select("id", F.col("new_comp").alias("comp"))
@@ -1336,7 +1349,7 @@ def prefix_filter_pairs(
     # generation). The candidate pair set is materialized once (it is
     # referenced twice; Spark has no common-subplan sharing across DAG
     # branches).
-    cand = cand.localCheckpoint(eager=True)
+    cand = cand.transform(snap_eager)
     cand_ids = pair_endpoints(cand)
     docvecs = (
         hashed.join(cand_ids, "id", "left_semi")
@@ -1502,7 +1515,7 @@ def containment_pairs_adaptive(
     cand = None
     if stats.s2 is not None and stats.s2 > max_df2_ratio * stats.s1:
         cand = containment_candidates(sh, threshold_num, threshold_den)
-        cand = cand.localCheckpoint(eager=True)
+        cand = cand.transform(snap_eager)
     return containment_pairs(sh, threshold_num, threshold_den, candidates=cand)
 
 

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from udacity_data_wrangling_osm_case_study_spark.operators.iterative import snapshotter
+
 
 def symmetrize(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
@@ -360,15 +362,16 @@ def bfs_hops(
     caveat as ``random_walks``'s local checkpoints.
     """
     spark = edges.sparkSession
+    snap = snapshotter(spark)
     parts = _edge_partition_count(spark, edge_partitions)
     e = (
         edges.select("src", "dst")
         .repartition(parts, "src")
-        .localCheckpoint(eager=False)
+        .transform(snap)
     )
     visited = seeds.select(
         "seed", F.col("seed").alias("v"), F.lit(0).cast("int").alias("hop")
-    ).localCheckpoint(eager=False)
+    ).transform(snap)
     frontier = visited.select("seed", "v")
     for step in range(1, n_hops + 1):
         cand = (
@@ -380,12 +383,12 @@ def bfs_hops(
         )
         frontier = cand.join(
             visited.select("seed", "v"), ["seed", "v"], "left_anti"
-        ).localCheckpoint(eager=False)
+        ).transform(snap)
         visited = visited.unionAll(
             frontier.select(
                 "seed", "v", F.lit(step).cast("int").alias("hop")
             )
-        ).localCheckpoint(eager=False)
+        ).transform(snap)
     return visited
 
 
@@ -452,11 +455,12 @@ def pagerank(
     # partitions beat task-launch overhead; pass ``edge_partitions``
     # explicitly for graphs whose edge count warrants more.
     spark = edges.sparkSession
+    snap = snapshotter(spark)
     parts = _edge_partition_count(spark, edge_partitions)
     # eager=False: defer block materialization to the caller's first
     # action (no hidden job at call time); blocks are reclaimed by the
     # ContextCleaner once the returned lineage is unreachable.
-    sym = sym.repartition(parts, "src").localCheckpoint(eager=False)
+    sym = sym.repartition(parts, "src").transform(snap)
     outdeg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
     base = F.lit((100 - damping_pct) * 10_000).cast("long")
     # Carry outdeg INSIDE the rank frame: each superstep then needs one
@@ -517,11 +521,12 @@ def label_propagation(
     Returns (v, lbl) — final community label per vertex.
     """
     spark = edges.sparkSession
+    snap = snapshotter(spark)
     parts = _edge_partition_count(spark, edge_partitions)
     e = (
         edges.select("src", "dst")
         .repartition(parts, "dst")
-        .localCheckpoint(eager=False)
+        .transform(snap)
     )
     labels = e.select("src").distinct().select(
         F.col("src").alias("v"), F.col("src").alias("lbl")
@@ -537,7 +542,7 @@ def label_propagation(
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("v", "lbl")
-            .localCheckpoint(eager=False)
+            .transform(snap)
         )
     return labels
 
@@ -572,11 +577,12 @@ def kcore_peel(
     inside the surviving subgraph.
     """
     spark = edges.sparkSession
+    snap = snapshotter(spark)
     parts = _edge_partition_count(spark, edge_partitions)
     alive = (
         edges.select("src", "dst")
         .repartition(parts, "src")
-        .localCheckpoint(eager=False)
+        .transform(snap)
     )
     for _ in range(n_rounds):
         survivors = (
@@ -590,7 +596,7 @@ def kcore_peel(
             .join(
                 survivors.withColumnRenamed("src", "dst"), "dst", "left_semi"
             )
-            .localCheckpoint(eager=False)
+            .transform(snap)
         )
     return alive.groupBy("src").agg(
         F.count("*").cast("long").alias("core_deg")
@@ -662,18 +668,7 @@ def random_walks(
     spark = edges.sparkSession
     parts = _edge_partition_count(spark, edge_partitions)
 
-    if reliable_checkpoint_dir is not None:
-        # setCheckpointDir is a SESSION-WIDE mutation that would
-        # silently override (and outlive) any directory the application
-        # already configured — only set it when none is set; an
-        # already-configured directory wins over the argument.
-        if spark.sparkContext.getCheckpointDir() is None:
-            spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
-
-    def _snapshot(df: DataFrame) -> DataFrame:
-        if reliable_checkpoint_dir is not None:
-            return df.checkpoint(eager=False)
-        return df.localCheckpoint(eager=False)
+    _snapshot = snapshotter(spark, reliable_checkpoint_dir)
 
     adj = _snapshot(
         edges.groupBy("src")
@@ -759,14 +754,15 @@ def feature_propagation(
     prefix. Returns (v, h) after ``n_iter`` rounds.
     """
     spark = edges.sparkSession
+    snap = snapshotter(spark)
     parts = _edge_partition_count(spark, edge_partitions)
     e = (
         edges.select("src", "dst")
         .repartition(parts, "src")
-        .localCheckpoint(eager=False)
+        .transform(snap)
     )
     deg = e.groupBy("dst").agg(F.count("*").alias("deg"))
-    h = features.select("v", "h").localCheckpoint(eager=False)
+    h = features.select("v", "h").transform(snap)
     for _ in range(n_iter):
         nbsum = (
             e.join(
@@ -787,7 +783,7 @@ def feature_propagation(
                 .otherwise(F.col("h"))
                 .alias("h"),
             )
-            .localCheckpoint(eager=False)
+            .transform(snap)
         )
     return h
 
@@ -822,15 +818,16 @@ def bellman_ford(
     bit-identically across engines.
     """
     spark = edges.sparkSession
+    snap = snapshotter(spark)
     parts = _edge_partition_count(spark, edge_partitions)
     e = (
         edges.select("src", "dst", "w")
         .repartition(parts, "src")
-        .localCheckpoint(eager=False)
+        .transform(snap)
     )
     dist = seeds.select(
         "seed", F.col("seed").alias("v"), F.lit(0).cast("long").alias("d")
-    ).localCheckpoint(eager=False)
+    ).transform(snap)
     for _ in range(n_rounds):
         cand = (
             dist.withColumnRenamed("v", "src")
@@ -846,6 +843,6 @@ def bellman_ford(
             dist.unionAll(cand)
             .groupBy("seed", "v")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=False)
+            .transform(snap)
         )
     return dist

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from udacity_data_wrangling_osm_case_study_spark.operators.iterative import snap_eager
+
 
 def as_double_vec(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -356,9 +358,9 @@ def train_quantizer(
         )
         .select((F.col("rn") - 1).alias("cell"), "centroid")
     )
-    centroids = seeds.localCheckpoint()
+    centroids = seeds.transform(snap_eager)
     for _ in range(n_iter):
-        centroids = lloyd_step(df, centroids, id_col, vec_col).localCheckpoint()
+        centroids = lloyd_step(df, centroids, id_col, vec_col).transform(snap_eager)
     return centroids
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from udacity_data_wrangling_osm_case_study_spark.operators.iterative import snap_eager
+
 from udacity_data_wrangling_osm_case_study_spark.operators.dedup import (
     content_fingerprint,
     normalize_text,
@@ -461,7 +463,7 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
-    sym = words.select("w", "cnt", chars.alias("syms")).localCheckpoint()
+    sym = words.select("w", "cnt", chars.alias("syms")).transform(snap_eager)
     merges = []
     spark = df.sparkSession
     step = 0
@@ -553,7 +555,7 @@ def bpe_train(
         apply_merges = F.aggregate(
             "syms", F.expr("CAST(array() AS array<string>)"), make_fold(plan)
         )
-        sym = sym.select("w", "cnt", apply_merges.alias("syms")).localCheckpoint()
+        sym = sym.select("w", "cnt", apply_merges.alias("syms")).transform(snap_eager)
     merges_df = spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
     )
@@ -589,7 +591,7 @@ def bpe_encode(
         lambda i: F.col("w").substr(i, F.lit(1)),
     )
     vocab = words.select("w").distinct().select("w", chars.alias("syms"))
-    vocab = vocab.localCheckpoint()
+    vocab = vocab.transform(snap_eager)
     for a, b in merges:
         merged = a + b
         apply_merge = F.aggregate(
@@ -604,7 +606,7 @@ def bpe_encode(
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        vocab = vocab.select("w", apply_merge.alias("syms")).localCheckpoint()
+        vocab = vocab.select("w", apply_merge.alias("syms")).transform(snap_eager)
     enc = vocab.select("w", F.size("syms").alias("n_sym"))
     return (
         words.join(F.broadcast(enc), "w")
