@@ -286,12 +286,209 @@ def run_variant(
     return results
 
 
+# ---------------------------------------------------------------------------
+# Failure shrinking (round-10, VERDICT item 7). The round-9 45-query
+# triage was hand-done: each failure arrived as a whole adversarial
+# variant (10 tables, every unprotected column mutated) and localizing
+# WHICH mutation mattered was the expensive step. --shrink automates
+# it: greedy column-level delta debugging (revert mutated columns back
+# to base one at a time, keep the revert whenever the failure — same
+# SIGNATURE, not just any failure — persists), then per-table row
+# bisection (halve the surviving tables while the failure persists).
+# The minimal repro lands as a parquet dir + a JSON report naming the
+# mutation-carrying columns and final row counts.
+
+
+def _failure_signature(problems: list[str]) -> tuple:
+    """Failure CLASS, stable under shrinking: digits (row counts, byte
+    positions, values) stripped, each problem truncated to its head.
+    Two failures with the same signature are the same bug for
+    delta-debugging purposes; a reduction that morphs the failure into
+    a different class is rejected."""
+    import re
+
+    keys = set()
+    for p in problems:
+        head = re.sub(r"\d+", "#", str(p))[:60]
+        keys.add(head)
+    return tuple(sorted(keys))
+
+
+def _evaluate(spark, sf_dir: str, name: str, queries, oracles):
+    """Run one query vs its oracle on ``sf_dir``; return the problem
+    list (possibly a 1-entry engine-error pseudo-problem) or None when
+    green."""
+    try:
+        mine = queries[name](spark, sf_dir).toPandas()
+    except Exception as e:
+        return [f"spark error: {type(e).__name__}: {str(e).splitlines()[0][:160]}"]
+    finally:
+        spark.catalog.clearCache()
+    if name not in oracles:
+        return None
+    con = duck_connection(sf_dir)
+    try:
+        ora = con.execute(oracles[name]).fetchdf()
+    except Exception as e:
+        return [f"duckdb error: {type(e).__name__}: {str(e).splitlines()[0][:160]}"]
+    finally:
+        con.close()
+    return compare(mine, ora) or None
+
+
+def _mutated_columns(base: str, variant_dir: str) -> dict[str, list[str]]:
+    """Which (table, column) pairs differ between base and variant.
+    Row-count-preserving variants only (numeric seeds; not
+    empty/single)."""
+    diff: dict[str, list[str]] = {}
+    for t in TABLES:
+        b = pq.read_table(f"{base}/{t}.parquet")
+        v = pq.read_table(f"{variant_dir}/{t}.parquet")
+        if b.num_rows != v.num_rows:
+            raise ValueError(
+                f"shrink requires a row-preserving variant; {t} has "
+                f"{b.num_rows} base vs {v.num_rows} variant rows"
+            )
+        cols = [
+            f.name
+            for f in b.schema
+            if b.column(f.name).to_pylist() != v.column(f.name).to_pylist()
+        ]
+        if cols:
+            diff[t] = cols
+    return diff
+
+
+def _materialize(
+    base: str,
+    variant_dir: str,
+    out_dir: str,
+    keep: dict[str, list[str]],
+    row_slices: dict[str, tuple[int, int]],
+) -> None:
+    """Write a candidate repro: base tables with only ``keep``'s
+    columns taken from the variant, each table cut to its
+    ``row_slices`` window (offset, length) when present."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        b = pq.read_table(f"{base}/{t}.parquet")
+        kept = keep.get(t, [])
+        if kept:
+            v = pq.read_table(f"{variant_dir}/{t}.parquet")
+            arrays = [
+                v.column(f.name) if f.name in kept else b.column(f.name)
+                for f in b.schema
+            ]
+            out = pa.table(dict(zip(b.schema.names, arrays)), schema=b.schema)
+        else:
+            out = b
+        if t in row_slices:
+            off, length = row_slices[t]
+            out = out.slice(off, length)
+        pq.write_table(out, f"{out_dir}/{t}.parquet")
+
+
+def shrink_failure(
+    spark,
+    base: str,
+    variant_dir: str,
+    work: str,
+    name: str,
+    queries,
+    oracles,
+    max_checks: int = 200,
+) -> dict:
+    """Minimize a failing (query, variant): greedy column reverts,
+    then per-table row halving, preserving the failure signature.
+    Returns the repro report; the minimal tables land in
+    ``{work}/minimal``."""
+    target = _evaluate(spark, variant_dir, name, queries, oracles)
+    if target is None:
+        raise ValueError(f"{name} does not fail on {variant_dir}")
+    sig = _failure_signature(target)
+    keep = {t: list(cs) for t, cs in _mutated_columns(base, variant_dir).items()}
+    slices: dict[str, tuple[int, int]] = {}
+    cand_dir = os.path.join(work, "candidate")
+    checks = 0
+
+    def still_fails() -> bool:
+        nonlocal checks
+        checks += 1
+        if checks > max_checks:
+            return False
+        _materialize(base, variant_dir, cand_dir, keep, slices)
+        got = _evaluate(spark, cand_dir, name, queries, oracles)
+        return got is not None and _failure_signature(got) == sig
+
+    # Phase 1: column-level delta debugging (greedy revert-to-base).
+    for t in sorted(keep):
+        for c in list(keep[t]):
+            keep[t].remove(c)
+            if not still_fails():
+                keep[t].append(c)
+        if not keep[t]:
+            del keep[t]
+
+    # Phase 2: row bisection, per table (tables still carrying
+    # mutations first, then the rest — a failure can need base rows
+    # too, e.g. a join partner).
+    order = sorted(keep) + [t for t in TABLES if t not in keep]
+    for t in order:
+        n = pq.read_metadata(f"{base}/{t}.parquet").num_rows
+        off, length = 0, n
+        # fast path: a table irrelevant to the failure drops straight
+        # to 0 rows (or 1) in one check instead of log2(n) halvings
+        for quick in ((0, 0), (0, 1)):
+            if quick[1] >= length:
+                continue
+            slices[t] = quick
+            if still_fails():
+                off, length = quick
+                break
+        else:
+            slices[t] = (off, length)
+        while length > 1:
+            half = (length + 1) // 2
+            for cand in ((off, half), (off + length - half, half)):
+                slices[t] = cand
+                if still_fails():
+                    off, length = cand
+                    break
+            else:
+                slices[t] = (off, length)
+                break
+        slices[t] = (off, length)
+
+    _materialize(base, variant_dir, os.path.join(work, "minimal"), keep, slices)
+    final = _evaluate(
+        spark, os.path.join(work, "minimal"), name, queries, oracles
+    )
+    return {
+        "query": name,
+        "signature": list(sig),
+        "mutated_columns_kept": keep,
+        "row_counts": {t: s[1] for t, s in slices.items()},
+        "row_slices": {t: list(s) for t, s in slices.items()},
+        "n_checks": checks,
+        "minimal_dir": os.path.join(work, "minimal"),
+        "final_problems": final,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", default="1,2,3,4,5,empty,single")
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--workdir", default="/tmp/fuzz_oracle")
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--shrink",
+        action="store_true",
+        help="after the sweep, delta-debug the first failing "
+        "(query, variant) down to a minimal repro "
+        "(columns reverted, rows bisected) under "
+        "{workdir}/shrink_{query}_{variant}",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -321,6 +518,24 @@ def main() -> int:
             "skips": {k: v["reason"] for k, v in res.items()
                       if v["status"] == "skip"},
         }
+    if any_fail and args.shrink:
+        for variant, rep in report.items():
+            if not rep["failures"]:
+                continue
+            qname = sorted(rep["failures"])[0]
+            sf_dir = os.path.join(args.workdir, f"seed_{variant}")
+            work = os.path.join(args.workdir, f"shrink_{qname}_{variant}")
+            print(f"== shrinking {qname} on variant {variant} ...")
+            try:
+                repro = shrink_failure(
+                    spark, args.base, sf_dir, work, qname, queries, oracles
+                )
+            except ValueError as e:
+                print(f"shrink skipped: {e}")
+                break
+            report[variant]["shrunk_repro"] = repro
+            print(json.dumps(repro, indent=1, sort_keys=True))
+            break
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)
