@@ -81,6 +81,22 @@ def main() -> int:
             traceback.print_exc(limit=2)
         finally:
             spark.catalog.clearCache()
+            # Reliable-checkpoint mode (SPARK_GRAFT_CHECKPOINT_DIR —
+            # how a long sweep session survives block shedding, see
+            # operators/iterative.py): purge the finished query's
+            # checkpoint files so 30+ heavy queries don't accumulate
+            # GBs of dead snapshots (the ContextCleaner only reclaims
+            # them under cleanCheckpoints=true, and only on GC).
+            ckpt = spark.sparkContext.getCheckpointDir()
+            if ckpt and ckpt.startswith("file:"):
+                import shutil
+                from urllib.parse import urlparse
+
+                for sub in os.listdir(urlparse(ckpt).path):
+                    shutil.rmtree(
+                        os.path.join(urlparse(ckpt).path, sub),
+                        ignore_errors=True,
+                    )
 
     n_all_null = sum(1 for r in results.values() if r.get("all_null_cols"))
     summary = {
