@@ -195,3 +195,199 @@ def test_crash_mid_append_leaves_index_complete(spark, tmp_path):
             substrings.incremental_span_coverage(batch, clean_idx).collect())
     )
     assert got == want
+
+
+def test_concurrent_dedup_index_builds_read_complete(spark, tmp_path):
+    """Two sessions race the full LSH dedup index BUILD (not appends)
+    on identical input. Before the stage-then-rename protocol the
+    survivor read a 2x bands relation (both static-overwrite jobs
+    committed into the shared directory — measured 4000 vs 2000 rows);
+    now the published index must census-match a clean solo build."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+
+    idx = str(tmp_path / "race_build_idx")
+    code = f"""
+    import sys
+    sys.path.insert(0, {REPO!r})
+    from udacity_data_wrangling_osm_case_study_spark.session import get_spark
+    from udacity_data_wrangling_osm_case_study_spark.operators import dedup
+    spark = get_spark(app_name="race-dedup-build", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dedup.build_dedup_index(docs, {idx!r})
+    print("BUILD-OK")
+    """
+    p1, p2 = _run_py(code), _run_py(code)
+    out1 = p1.communicate(timeout=300)[0]
+    out2 = p2.communicate(timeout=300)[0]
+    assert b"BUILD-OK" in out1 or b"BUILD-OK" in out2, (out1[-800:], out2[-800:])
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clean = str(tmp_path / "clean_idx")
+    dedup.build_dedup_index(docs, clean)
+    for rel in ("bands", "postings", "sizes"):
+        raced = spark.read.parquet(f"{idx}/{rel}").count()
+        want = spark.read.parquet(f"{clean}/{rel}").count()
+        assert raced == want, (rel, raced, want)
+    # no stage/old orphans published as siblings a reader could open
+    sibs = [d for d in os.listdir(tmp_path) if d.startswith("race_build_idx.")]
+    assert sibs == [], sibs
+    # and the artifact is probe-ready end to end
+    assert dedup.read_index_meta(idx)["num_hashes"] == 8
+    probe = docs.limit(20)
+    assert dedup.incremental_near_dupes(probe, idx, min_jaccard=0.0).count() > 0
+
+
+def _cdc_base(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return spark.range(1, 101).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("val"),
+    )
+
+
+def _cdc_batch(spark, which: str):
+    if which == "A":
+        return spark.range(1, 101).filter(F.col("id") % 2 == 0).select(
+            F.col("id").alias("k"),
+            F.lit(1).cast("long").alias("val"),
+            F.lit(False).alias("dead"),
+            F.lit(1).alias("seq"),
+        )
+    return spark.range(1, 101).filter(F.col("id") % 3 == 0).select(
+        F.col("id").alias("k"),
+        F.lit(2).cast("long").alias("val"),
+        (F.col("id") == 3).alias("dead"),
+        F.lit(1).alias("seq"),
+    )
+
+
+def _cdc_expected_outcomes(spark):
+    """The four linearizable outcomes of two racing single-batch
+    writers: each applies over v0, or over the other's result
+    (depending on who flipped the pointer first)."""
+    from udacity_data_wrangling_osm_case_study_spark.streaming import cdc_apply
+    from udacity_data_wrangling_osm_case_study_spark.operators import upsert
+
+    base = _cdc_base(spark)
+
+    def apply(parent, which):
+        latest = cdc_apply.collapse_changes(_cdc_batch(spark, which), "k")
+        return upsert.merge_upsert(parent, latest, "k", "dead")
+
+    outcomes = []
+    for program in ("A", "B", "AB", "BA"):
+        snap = base
+        for w in program:
+            snap = apply(snap, w)
+        outcomes.append(sorted(map(tuple, snap.select("k", "val").collect())))
+    return outcomes
+
+
+def test_concurrent_cdc_snapshot_writers_absent_or_complete(spark, tmp_path):
+    """Two sessions each MERGE a different change batch into one
+    versioned CDC snapshot target concurrently. The versioned-dir +
+    atomic pointer-flip protocol must leave the pointer naming a
+    COMPLETE snapshot equal to one of the four linearizable outcomes —
+    never a half-written directory, never a mix of both merges."""
+    from udacity_data_wrangling_osm_case_study_spark.streaming import cdc_apply
+
+    target = str(tmp_path / "cdc_target")
+    os.makedirs(target)
+    base = _cdc_base(spark).withColumn("dead", F.lit(False)).withColumn(
+        "seq", F.lit(0)
+    )
+    cdc_apply.apply_cdc_batch(spark, base, 0, target, "k", tombstone_col="dead")
+    assert cdc_apply.snapshot_version(target) == 0
+
+    def writer_code(which: str, batch_id: int) -> str:
+        return f"""
+        import sys
+        sys.path.insert(0, {REPO!r})
+        from pyspark.sql import functions as F
+        from udacity_data_wrangling_osm_case_study_spark.session import get_spark
+        from udacity_data_wrangling_osm_case_study_spark.streaming import cdc_apply
+        import tests.test_index_concurrency as tic
+        spark = get_spark(app_name="cdc-{which}", shuffle_partitions=4)
+        spark.sparkContext.setLogLevel("ERROR")
+        cdc_apply.apply_cdc_batch(
+            spark, tic._cdc_batch(spark, {which!r}), {batch_id},
+            {target!r}, "k", tombstone_col="dead",
+        )
+        print("CDC-OK")
+        """
+
+    p1 = _run_py(writer_code("A", 1))
+    p2 = _run_py(writer_code("B", 2))
+    out1 = p1.communicate(timeout=300)[0]
+    out2 = p2.communicate(timeout=300)[0]
+    assert b"CDC-OK" in out1, out1[-800:]
+    assert b"CDC-OK" in out2, out2[-800:]
+
+    v = cdc_apply.snapshot_version(target)
+    assert v in (1, 2)
+    got = sorted(
+        map(
+            tuple,
+            cdc_apply.read_snapshot(spark, target).select("k", "val").collect(),
+        )
+    )
+    assert got in _cdc_expected_outcomes(spark)
+
+
+def test_crash_mid_cdc_snapshot_write_keeps_previous(spark, tmp_path):
+    """A writer killed mid-snapshot-write never moves the pointer: the
+    crashed version directory holds only staged committer files, the
+    pointer still names the previous COMPLETE version, and the batch
+    retry (same batch_id, same parent) converges to the clean merge —
+    the exactly-once contract under at-least-once delivery."""
+    from udacity_data_wrangling_osm_case_study_spark.streaming import cdc_apply
+
+    target = str(tmp_path / "cdc_crash")
+    os.makedirs(target)
+    base = _cdc_base(spark).withColumn("dead", F.lit(False)).withColumn(
+        "seq", F.lit(0)
+    )
+    cdc_apply.apply_cdc_batch(spark, base, 0, target, "k", tombstone_col="dead")
+    before = sorted(
+        map(
+            tuple,
+            cdc_apply.read_snapshot(spark, target).select("k", "val").collect(),
+        )
+    )
+
+    # SIGKILL mid-write artifacts: v1 exists with only staged committer
+    # files (no _SUCCESS, no data promoted), pointer never flipped
+    staged = os.path.join(
+        target, "v1", "_temporary", "0", "_temporary", "attempt_000"
+    )
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00" * 128)
+    assert cdc_apply.snapshot_version(target) == 0
+    assert (
+        sorted(
+            map(
+                tuple,
+                cdc_apply.read_snapshot(spark, target)
+                .select("k", "val")
+                .collect(),
+            )
+        )
+        == before
+    )
+
+    # retry the batch: same id, same parent — overwrite replaces the
+    # crash debris; the pointer flips; result equals a never-crashed run
+    cdc_apply.apply_cdc_batch(
+        spark, _cdc_batch(spark, "A"), 1, target, "k", tombstone_col="dead"
+    )
+    assert cdc_apply.snapshot_version(target) == 1
+    got = sorted(
+        map(
+            tuple,
+            cdc_apply.read_snapshot(spark, target).select("k", "val").collect(),
+        )
+    )
+    assert got == _cdc_expected_outcomes(spark)[0]  # the "A over v0" merge

@@ -338,11 +338,35 @@ def build_dedup_index(
     batch as its own partition, and a RETRIED batch dynamically
     overwrites only its own partition — exactly-once index maintenance
     under at-least-once stream semantics.
+
+    Publish protocol (stage-then-rename, the same discipline as
+    ``substrings.build_gram_index_bucketed``): the whole index is
+    written to a UNIQUE sibling staging directory and atomically
+    renamed into place. Two sessions rebuilding the same ``index_dir``
+    in place were measured leaving a 2x ``bands`` relation (both
+    static-overwrite jobs committed part files into the shared
+    directory — tests/test_index_concurrency.py); with staging, racing
+    builders touch disjoint directories, one directory rename
+    publishes, and the loser's equivalent build is discarded. A crash
+    at any point leaves the index absent or the previous/new build
+    complete, never a mix (orphaned ``.stage-``/``.old-`` siblings are
+    retriable garbage, invisible to readers). The os-level rename
+    targets the local-FS artifact this builder writes (meta.json
+    already rides a local ``open()``); a cluster deployment on object
+    storage would publish through a table format's atomic snapshot
+    commit instead.
     """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    index_dir = index_dir.rstrip("/")
+    stage = f"{index_dir}.stage-{uuid.uuid4().hex[:12]}"
     sh = word_shingles(docs, n=n, max_shingle_df=max_shingle_df)
     sh = sh.persist()
     try:
-        _write_index_batch(sh, index_dir, "base", num_hashes, rows_per_band,
+        _write_index_batch(sh, stage, "base", num_hashes, rows_per_band,
                            overwrite_mode="static")
     finally:
         sh.unpersist()
@@ -350,10 +374,7 @@ def build_dedup_index(
     # probes MUST use the same shingling/banding parameters or the
     # index partitions become mutually inconsistent (asymmetric
     # postings corrupt Jaccard; mismatched bands miss candidates).
-    import json
-    import os
-
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+    with open(os.path.join(stage, "meta.json"), "w") as f:
         json.dump(
             {
                 "num_hashes": num_hashes,
@@ -363,6 +384,28 @@ def build_dedup_index(
             },
             f,
         )
+    try:
+        # fast path: target absent — one atomic rename publishes
+        os.rename(stage, index_dir)
+        return
+    except OSError:
+        pass
+    # Rebuild over an existing index (or a race already published):
+    # move the live index aside, rename the stage in; a loser whose
+    # second rename ALSO fails discards its own stage — the winner's
+    # published build is equivalent (same input) and stays intact.
+    old = f"{index_dir}.old-{uuid.uuid4().hex[:12]}"
+    try:
+        os.rename(index_dir, old)
+    except FileNotFoundError:
+        pass
+    try:
+        os.rename(stage, index_dir)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.isdir(index_dir):
+            raise
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def read_index_meta(index_dir: str) -> dict:
