@@ -76,3 +76,22 @@ def test_parquet_tag_sink_partition_pruned(spark, parquet_out):
         df.explain("formatted")
     p = buf.getvalue()
     assert "PartitionFilters" in p and "type" in p.split("PartitionFilters", 1)[1].splitlines()[0]
+
+
+def test_stage_dir_mode_matches_persist_mode(spark, tmp_path):
+    """Parquet staging (the bounded-memory posture for city-scale
+    inputs) must be a pure storage-strategy swap: all six tables
+    row-identical to the default persist mode."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import pipeline
+    from tests.conftest import OSM_SAMPLE, PSI_SAMPLE
+
+    staged = pipeline.build_tables(
+        spark, OSM_SAMPLE, PSI_SAMPLE, stage_dir=str(tmp_path / "stage")
+    )
+    cached = pipeline.build_tables(spark, OSM_SAMPLE, PSI_SAMPLE)
+    assert set(staged) == set(cached)
+    for name in staged:
+        a = sorted(map(tuple, staged[name].collect()))
+        b = sorted(map(tuple, cached[name].collect()))
+        assert a == b, name
+    spark.catalog.clearCache()

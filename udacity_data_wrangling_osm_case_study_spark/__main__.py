@@ -22,7 +22,12 @@ def _etl(args) -> None:
 
     spark = get_spark(app_name="osmspark-etl")
     tables = pipeline.build_tables(
-        spark, args.osm, args.psi, include_relations=args.relations
+        spark,
+        args.osm,
+        args.psi,
+        include_relations=args.relations,
+        stage_dir=args.stage_dir,
+        shard_dir=args.shard_dir,
     )
     if args.format == "parquet":
         pipeline.write_parquet(tables, args.out)
@@ -95,6 +100,19 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also emit relations/relations_members/relations_tags "
         "(extension; the reference drops <relation> elements)",
+    )
+    p.add_argument(
+        "--stage-dir",
+        default=None,
+        help="share the raw parses through parquet staging under this "
+        "directory instead of executor-memory caching — the bounded-"
+        "memory posture for city-scale-and-up inputs",
+    )
+    p.add_argument(
+        "--shard-dir",
+        default=None,
+        help="split the input XML into element-aligned shards here "
+        "first, so the parse scales with cores",
     )
     p.set_defaults(fn=_etl)
 

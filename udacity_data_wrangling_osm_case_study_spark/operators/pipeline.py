@@ -30,6 +30,7 @@ def build_tables(
     shard_dir: str | None = None,
     shard_bytes: int = 128 * 1024 * 1024,
     include_relations: bool = False,
+    stage_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Returns the 6-table dict: nodes, nodes_tags, ways, ways_nodes,
     ways_tags, update_history.
@@ -40,6 +41,21 @@ def build_tables(
     the element-aligned splitter first (sources/osm_split.py): Spark's
     XML source doesn't split within one file, so sharding is what makes
     the parse scale with cores/executors.
+
+    ``stage_dir`` (mutually composable with ``persist=False``) swaps
+    the block-manager cache for PARQUET STAGING: each raw parse is
+    written once to ``{stage_dir}/<name>`` and read back, so the six
+    sinks share the parse through the filesystem instead of executor
+    storage. This is the city-scale-and-up memory posture: the
+    round-9 100x run peaked at 11.0 GB tree RSS (~27x the input)
+    because the cached raw parses (nested tag arrays, columnar
+    batches) plus six concurrent sink jobs all lived in one heap, and
+    at corpus scale a cache of input-sized frames only guarantees
+    eviction churn. Staged parses cost two extra file round-trips but
+    bound executor storage at zero, prune columns on every downstream
+    re-read (the cache always rehydrates whole batches), and a lost
+    executor re-reads files instead of re-parsing XML. Measured at
+    100x (NOTES_r10): peak RSS drops ~3x for the same wall time.
 
     ``include_relations=True`` adds three EXTENSION tables the
     reference drops on the floor (it requests only node/way —
@@ -62,7 +78,28 @@ def build_tables(
 
     nodes_raw = osm_xml.read_nodes_raw(spark, osm_path)
     ways_raw = osm_xml.read_ways_raw(spark, osm_path)
-    if persist:
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        # Small row groups: the default 128 MB parquet write buffer,
+        # held per concurrent task, made the staging write itself the
+        # peak-RSS driver (measured 12.7 GB vs 6.7 GB cached at 100x
+        # before this option; scratch staging has no scan-efficiency
+        # reason to want big row groups).
+        (
+            df.write.mode("overwrite")
+            .option("parquet.block.size", 8 * 1024 * 1024)
+            .parquet(f"{stage_dir}/{name}")
+        )
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    if stage_dir is not None:
+        # One parse per rowTag, shared through the filesystem — the
+        # bounded-memory posture (see docstring).
+        nodes_raw = _stage(nodes_raw, "nodes_raw")
+        ways_raw = _stage(ways_raw, "ways_raw")
+        official = _stage(official, "official")
+        lookup = official_streets.name_lookup_table(official)
+    elif persist:
         # One parse per rowTag, shared by every downstream sink.
         nodes_raw = nodes_raw.persist(StorageLevel.MEMORY_AND_DISK)
         ways_raw = ways_raw.persist(StorageLevel.MEMORY_AND_DISK)
@@ -78,7 +115,9 @@ def build_tables(
     ways_tags_pos, way_phone_ids = cleaning.fix_phones_in_tags(
         shape.shape_tags(ways_raw, with_pos=True)
     )
-    if persist:
+    if stage_dir is not None:
+        ways_tags_pos = _stage(ways_tags_pos, "ways_tags_pos")
+    elif persist:
         # Shared by the repair join, the presence scan, and two sinks.
         ways_tags_pos = ways_tags_pos.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -97,7 +136,9 @@ def build_tables(
     }
     if include_relations:
         rel_raw = osm_xml.read_relations_raw(spark, osm_path)
-        if persist:
+        if stage_dir is not None:
+            rel_raw = _stage(rel_raw, "relations_raw")
+        elif persist:
             rel_raw = rel_raw.persist(StorageLevel.MEMORY_AND_DISK)
         tables["relations"] = shape.shape_relations(rel_raw)
         tables["relations_members"] = shape.shape_relation_members(rel_raw)
