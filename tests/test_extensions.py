@@ -1738,13 +1738,23 @@ def test_random_walks_partition_validation_and_reliable_checkpoint(
         (r.anchor, r.step): r.context
         for r in graph.random_walks(df, n_steps=2).collect()
     }
-    reliable = {
-        (r.anchor, r.step): r.context
-        for r in graph.random_walks(
-            df, n_steps=2,
-            reliable_checkpoint_dir=str(tmp_path / "ckpt"),
-        ).collect()
-    }
+    # random_walks sets the SESSION-WIDE checkpoint dir when none is
+    # configured (documented); since round 10 an app-level dir flips
+    # EVERY superstep operator to reliable snapshots (iterative.py
+    # resolution rule 4), so restore the shared fixture session's
+    # default or later tests inherit reliable mode.
+    had_dir = spark.sparkContext.getCheckpointDir()
+    try:
+        reliable = {
+            (r.anchor, r.step): r.context
+            for r in graph.random_walks(
+                df, n_steps=2,
+                reliable_checkpoint_dir=str(tmp_path / "ckpt"),
+            ).collect()
+        }
+    finally:
+        if had_dir is None:
+            spark.sparkContext._jsc.sc().setCheckpointDir(None)
     assert local == reliable and len(local) == 3 * 2
 
 

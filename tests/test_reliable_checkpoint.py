@@ -60,6 +60,21 @@ class _KillingSnapshots:
         return killing_snap
 
 
+@pytest.fixture(autouse=True)
+def _pristine_checkpoint_state(spark):
+    """These tests assert against the DEFAULT snapshot mode, so any
+    session-wide checkpoint dir another test left behind (random_walks
+    sets one when asked for reliable mode) must be cleared first and
+    restored after — resolution rule 4 would otherwise flip the module
+    to reliable mode by accident."""
+    had = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext._jsc.sc().setCheckpointDir(None)
+    try:
+        yield
+    finally:
+        spark.sparkContext._jsc.sc().setCheckpointDir(had)
+
+
 @pytest.fixture
 def reliable(spark, tmp_path):
     """Reliable-checkpoint mode for the duration of one test, fully

@@ -109,8 +109,13 @@ def snapshotter(
     # override (and outlive) any directory the application already
     # configured — only set it when none is set; an existing directory
     # wins and the resolved value only switches the snapshot mode.
-    if spark.sparkContext.getCheckpointDir() is None:
-        spark.sparkContext.setCheckpointDir(d)
+    try:
+        if spark.sparkContext.getCheckpointDir() is None:
+            spark.sparkContext.setCheckpointDir(d)
+    except Exception:
+        # Spark Connect: no sparkContext — route the directory through
+        # the conf the connect server reads for Dataset.checkpoint.
+        spark.conf.set("spark.checkpoint.dir", d)
 
     def snap(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=eager)
