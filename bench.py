@@ -317,6 +317,59 @@ BENCH_EXCLUDED: dict[str, str] = {
 }
 
 
+# Environment fingerprint (VERDICT r9 item 2): rounds 7 and 9 each burned
+# a full adjudication cycle proving that a 20-30% total drift was uniform
+# host slowdown, not a plan regression. The bench now measures the rig
+# itself with two fixed calibration probes and prints a total NORMALIZED
+# by the host-speed factor, so a drifted rig self-reports instead of
+# looking like a code change.
+#
+# Reference probe costs, pinned on the round-10 tree (idle rig,
+# loadavg 0.05, 32 CPUs): re-pin ONLY when the probe workloads change.
+CALIBRATION_REF = {"cpu_probe_sec": 0.100, "jvm_probe_sec": 0.194}
+
+
+def _cpu_probe() -> float:
+    """Fixed single-threaded CPU-bound probe: SHA-256 over 128 MB of
+    deterministic data (2000 x 64 KiB, GIL-released C loop). Pure host
+    speed — independent of Spark/JVM state; CPU steal and thermal
+    throttling show up here exactly as they do in query wall times."""
+    import hashlib
+
+    best = float("inf")
+    for _ in range(5):
+        buf = b"\x5a" * 65536
+        t0 = time.perf_counter()
+        for _ in range(2000):
+            buf = (hashlib.sha256(buf).digest() * 2048)[:65536]
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _jvm_probe(spark) -> float:
+    """Fixed 32-partition codegen aggregation (50M-row range sum) —
+    captures JVM/codegen/GC health; diagnostic only (JVM state drifts
+    with session age, so normalization uses the CPU probe)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * id % 1000003) AS s"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _calibration(spark) -> dict:
+    load1, load5, load15 = os.getloadavg()
+    return {
+        "cpu_probe_sec": round(_cpu_probe(), 4),
+        "jvm_probe_sec": round(_jvm_probe(spark), 4),
+        "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+        "cpu_count": os.cpu_count(),
+    }
+
+
 def _bench_osm_etl(spark, osm: str, psi: str) -> float:
     """Best-of-3 full OSM ETL on the reference's own sample —
     comparable to BASELINE.md's measured 2.75 s reference wall time
@@ -360,6 +413,8 @@ def main() -> None:
     # Warm the JVM/session so per-query numbers measure the queries.
     queries["table_counts"](spark, sf_dir).collect()
 
+    calib_pre = _calibration(spark)
+
     # Full OSM ETL on the reference's own sample — measured FIRST,
     # right after warm-up: after ~90 query collects the long-lived JVM
     # accumulates enough code-cache/GC churn to inflate a
@@ -379,6 +434,7 @@ def main() -> None:
     # recorded number reproducible on an immediate re-run while keeping
     # wall time near the old best-of-2 cost for stable queries.
     timings: dict[str, float] = {}
+    query_runs: dict[str, dict] = {}
     for name in HEADLINE:
         runs: list[float] = []
         for attempt in range(4):
@@ -397,9 +453,25 @@ def main() -> None:
                 # discordant fast pair — a host stall may have landed on
                 # a run; give the JVM a GC breather before resampling
                 spark._jvm.System.gc()
+        fast2 = sorted(runs)[:2]
+        query_runs[name] = {
+            "runs": [round(r, 3) for r in runs],
+            # False after 4 attempts means every pairing disagreed >10%
+            # — flags the queries whose recorded min is least trustworthy
+            "concordant": fast2[1] <= fast2[0] * 1.10,
+        }
         timings[name] = round(min(runs), 3)
 
+    calib_post = _calibration(spark)
+    # Host-speed factor: how much slower this rig ran than the pinned
+    # reference (1.0 = reference speed; 1.2 = 20% slower host). Uses the
+    # better of the pre/post CPU probes — if even the best probe is slow,
+    # the whole run was, and the normalized total discounts it.
+    cpu_best = min(calib_pre["cpu_probe_sec"], calib_post["cpu_probe_sec"])
+    host_speed_factor = round(cpu_best / CALIBRATION_REF["cpu_probe_sec"], 3)
+
     total = round(sum(timings.values()), 3)
+    total_normalized = round(total / host_speed_factor, 3)
     # The full per-query map (120+ entries) once made the stdout line so
     # long the driver tail-truncated it (BENCH_r02.json parsed: null).
     # Keep the printed line SHORT — totals, sf, ETL, and the slowest
@@ -417,6 +489,8 @@ def main() -> None:
     out = {
         "metric": "headline_queries_wall_sec",
         "value": total,
+        "value_normalized": total_normalized,
+        "host_speed_factor": host_speed_factor,
         "unit": "sec",
         "n_queries": len(timings),
         "queries": slowest,
@@ -425,13 +499,22 @@ def main() -> None:
     }
     if osm_etl_sec is not None:
         out["osm_etl_shatin_sec"] = osm_etl_sec
+    discordant = sorted(
+        n for n, r in query_runs.items() if not r["concordant"]
+    )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      queries_file),
         "w",
     ) as f:
         json.dump({"sf": out["sf"], "total_sec": total,
-                   "osm_etl_shatin_sec": osm_etl_sec, "queries": timings},
+                   "total_sec_normalized": total_normalized,
+                   "host_speed_factor": host_speed_factor,
+                   "calibration": {"ref": CALIBRATION_REF,
+                                   "pre": calib_pre, "post": calib_post},
+                   "discordant_queries": discordant,
+                   "osm_etl_shatin_sec": osm_etl_sec, "queries": timings,
+                   "query_runs": query_runs},
                   f, indent=1, sort_keys=True)
     print(json.dumps(out))
 

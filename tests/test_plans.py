@@ -413,6 +413,39 @@ def test_bench_manifest_covers_registry():
     assert all(bench.BENCH_EXCLUDED.values()), "empty exclusion reason"
 
 
+def test_bench_calibration_probes(spark):
+    """The bench's environment fingerprint (VERDICT r9 item 2) must
+    produce sane, reproducible numbers: the CPU probe is a fixed
+    deterministic workload whose cost sits within a broad band of the
+    pinned reference (an order-of-magnitude excursion means the probe
+    workload changed without re-pinning CALIBRATION_REF), and the JVM
+    probe runs a real 32-partition job. Two back-to-back CPU probes must
+    agree closely — that stability is what makes the normalized bench
+    total trustworthy."""
+    import importlib.util
+    import os
+
+    bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )
+    spec = importlib.util.spec_from_file_location("bench_calib", bench_path)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    ref = bench.CALIBRATION_REF["cpu_probe_sec"]
+    p1, p2 = bench._cpu_probe(), bench._cpu_probe()
+    # Band is deliberately wide (0.2x–5x): it tolerates any plausible
+    # rig, and only trips when the probe's WORKLOAD no longer matches
+    # the pinned reference constant.
+    assert 0.2 * ref < p1 < 5 * ref, f"re-pin CALIBRATION_REF: probe {p1}"
+    assert min(p1, p2) / max(p1, p2) > 0.7, (p1, p2)
+
+    calib = bench._calibration(spark)
+    assert calib["jvm_probe_sec"] > 0
+    assert len(calib["loadavg"]) == 3
+    assert calib["cpu_count"] >= 1
+
+
 def test_q2_min_cost_supplier_window_decorrelation(spark):
     """Q2 shape: the correlated per-part MIN must decorrelate to ONE
     window over the region-restricted partsupp — no groupBy + join-back
