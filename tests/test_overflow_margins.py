@@ -326,3 +326,39 @@ def test_time_weighted_avg_wsum_past_bigint(spark, tmp_path):
     row = queries["event_value_time_weighted_avg"](spark, str(d)).first()
     assert row.span_s == gap_s * (n - 1)
     assert row.twa_micro == wsum * 10000 // (gap_s * (n - 1))
+
+
+def test_ewma_scale_past_bigint(spark, tmp_path):
+    """Round-10 fresh-seed fuzz (variant 8m) crash witness: ewma_num is
+    bounded by max_cents*2^16 (operator contract) but the x10000
+    micro-unit scale is not — at ~1e12-cent values num*10000 ~ 6.6e20
+    passes 2^63 and ANSI multiplication threw. The scale now rides
+    DECIMAL(38,0); the result must equal exact Python big-int EWMA."""
+    import pyspark.sql.functions as F
+
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+    cents = 10**12  # value = 1e10, exactly representable as double
+    n = 20          # > lookback so both full and partial windows occur
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id") * 60)).alias("ts"),
+        F.lit(3).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(cents / 100.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    d = tmp_path / "sf"
+    events.write.parquet(str(d / "events.parquet"))
+    full_num = cents * (2**16 - 1)
+    assert full_num < I64_MAX        # the accumulation itself stays long
+    assert full_num * 10000 > I64_MAX  # the pre-fix scale provably overflows
+    queries, _ = registry.load_all()
+    rows = queries["event_value_ewma"](spark, str(d)).collect()
+    assert len(rows) == n
+    for t, row in enumerate(rows, start=1):  # ordered by event_id
+        s = min(t, 16)
+        num = cents * (2**s - 1)  # constant series: sum of 2^0..2^(s-1)
+        assert row.n_window == s
+        assert row.ewma_micro == num * 10000 // (2**s - 1) == cents * 10000

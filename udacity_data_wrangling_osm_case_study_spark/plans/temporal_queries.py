@@ -191,7 +191,16 @@ def event_value_ewma(spark, sf_dir):
         "user_id",
         "event_id",
         F.col("n_window").cast("long").alias("n_window"),
-        F.expr("ewma_num * 10000 div ewma_den").alias("ewma_micro"),
+        # ewma_num is bounded by max_cents*2^16 (operator docstring) —
+        # but the x10000 micro-unit scale is NOT: at 1e6-magnitude
+        # values (fuzz variant 8m) num*10000 ~ 8e19 > 2^63 and ANSI
+        # multiplication throws. Widen the scale through DECIMAL(38,0)
+        # (the gini pattern); IntegralDivide still returns BIGINT, so
+        # the output schema is unchanged. DuckDB's SUM already returns
+        # HUGEINT, so the oracle side was never at risk.
+        F.expr(
+            "cast(ewma_num as decimal(38,0)) * 10000 div ewma_den"
+        ).alias("ewma_micro"),
     ).orderBy("user_id", "event_id")
 
 
