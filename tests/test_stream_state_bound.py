@@ -88,11 +88,25 @@ def _land(df, src_dir: str, tag: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _soak(spark, build_stream, name: str, mode: str, tmp_path, span_sec=600):
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _soak(spark, build_stream, name: str, mode: str, tmp_path,
+          span_sec=600, provider: str | None = None):
     """Land BATCHES batches while the query runs; return per-batch
-    (state_rows_total, rows_removed, cumulative_input) plus the sink."""
+    (state_rows_total, rows_removed) plus the sink and the final
+    progress's state-operator entries (for provider metrics). When
+    ``provider`` is given the state-store provider conf is set for the
+    query and restored afterwards (session-shared fixture — a leaked
+    conf would silently flip every later streaming test's store)."""
     src = str(tmp_path / "src")
     os.makedirs(src, exist_ok=True)
+    prior = spark.conf.get(_PROVIDER_CONF, None)
+    if provider:
+        spark.conf.set(_PROVIDER_CONF, provider)
     stream = build_stream(spark.readStream.schema(SCHEMA).parquet(src))
     q = (
         stream.writeStream.format("memory")
@@ -101,22 +115,26 @@ def _soak(spark, build_stream, name: str, mode: str, tmp_path, span_sec=600):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    state_rows, removed, cum_input = [], [], []
-    seen = 0
+    state_rows, removed, last_ops = [], [], []
     try:
         for i in range(BATCHES):
             _land(_mk_batch(spark, i, span_sec), src, f"b{i}")
             q.processAllAvailable()
-            seen += ROWS
             p = q.lastProgress
-            ops = p["stateOperators"]
-            assert ops, f"{name}: no stateful operator in progress"
-            state_rows.append(sum(op["numRowsTotal"] for op in ops))
-            removed.append(sum(op.get("numRowsRemoved", 0) for op in ops))
-            cum_input.append(seen)
+            last_ops = p["stateOperators"]
+            assert last_ops, f"{name}: no stateful operator in progress"
+            state_rows.append(sum(op["numRowsTotal"] for op in last_ops))
+            removed.append(
+                sum(op.get("numRowsRemoved", 0) for op in last_ops)
+            )
     finally:
         q.stop()
-    return state_rows, removed, spark.table(name)
+        if provider:
+            if prior is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prior)
+    return state_rows, removed, spark.table(name), last_ops
 
 
 def _assert_bounded(name: str, state_rows, removed, expect_removed=True):
@@ -148,7 +166,7 @@ def test_dedup_state_bounded(spark, tmp_path):
     settle near the keys of ~2 batches and must have evicted most of
     the inserted keys by the end — while the sink still emits every
     (unique) row exactly once."""
-    state_rows, removed, sink = _soak(
+    state_rows, removed, sink, _ = _soak(
         spark,
         lambda src: events_stream.dedup_events_stream(src, watermark="10 minutes"),
         "state_bound_dedup",
@@ -168,7 +186,7 @@ def test_windowed_counts_state_bounded(spark, tmp_path):
     the watermark passes each 5-minute window it must be emitted and
     evicted, so state stays at a few horizons' worth of windows while
     10 batches x 2 windows/batch x 4 types accumulate in the sink."""
-    state_rows, removed, sink = _soak(
+    state_rows, removed, sink, _ = _soak(
         spark,
         lambda src: events_stream.windowed_event_counts(
             src, window="5 minutes", watermark="10 minutes"
@@ -198,7 +216,7 @@ def test_session_window_state_bounded(spark, tmp_path):
     must hold only the sessions still inside the watermark horizon —
     not one open session per user forever, and never the full session
     history that accumulates in the sink."""
-    state_rows, removed, sink = _soak(
+    state_rows, removed, sink, _ = _soak(
         spark,
         lambda src: events_stream.session_window_stats(
             src, gap="2 minutes", watermark="10 minutes"
@@ -218,3 +236,35 @@ def test_session_window_state_bounded(spark, tmp_path):
     assert sink.count() >= (BATCHES - 2) * USERS
     assert sink.count() > state_rows[-1]
     assert sink.where(F.col("n_events") <= 0).count() == 0
+
+
+def test_dedup_state_bounded_rocksdb(spark, tmp_path):
+    """The same worst-case dedup soak on the RocksDB state-store
+    provider — the cluster posture at scale, where the default
+    HDFS-backed store's in-executor-memory maps are the OOM risk the
+    bound exists to prevent. The provider must actually engage (RocksDB
+    custom metrics present in the progress), the horizon bound must
+    hold identically, and emission must stay exactly-once."""
+    state_rows, removed, sink, last_ops = _soak(
+        spark,
+        lambda src: events_stream.dedup_events_stream(src, watermark="10 minutes"),
+        "state_bound_dedup_rocks",
+        "append",
+        tmp_path,
+        provider=ROCKSDB_PROVIDER,
+    )
+    assert any(
+        "rocksdb" in k.lower()
+        for op in last_ops
+        for k in op.get("customMetrics", {})
+    ), "RocksDB provider did not engage"
+    _assert_bounded("dedup_rocksdb", state_rows, removed)
+    total_keys = BATCHES * ROWS
+    assert state_rows[-1] <= total_keys // 2, (state_rows, total_keys)
+    assert sink.count() == total_keys
+    assert sink.select("event_id").distinct().count() == total_keys
+    # the conf restore held — later streaming tests get the default store
+    assert (
+        spark.conf.get(_PROVIDER_CONF, None) in (None, "")
+        or "RocksDB" not in spark.conf.get(_PROVIDER_CONF)
+    )
