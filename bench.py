@@ -326,7 +326,49 @@ BENCH_EXCLUDED: dict[str, str] = {
 #
 # Reference probe costs, pinned on the round-10 tree (idle rig,
 # loadavg 0.05, 32 CPUs): re-pin ONLY when the probe workloads change.
-CALIBRATION_REF = {"cpu_probe_sec": 0.100, "jvm_probe_sec": 0.194}
+CALIBRATION_REF = {
+    "cpu_probe_sec": 0.100,
+    "mt_probe_sec": 0.154,
+    "jvm_probe_sec": 0.194,
+}
+
+# Self-contained multi-core probe, run in a fresh subprocess: one
+# SHA-256 worker PROCESS per CPU (this Python's hashlib does not
+# release the GIL, so threads serialize — and forking pools under a
+# live JVM is unsafe, hence the subprocess). Sustained all-core
+# throughput is what co-tenant contention actually degrades; the
+# single-thread probe alone cannot see a 32-way squeeze.
+_MT_PROBE_SCRIPT = r"""
+import time, os, hashlib
+from concurrent.futures import ProcessPoolExecutor
+def work(_):
+    h = hashlib.sha256()
+    buf = b"\x5a" * 65536
+    for _ in range(2000):
+        h.update(buf)
+    return 1
+if __name__ == "__main__":
+    n = os.cpu_count() or 8
+    with ProcessPoolExecutor(n) as pool:
+        list(pool.map(work, range(n)))  # warm the pool
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(pool.map(work, range(n)))
+            best = min(best, time.perf_counter() - t0)
+    print(best)
+"""
+
+
+def _mt_probe() -> float:
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c", _MT_PROBE_SCRIPT],
+        capture_output=True, text=True, timeout=120,
+    )
+    return float(r.stdout.strip())
 
 
 def _cpu_probe() -> float:
@@ -364,6 +406,7 @@ def _calibration(spark) -> dict:
     load1, load5, load15 = os.getloadavg()
     return {
         "cpu_probe_sec": round(_cpu_probe(), 4),
+        "mt_probe_sec": round(_mt_probe(), 4),
         "jvm_probe_sec": round(_jvm_probe(spark), 4),
         "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
         "cpu_count": os.cpu_count(),
@@ -464,11 +507,20 @@ def main() -> None:
 
     calib_post = _calibration(spark)
     # Host-speed factor: how much slower this rig ran than the pinned
-    # reference (1.0 = reference speed; 1.2 = 20% slower host). Uses the
-    # better of the pre/post CPU probes — if even the best probe is slow,
-    # the whole run was, and the normalized total discounts it.
+    # reference (1.0 = reference speed; 1.2 = 20% slower host). Per
+    # probe, take the better of pre/post (if even the best is slow, the
+    # whole run was); across the single-thread and all-core probes take
+    # the WORSE ratio — a 32-way co-tenant squeeze shows up only in the
+    # multi-core probe, a thermal/frequency drop in both.
     cpu_best = min(calib_pre["cpu_probe_sec"], calib_post["cpu_probe_sec"])
-    host_speed_factor = round(cpu_best / CALIBRATION_REF["cpu_probe_sec"], 3)
+    mt_best = min(calib_pre["mt_probe_sec"], calib_post["mt_probe_sec"])
+    host_speed_factor = round(
+        max(
+            cpu_best / CALIBRATION_REF["cpu_probe_sec"],
+            mt_best / CALIBRATION_REF["mt_probe_sec"],
+        ),
+        3,
+    )
 
     total = round(sum(timings.values()), 3)
     total_normalized = round(total / host_speed_factor, 3)

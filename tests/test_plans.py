@@ -440,6 +440,11 @@ def test_bench_calibration_probes(spark):
     assert 0.2 * ref < p1 < 5 * ref, f"re-pin CALIBRATION_REF: probe {p1}"
     assert min(p1, p2) / max(p1, p2) > 0.7, (p1, p2)
 
+    mt_ref = bench.CALIBRATION_REF["mt_probe_sec"]
+    mt = bench._mt_probe()
+    # the all-core probe runs in its own subprocess pool; same re-pin band
+    assert 0.2 * mt_ref < mt < 5 * mt_ref, f"re-pin mt_probe_sec: {mt}"
+
     calib = bench._calibration(spark)
     assert calib["jvm_probe_sec"] > 0
     assert len(calib["loadavg"]) == 3
