@@ -206,3 +206,58 @@ class TestResolutionOrder:
             ) or "appdir" in str(iterative.reliable_dir(spark))
         finally:
             spark.sparkContext._jsc.sc().setCheckpointDir(None)
+
+
+def test_checkpoint_files_reclaimed_in_long_sessions(spark, tmp_path):
+    """A weeks-long session in reliable mode writes one file snapshot
+    per superstep; the session factory therefore enables
+    spark.cleaner.referenceTracking.cleanCheckpoints so a dead
+    iteration's files are reclaimed once nothing references its RDD.
+    Assert the conf is on in engine sessions, and that a checkpoint
+    taken and dropped is eventually deleted by the ContextCleaner
+    while a LIVE frame's files stay readable."""
+    import gc
+    import os
+    import time
+
+    assert (
+        spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints")
+        == "true"
+    )
+
+    ckpt = str(tmp_path / "ckpt_gc")
+    prior = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        def dir_count():
+            n = 0
+            for _, _, files in os.walk(ckpt):
+                n += sum(1 for f in files if not f.startswith("."))
+            return n
+
+        dead = spark.range(0, 1000, 1, 4).checkpoint(eager=True)
+        live = spark.range(1000, 2000, 1, 4).checkpoint(eager=True)
+        assert dir_count() > 0
+        dead_jrdd = dead._jdf.queryExecution().toRdd()  # pin id for debug
+        del dead, dead_jrdd
+
+        # The cleaner runs off JVM weak references: drive both GCs and
+        # poll. The LIVE frame must keep answering from its files.
+        deleted = False
+        for _ in range(30):
+            gc.collect()
+            spark._jvm.System.gc()
+            time.sleep(1)
+            if dir_count() <= 1 * 4 + 1:  # ~one rdd's parts (+meta slack)
+                deleted = True
+                break
+        assert deleted, f"checkpoint files not reclaimed: {dir_count()}"
+        assert live.count() == 1000
+    finally:
+        if prior is None:
+            # clear, don't just repoint: a lingering dir flips every
+            # later superstep operator to reliable mode (rule 4) under
+            # full-suite ordering — the module's established restore
+            spark.sparkContext._jsc.sc().setCheckpointDir(None)
+        else:
+            spark.sparkContext.setCheckpointDir(prior)

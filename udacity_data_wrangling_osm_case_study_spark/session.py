@@ -73,6 +73,16 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        # Reliable-checkpoint mode (operators/iterative.py) writes one
+        # file snapshot per superstep; without this a weeks-long
+        # session accumulates every dead iteration's files until the
+        # checkpoint volume fills. With it the ContextCleaner reclaims
+        # a checkpoint's files once no live plan references its RDD —
+        # safe for the superstep chain because each step's lineage is
+        # truncated AT its own file (step N+1 re-reads step N's file,
+        # never step N-1's). Context-level conf: applies to sessions
+        # built here; foreign sessions keep their own policy.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
