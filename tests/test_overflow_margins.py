@@ -362,3 +362,38 @@ def test_ewma_scale_past_bigint(spark, tmp_path):
         num = cents * (2**s - 1)  # constant series: sum of 2^0..2^(s-1)
         assert row.n_window == s
         assert row.ewma_micro == num * 10000 // (2**s - 1) == cents * 10000
+
+
+def test_recency_weight_term_past_bigint(spark, tmp_path):
+    """Round-10 composed fuzz (variant 12m, sf0.01 base) crash witness:
+    cents * 2^(31-age_h) passes 2^63 per TERM at ~1e12-cent values —
+    the gini pattern one exponent up. Term and reported decay_num now
+    ride DECIMAL(38,0) (HUGEINT->DECIMAL in the oracle); the result
+    must equal exact Python big-int arithmetic."""
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+    cents = 10**12  # value = 1e10, exactly representable as double
+    n = 20
+    events = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id") * 60)).alias("ts"),
+        F.lit(5).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(cents / 100.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    d = tmp_path / "sf"
+    events.write.parquet(str(d / "events.parquet"))
+    # all rows are within the final hour: age_h = 0, weight 2^31
+    assert cents * 2**31 > I64_MAX  # the pre-fix TERM provably overflows
+    queries, _ = registry.load_all()
+    row = queries["recency_weighted_user_value"](spark, str(d)).first()
+    assert row.n_recent == n
+    assert row.decay_den == 2**31
+    assert int(row.decay_num) == n * cents * 2**31
+    assert isinstance(row.decay_num, Decimal)  # BIGINT cannot hold it

@@ -61,6 +61,11 @@ _loaded = False
 # (registry ∖ (r01 ∪ … ∪ r04)), then round-5 additions; already-attested
 # names follow in registration order.
 _VERIFY_FIRST = (
+    # Round-10 schema-changed query (composed-magnitude fuzz fix:
+    # decay_num widened BIGINT -> DECIMAL(38,0) on both engines — the
+    # driver should re-attest it first; green under check_oracle and
+    # the re-run 12m variant).
+    "recency_weighted_user_value",
     # Round-9 semantics-changed queries (fuzz hardening: NULL/zero/
     # magnitude conventions now explicit on BOTH engines — the output
     # hash of several changed, so the driver should re-attest these

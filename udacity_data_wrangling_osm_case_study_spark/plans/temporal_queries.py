@@ -763,9 +763,9 @@ def event_value_resample_interp(spark, sf_dir):
     SELECT user_id,
            CAST(COUNT(*) FILTER (WHERE age_h < 32) AS BIGINT) AS n_recent,
            CAST(SUM(CASE WHEN age_h < 32
-                         THEN cents * (CAST(1 AS BIGINT)
+                         THEN CAST(cents AS HUGEINT) * (CAST(1 AS BIGINT)
                                        << CAST(31 - age_h AS INT))
-                         ELSE 0 END) AS BIGINT) AS decay_num,
+                         ELSE 0 END) AS DECIMAL(38,0)) AS decay_num,
            CAST(CAST(1 AS BIGINT) << 31 AS BIGINT) AS decay_den
     FROM aged GROUP BY user_id ORDER BY user_id
     """,
@@ -789,17 +789,26 @@ def recency_weighted_user_value(spark, sf_dir):
         ),
     )
     recent = F.col("age_h") < 32
+    # The per-term product cents * 2^(31-age_h) passes 2^63 at
+    # 1e6-scaled values (round-10 composed fuzz variant 12m — the gini
+    # pattern one exponent up), so the term AND the reported decay_num
+    # ride DECIMAL(38,0); DuckDB mirrors via HUGEINT terms cast to the
+    # same DECIMAL. The output is the exact rational's numerator, which
+    # at those magnitudes is simply not BIGINT-representable.
     num = F.sum(
         F.when(
             recent,
-            F.expr("cents * shiftleft(cast(1 as bigint), cast(31 - age_h as int))"),
+            F.expr(
+                "cast(cents as decimal(38,0))"
+                " * shiftleft(cast(1 as bigint), cast(31 - age_h as int))"
+            ),
         ).otherwise(F.lit(0))
     )
     return (
         aged.groupBy("user_id")
         .agg(
             F.count_if(recent).cast("long").alias("n_recent"),
-            num.cast("long").alias("decay_num"),
+            num.cast("decimal(38,0)").alias("decay_num"),
         )
         .withColumn("decay_den", F.lit(2**31).cast("long"))
         .orderBy("user_id")
