@@ -208,3 +208,109 @@ class TestDegenerateInputs:
             r.tbl: r.n for r in queries["table_counts"](spark, str(tmp_path)).collect()
         }
         assert rows == {"customer": 0, "orders": 0, "lineitem": 0, "events": 0}
+
+
+class TestOracleDecimalToDoubleHop:
+    """Round-10 composed-magnitude fuzz fix: DuckDB's direct
+    DECIMAL -> DOUBLE cast is NOT correctly rounded once the unscaled
+    int128 passes 2^53 (it converts the integer to double FIRST, then
+    divides by 10^scale — double rounding), while Spark's
+    BigDecimal.doubleValue is exact-nearest. Every oracle that emits a
+    decimal sum as DOUBLE therefore hops through VARCHAR (strtod is
+    correctly rounded). These pin the defect and the hop so the
+    'redundant' cast doesn't get simplified away."""
+
+    def test_duckdb_direct_cast_is_lossy_and_varchar_hop_is_exact(self):
+        import duckdb
+
+        con = duckdb.connect()
+        direct, via_str = con.execute(
+            "SELECT CAST(CAST('544121888540000.0000' AS DECIMAL(38,4)) AS DOUBLE),"
+            " CAST(CAST(CAST('544121888540000.0000' AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)"
+        ).fetchone()
+        exact = 544121888540000.0  # < 2^53: exactly representable
+        assert via_str == exact
+        # the defect this guards against: if DuckDB ever fixes its
+        # conversion this assertion flags the hop as removable
+        assert direct != exact, "DuckDB fixed DECIMAL->DOUBLE; hop now optional"
+
+    def test_cube_total_price_exact_at_magnitude(self, spark, tmp_path):
+        """End-to-end: order_status_cube over values whose exact sum
+        has an unscaled decimal past 2^53 must hash-match the oracle
+        (this exact shape diverged in the last ulp pre-fix)."""
+        import duckdb
+        import pyspark.sql.functions as F
+
+        from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+        n, price = 2581, 210818244.3
+        orders = spark.range(n).select(
+            F.col("id").alias("o_orderkey"),
+            F.lit(77).cast("long").alias("o_custkey"),
+            F.lit("F").alias("o_orderstatus"),
+            F.lit(price).alias("o_totalprice"),
+            F.lit("1995-01-01").cast("date").alias("o_orderdate"),
+            F.lit("4-NOT SPECIFIED").alias("o_orderpriority"),
+        )
+        d = tmp_path / "sf"
+        orders.write.parquet(str(d / "orders.parquet"))
+        queries, oracles = registry.load_all()
+        mine = {
+            (r.status, r.priority): r.total_price
+            for r in queries["order_status_cube"](spark, str(d)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            # Spark writes a directory; DuckDB needs the part glob
+            f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'"
+        )
+        for s, p, _, tp in con.execute(oracles["order_status_cube"]).fetchall():
+            assert mine[(s, p)] == tp, (s, p, mine[(s, p)], tp)
+
+
+class TestSessionGapMicrosecondExact:
+    """Round-10 composed-magnitude fuzz fix: the sessionization queries
+    compared whole-second-truncated timestamps against the 30-minute
+    gap while their oracles compare at microsecond precision — a gap of
+    1800.9 s split sessions in one engine only. The Spark side now uses
+    unix_micros; these pin both sides of the boundary."""
+
+    def _events(self, spark, tmp_path, gap_seconds):
+        import datetime as dt
+
+        import pyspark.sql.functions as F  # noqa: F401
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 400000)
+        rows = [
+            (1, t0, 7, "click", 1.0, None),
+            (2, t0 + dt.timedelta(seconds=gap_seconds), 7, "view", 1.0, None),
+        ]
+        d = tmp_path / "sf"
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+        return str(d)
+
+    def test_fractional_gap_above_threshold_splits(self, spark, tmp_path):
+        from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+        queries, _ = registry.load_all()
+        # 1800.9 s: whole-second truncation sees 1800 (same session) —
+        # the pre-fix divergence; exact microseconds see > 30 min
+        d = self._events(spark, tmp_path, 1800.9)
+        row = queries["user_sessions"](spark, d).first()
+        assert row.n_sessions == 2, "fractional over-threshold gap must split"
+
+    def test_fractional_gap_below_threshold_merges(self, spark, tmp_path):
+        from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+        queries, _ = registry.load_all()
+        d = self._events(spark, tmp_path, 1799.9)
+        row = queries["user_sessions"](spark, d).first()
+        assert row.n_sessions == 1
+        # exactly 30:00.000000 is NOT a new session (strict >)
+        d = self._events(spark, tmp_path, 1800.0)
+        row = queries["user_sessions"](spark, d).first()
+        assert row.n_sessions == 1

@@ -386,8 +386,8 @@ def scd2_customer_history(spark, sf_dir):
            ROUND(b.p95, 4) AS p95,
            COUNT(*) FILTER (WHERE e.value < b.p05) AS n_low,
            COUNT(*) FILTER (WHERE e.value > b.p95) AS n_high,
-           CAST(SUM(CAST(LEAST(GREATEST(e.value, b.p05), b.p95)
-                         AS DECIMAL(30,4))) AS DOUBLE) AS clipped_sum
+           CAST(CAST(SUM(CAST(LEAST(GREATEST(e.value, b.p05), b.p95)
+                         AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS clipped_sum
     FROM events e JOIN bounds b USING (event_type)
     GROUP BY e.event_type, b.p05, b.p95
     ORDER BY e.event_type

@@ -127,7 +127,7 @@ def top_event_types(spark, sf_dir):
     """
     SELECT r_name, n_name,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total_acctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -156,9 +156,9 @@ def region_rollup(spark, sf_dir):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_qty,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,4))), 2) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))), 2) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) * 1000000
                 AS HUGEINT) // COUNT(*) AS DOUBLE) / 1000000 AS avg_qty,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) * 1000000
@@ -219,7 +219,7 @@ def pricing_summary(spark, sf_dir):
     SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
            CAST(date_part('month', o_orderdate) AS INT) AS mo,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders GROUP BY yr, mo ORDER BY yr, mo
     """,
 )
@@ -242,7 +242,7 @@ def orders_by_month(spark, sf_dir):
     "top_parts_by_revenue",
     """
     SELECT p_name,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS DOUBLE) AS revenue,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_name ORDER BY revenue DESC, p_name LIMIT 10
@@ -434,7 +434,7 @@ def event_value_percentiles(spark, sf_dir):
         SELECT l_returnflag, 'tax',
                CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
     )
-    SELECT l_returnflag, metric, CAST(SUM(v) AS DOUBLE) AS total
+    SELECT l_returnflag, metric, CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS total
     FROM u GROUP BY l_returnflag, metric
     ORDER BY l_returnflag, metric
     """,
@@ -958,7 +958,7 @@ def cms_user_event_counts_batch(spark, sf_dir):
     """
     SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY yr, mo ORDER BY yr, mo
     """,

@@ -20,8 +20,8 @@ _DEC = "decimal(18,4)"
     "shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
-                    * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS DOUBLE) AS revenue,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                    * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(date_part('year', o_orderdate) AS INT) AS order_year,
            o_orderpriority
     FROM customer
@@ -68,8 +68,8 @@ def shipping_priority(spark, sf_dir):
     "supplier_nation_volume",
     """
     SELECT n_name,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
-                    * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS DOUBLE) AS revenue,
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                    * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -110,7 +110,7 @@ def supplier_nation_volume(spark, sf_dir):
     SELECT COALESCE(r_name, '<all>') AS r_name,
            COALESCE(n_name, '<all>') AS n_name,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total_acctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -158,7 +158,7 @@ def revenue_rollup(spark, sf_dir):
     FROM (
         SELECT o_orderkey, o_orderstatus, o_totalprice,
                COUNT(l_orderkey) AS n_items,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE)
                    AS item_total
         FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY o_orderkey, o_orderstatus, o_totalprice
@@ -283,7 +283,7 @@ def fk_integrity(spark, sf_dir):
           ON t.c_custkey = u.c_custkey
     )
     SELECT COUNT(*) AS n_rows,
-           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,4))), 2) AS DOUBLE)
+           CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,4))), 2) AS VARCHAR) AS DOUBLE)
                AS total_acctbal,
            CAST(SUM(CASE WHEN c_custkey >= 9000000 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_inserted,
@@ -347,7 +347,7 @@ def merge_upsert_customers(spark, sf_dir):
         FROM orders
     )
     SELECT o_orderpriority, decile, COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS DOUBLE)
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,4))), 2) AS VARCHAR) AS DOUBLE)
                AS total_value
     FROM t GROUP BY o_orderpriority, decile
     ORDER BY o_orderpriority, decile
@@ -379,7 +379,7 @@ def order_value_deciles(spark, sf_dir):
     SELECT COALESCE(o_orderstatus, '<all>') AS status,
            COALESCE(o_orderpriority, '<all>') AS priority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE)
                AS total_price
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -462,7 +462,7 @@ def parts_only_returned(spark, sf_dir):
     SELECT COALESCE(n_name, '<all>') AS n_name,
            COALESCE(c_mktsegment, '<all>') AS seg,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE)
                AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
@@ -1660,8 +1660,8 @@ def customer_rfm_segments(spark, sf_dir):
     "salted_priority_revenue",
     """
     SELECT o_orderpriority,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
-                    * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS DOUBLE)
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                    * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS VARCHAR) AS DOUBLE)
                AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey

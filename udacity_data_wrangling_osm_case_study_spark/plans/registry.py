@@ -61,11 +61,15 @@ _loaded = False
 # (registry ∖ (r01 ∪ … ∪ r04)), then round-5 additions; already-attested
 # names follow in registration order.
 _VERIFY_FIRST = (
-    # Round-10 schema-changed query (composed-magnitude fuzz fix:
-    # decay_num widened BIGINT -> DECIMAL(38,0) on both engines — the
-    # driver should re-attest it first; green under check_oracle and
-    # the re-run 12m variant).
+    # Round-10 schema/semantics-changed queries (composed-magnitude
+    # fuzz fixes: decay_num widened BIGINT -> DECIMAL(38,0) on both
+    # engines; sessionization gaps now microsecond-exact like their
+    # oracles — the driver should re-attest these first; all green
+    # under check_oracle and the re-run 12m/13m/mag6 variants).
     "recency_weighted_user_value",
+    "user_sessions",
+    "session_peak_concurrency",
+    "top_session_paths",
     # Round-9 semantics-changed queries (fuzz hardening: NULL/zero/
     # magnitude conventions now explicit on BOTH engines — the output
     # hash of several changed, so the driver should re-attest these
@@ -84,7 +88,6 @@ _VERIFY_FIRST = (
     "theilsen_user_trend",
     "approx_event_value_p95",
     "trending_event_types",
-    "top_session_paths",
     "next_event_training_pairs",
     "order_value_deciles",
     "balance_distribution",

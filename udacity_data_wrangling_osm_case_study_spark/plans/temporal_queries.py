@@ -105,10 +105,10 @@ def error_followup_pairs(spark, sf_dir):
     j AS (SELECT g.user_id, g.b, COALESCE(n_obs, 0) AS n_obs, s
           FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.b = b.b)
     SELECT user_id, b AS hour_bucket, n_obs,
-           ROUND(CAST(last_value(s IGNORE NULLS) OVER (
+           ROUND(CAST(CAST(last_value(s IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY b
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE), 2) AS filled_value
+           ) AS VARCHAR) AS DOUBLE), 2) AS filled_value
     FROM j ORDER BY user_id, hour_bucket
     """,
 )
@@ -321,8 +321,15 @@ def session_peak_concurrency(spark, sf_dir):
     instant."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    ns = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # Microsecond-exact gap: the oracle compares ts - LAG(ts) against
+    # INTERVAL 30 MINUTE at full precision; casting each timestamp to
+    # whole seconds first truncates fractional parts, so a gap
+    # straddling the boundary (e.g. 1800.9 s) splits sessions on one
+    # engine and not the other (caught by the r10 composed fuzz, which
+    # reshuffled user_ids into fresh consecutive pairs).
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    ns = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     sess = (
         ev.withColumn("ns", ns)
         .withColumn(

@@ -192,7 +192,7 @@ def char_census(spark, sf_dir):
     """
     SELECT TRY_CAST(NULLIF(regexp_extract(props, '(\\d+)', 1), '') AS INT) AS k,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY k ORDER BY k
     """,
 )

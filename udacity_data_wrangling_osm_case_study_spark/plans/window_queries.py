@@ -50,7 +50,7 @@ def first_event_per_user(spark, sf_dir):
     ),
     ranked AS (
         SELECT nationkey, partkey,
-               CAST(revenue AS DOUBLE) AS revenue,
+               CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
                ROW_NUMBER() OVER (PARTITION BY nationkey
                                   ORDER BY revenue DESC, partkey) AS rn
         FROM rev
@@ -168,9 +168,13 @@ def user_sessions(spark, sf_dir):
     """Sessionization (30-min inactivity gap) — the batch face of the
     streaming session-window operator; lag + conditional sum."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Microsecond-exact gap — see the session_peak_concurrency note:
+    # whole-second truncation diverges from the oracle's INTERVAL
+    # comparison on boundary-straddling gaps (r10 composed fuzz).
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), 1
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
     return (
         table(spark, sf_dir, "events")
@@ -216,12 +220,12 @@ def user_running_total(spark, sf_dir):
     "trailing_hour_user_value",
     """
     SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(30,4)))
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,4)))
                     OVER (PARTITION BY user_id
                           ORDER BY epoch_us(ts)
                           RANGE BETWEEN 3600000000 PRECEDING
                                     AND CURRENT ROW)
-                AS DOUBLE) AS trailing_1h_value
+                AS VARCHAR) AS DOUBLE) AS trailing_1h_value
     FROM events WHERE user_id < 5 ORDER BY user_id, event_id
     """,
 )
@@ -415,7 +419,7 @@ def balance_distribution(spark, sf_dir):
     SELECT event_type,
            CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS window_start_epoch_5min,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type, window_start_epoch_5min
     HAVING COUNT(*) > 1
@@ -452,7 +456,7 @@ def event_type_tumbling_5min(spark, sf_dir):
         FROM events
     )
     SELECT event_type, window_start_epoch, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM starts
     GROUP BY event_type, window_start_epoch
     HAVING COUNT(*) > 1
@@ -1070,8 +1074,15 @@ def top_session_paths(spark, sf_dir):
     top-10 via TakeOrderedAndProject."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    ns = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # Microsecond-exact gap: the oracle compares ts - LAG(ts) against
+    # INTERVAL 30 MINUTE at full precision; casting each timestamp to
+    # whole seconds first truncates fractional parts, so a gap
+    # straddling the boundary (e.g. 1800.9 s) splits sessions on one
+    # engine and not the other (caught by the r10 composed fuzz, which
+    # reshuffled user_ids into fresh consecutive pairs).
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    ns = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     s = ev.withColumn("ns", ns).withColumn(
         "sid",
         F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
