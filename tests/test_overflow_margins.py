@@ -365,13 +365,13 @@ def test_ewma_scale_past_bigint(spark, tmp_path):
 
 
 def test_recency_weight_term_past_bigint(spark, tmp_path):
-    """Round-10 composed fuzz (variant 12m, sf0.01 base) crash witness:
+    """Round-10 composed fuzz (variants 12m + 15m) crash witnesses:
     cents * 2^(31-age_h) passes 2^63 per TERM at ~1e12-cent values —
-    the gini pattern one exponent up. Term and reported decay_num now
-    ride DECIMAL(38,0) (HUGEINT->DECIMAL in the oracle); the result
-    must equal exact Python big-int arithmetic."""
-    from decimal import Decimal
-
+    the gini pattern one exponent up — so the numerator accumulates as
+    DECIMAL(38,0); and a raw DECIMAL(38,0) OUTPUT degrades to lossy
+    float64 in DuckDB's pandas path, so the report decomposes it into
+    hi/lo BIGINTs (num = hi*2^31 + lo). The decomposition must equal
+    exact Python big-int arithmetic at magnitudes past both limits."""
     import pyspark.sql.functions as F
 
     from udacity_data_wrangling_osm_case_study_spark.plans import registry
@@ -395,5 +395,8 @@ def test_recency_weight_term_past_bigint(spark, tmp_path):
     row = queries["recency_weighted_user_value"](spark, str(d)).first()
     assert row.n_recent == n
     assert row.decay_den == 2**31
-    assert int(row.decay_num) == n * cents * 2**31
-    assert isinstance(row.decay_num, Decimal)  # BIGINT cannot hold it
+    num = n * cents * 2**31
+    assert num > I64_MAX  # a single BIGINT column could not hold it
+    assert row.decay_num_hi * 2**31 + row.decay_num_lo == num
+    assert row.decay_num_hi == n * cents  # all weights 2^31 here
+    assert row.decay_num_lo == 0

@@ -159,12 +159,12 @@ def region_rollup(spark, sf_dir):
            CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,4))), 2) AS VARCHAR) AS DOUBLE) AS sum_qty,
            CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4))), 2) AS VARCHAR) AS DOUBLE) AS sum_base_price,
            CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (1 - CAST(l_discount AS DECIMAL(30,4)))), 2) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) * 1000000
-                AS HUGEINT) // COUNT(*) AS DOUBLE) / 1000000 AS avg_qty,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) * 1000000
-                AS HUGEINT) // COUNT(*) AS DOUBLE) / 1000000 AS avg_price,
-           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) * 1000000
-                AS HUGEINT) // COUNT(*) AS DOUBLE) / 1000000 AS avg_disc,
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) * 1000000
+                AS HUGEINT) // COUNT(*) AS VARCHAR) AS DOUBLE) / 1000000 AS avg_qty,
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) * 1000000
+                AS HUGEINT) // COUNT(*) AS VARCHAR) AS DOUBLE) / 1000000 AS avg_price,
+           CAST(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) * 1000000
+                AS HUGEINT) // COUNT(*) AS VARCHAR) AS DOUBLE) / 1000000 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

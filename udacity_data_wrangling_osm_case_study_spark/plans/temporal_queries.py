@@ -766,26 +766,33 @@ def event_value_resample_interp(spark, sf_dir):
                CAST((epoch_us(ref_t.t) - epoch_us(ts)) // 3600000000 AS BIGINT)
                    AS age_h
         FROM events, ref_t
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE age_h < 32) AS BIGINT) AS n_recent,
+               SUM(CASE WHEN age_h < 32
+                        THEN CAST(cents AS HUGEINT) * (CAST(1 AS BIGINT)
+                                      << CAST(31 - age_h AS INT))
+                        ELSE 0 END) AS num
+        FROM aged GROUP BY user_id
     )
-    SELECT user_id,
-           CAST(COUNT(*) FILTER (WHERE age_h < 32) AS BIGINT) AS n_recent,
-           CAST(SUM(CASE WHEN age_h < 32
-                         THEN CAST(cents AS HUGEINT) * (CAST(1 AS BIGINT)
-                                       << CAST(31 - age_h AS INT))
-                         ELSE 0 END) AS DECIMAL(38,0)) AS decay_num,
+    SELECT user_id, n_recent,
+           CAST(num // 2147483648 AS BIGINT) AS decay_num_hi,
+           CAST(num % 2147483648 AS BIGINT) AS decay_num_lo,
            CAST(CAST(1 AS BIGINT) << 31 AS BIGINT) AS decay_den
-    FROM aged GROUP BY user_id ORDER BY user_id
+    FROM agg ORDER BY user_id
     """,
 )
 def recency_weighted_user_value(spark, sf_dir):
     """Recency-weighted engagement score (feature engineering): each
     event's value decays by 2^-age_hours from the corpus as-of instant,
     truncated at 32 h. Dyadic weights over integer cents keep the
-    num/denominator exact BIGINTs in both engines (reported as the rational num/den,
-    like the interpolation and trend queries) — the same
-    engine-portability trick as the EWMA — and the as-of instant rides
-    in as a one-row broadcast, so the whole feature is one scan + one
-    groupBy. The half-life knob is a shift, not a float pow."""
+    numerator/denominator exact integers in both engines; the numerator
+    is reported as the hi/lo BIGINT pair num = hi*2^31 + lo (see the
+    projection comment) — the same engine-portability trick as the
+    EWMA — and the as-of instant rides in as a one-row broadcast, so
+    the whole feature is one scan + one groupBy. The half-life knob is
+    a shift, not a float pow."""
     ev = table(spark, sf_dir, "events")
     asof = ev.agg(F.max("ts").alias("t"))
     aged = ev.crossJoin(F.broadcast(asof)).select(
@@ -798,10 +805,14 @@ def recency_weighted_user_value(spark, sf_dir):
     recent = F.col("age_h") < 32
     # The per-term product cents * 2^(31-age_h) passes 2^63 at
     # 1e6-scaled values (round-10 composed fuzz variant 12m — the gini
-    # pattern one exponent up), so the term AND the reported decay_num
-    # ride DECIMAL(38,0); DuckDB mirrors via HUGEINT terms cast to the
-    # same DECIMAL. The output is the exact rational's numerator, which
-    # at those magnitudes is simply not BIGINT-representable.
+    # pattern one exponent up), so the numerator accumulates as
+    # DECIMAL(38,0) (HUGEINT in the oracle). The REPORTED numerator is
+    # decomposed as num = hi*2^31 + lo into two exactly-representable
+    # BIGINTs: a raw DECIMAL(38,0) output column degrades to lossy
+    # float64 in DuckDB's pandas path past 2^53 (r10 variant 15m), and
+    # both engines' truncating div/% make the decomposition identical
+    # for either sign. hi stays within int64 up to ~2^63 total cents
+    # in a window — beyond that both engines fail loudly.
     num = F.sum(
         F.when(
             recent,
@@ -815,9 +826,15 @@ def recency_weighted_user_value(spark, sf_dir):
         aged.groupBy("user_id")
         .agg(
             F.count_if(recent).cast("long").alias("n_recent"),
-            num.cast("decimal(38,0)").alias("decay_num"),
+            num.cast("decimal(38,0)").alias("_num"),
         )
-        .withColumn("decay_den", F.lit(2**31).cast("long"))
+        .select(
+            "user_id",
+            "n_recent",
+            F.expr("cast(_num div 2147483648 as bigint)").alias("decay_num_hi"),
+            F.expr("cast(_num % 2147483648 as bigint)").alias("decay_num_lo"),
+            F.lit(2**31).cast("long").alias("decay_den"),
+        )
         .orderBy("user_id")
     )
 
