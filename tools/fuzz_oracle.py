@@ -33,7 +33,15 @@ arithmetic to ~1e13 per row and sum-of-products terms past 2^63 while
 the oracle's HUGEINT keeps exact truth). A numeric seed suffixed with
 ``m`` (``1m``, ``2m``, …) composes both: magnitude scaling FIRST,
 then that seed's full mutation pipeline — the interaction hunter
-(NULLs and negatives at overflow-adjacent magnitudes).
+(NULLs and negatives at overflow-adjacent magnitudes). A numeric seed
+suffixed with ``t`` (``1t``, …) additionally mutates every TIMESTAMP
+column — jitter to arbitrary microseconds, whole-second snaps, exact
+duplicate instants, pre-1970 (negative-epoch) and far-future shifts —
+always NON-NULL, so the null-instant contract holds while every
+boundary the temporal arithmetic relies on (fractional-gap
+thresholds, bucket floors at negative epochs, tie ordering) is
+attacked. The r10 sessionization bug (whole-second truncation vs the
+oracle's exact INTERVAL) was reachable only through this dimension.
 
 Data contract (columns the mutator never nulls — the engine's
 documented input requirements): identity and join key columns, and
@@ -169,6 +177,37 @@ def _mutate_embedding(vals: list, rng: np.random.RandomState):
     return out
 
 
+def _mutate_timestamp(vals: list, rng: np.random.RandomState):
+    """Timestamp attacks, always non-null (null instants are a declared
+    input contract): microsecond jitter, whole-second snaps (the
+    truncation-divergence hunter), exact duplicate instants (ordering
+    ties), and ±100-year epoch shifts (negative-epoch floor/trunc
+    divergence, far-future date math)."""
+    import datetime as dt
+
+    out: list = []
+    prev = None
+    for v in vals:
+        if v is not None:
+            r = rng.rand()
+            if r < 0.05:
+                v = v.replace(microsecond=0)
+            elif r < 0.10:
+                v = v + dt.timedelta(
+                    seconds=int(rng.randint(-5400, 5400)),
+                    microseconds=int(rng.randint(0, 1_000_000)),
+                )
+            elif r < 0.13 and prev is not None:
+                v = prev
+            elif r < 0.145:
+                v = v - dt.timedelta(days=36500)
+            elif r < 0.16:
+                v = v + dt.timedelta(days=36500)
+            prev = v
+        out.append(v)
+    return out
+
+
 def make_variant(base: str, out_dir: str, variant: str) -> None:
     """Write the ten mutated tables for ``variant`` under ``out_dir``."""
     os.makedirs(out_dir, exist_ok=True)
@@ -183,6 +222,7 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
         magnify = variant == "mag6" or (
             variant.endswith("m") and variant[:-1].isdigit()
         )
+        mutate_ts = variant.endswith("t") and variant[:-1].isdigit()
         if variant == "empty":
             out = tbl.slice(0, 0)
         elif variant == "single":
@@ -206,7 +246,12 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
                 if magnify and field.name in MAG_COLS.get(t, []):
                     vals = [None if v is None else v * 1e6 for v in vals]
                 protected = field.name in PROTECTED.get(t, set())
-                if not protected:
+                # the "t" variant class relaxes exactly the timestamp
+                # part of the contract: instants mutate (non-null) even
+                # where protected; keys stay protected as always
+                if mutate_ts and pa.types.is_timestamp(field.type):
+                    vals = _mutate_timestamp(vals, rng)
+                elif not protected:
                     if pa.types.is_floating(field.type) or pa.types.is_integer(
                         field.type
                     ):

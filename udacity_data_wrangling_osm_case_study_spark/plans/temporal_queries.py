@@ -1170,7 +1170,7 @@ def user_activity_gaps(spark, sf_dir, max_span_days=None):
     "conversion_funnel_ordered",
     """
     WITH e AS (
-        SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        SELECT user_id, event_type, epoch_us(ts) // 1000 AS ms FROM events
     ),
     v AS (SELECT user_id, MIN(ms) AS t1 FROM e
           WHERE event_type = 'view' GROUP BY user_id),
@@ -1203,10 +1203,13 @@ def conversion_funnel_ordered(spark, sf_dir):
     aggregate joined to the previous stage's user frame — user-keyed
     joins and map-side-combinable mins, no per-user window, no
     sequence UDF. Step latency reports as integer-exact avg
-    milliseconds (Σdiff div n over unix_millis — both engines truncate
-    sub-ms identically)."""
+    milliseconds. The ms instants derive from the microsecond epoch by
+    truncating integer division ON BOTH ENGINES — Spark's unix_millis
+    FLOORS at negative epochs while DuckDB's epoch_ms truncates toward
+    zero, a 1 ms divergence on pre-1970 instants (r10 timestamp-fuzz
+    variant 8t)."""
     ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+        "user_id", "event_type", F.expr("unix_micros(ts) div 1000").alias("ms")
     )
     v = (
         ev.filter(F.col("event_type") == "view")
