@@ -326,11 +326,63 @@ BENCH_EXCLUDED: dict[str, str] = {
 #
 # Reference probe costs, pinned on the round-10 tree (idle rig,
 # loadavg 0.05, 32 CPUs): re-pin ONLY when the probe workloads change.
+# jvm_probe_sec is the POST-run (fully JIT-warm) cost from the r10
+# frozen-tree bench on the same known-good rig epoch (BENCH_QUERIES.json
+# post: 0.0876); the pre-run probe runs in a cold JVM and measures JIT
+# state, not the host, so the factor logic only ever compares the
+# post-run value against this hot-pinned reference.
 CALIBRATION_REF = {
     "cpu_probe_sec": 0.100,
     "mt_probe_sec": 0.154,
-    "jvm_probe_sec": 0.194,
+    "jvm_probe_sec": 0.0876,
 }
+
+
+def resolve_host_factor(calib_pre: dict, calib_post: dict,
+                        ref: dict | None = None) -> dict:
+    """Host-speed-factor policy (round-11, VERDICT r10 item 2).
+
+    The r10 driver run reported a CPython-probe factor of 1.205 while
+    its RAW total matched builder and judge within 4% — the SHA-256
+    probes over-read that rig's slowness relative to JVM query
+    throughput, so the normalized total over-credited by 17%. The
+    bench workload is JVM-dominated, so the JVM codegen probe now
+    adjudicates: when the CPython factor and the JVM factor agree
+    within 10%, the CPython factor stands (it is the cleaner host
+    signal); when they disagree by more, the factor is CLAMPED into
+    the JVM factor's ±10% band and the run is flagged non-concordant —
+    raw totals stay the comparison of record for such a run.
+
+    Pure function of the recorded calibration dicts so the policy is
+    unit-testable on archived snapshots (tests/test_bench_calibration).
+
+    Returns {"factor", "factor_py", "factor_jvm", "concordant"}.
+    """
+    ref = ref or CALIBRATION_REF
+    cpu_best = min(calib_pre["cpu_probe_sec"], calib_post["cpu_probe_sec"])
+    ratios = [cpu_best / ref["cpu_probe_sec"]]
+    mts = [c.get("mt_probe_sec") for c in (calib_pre, calib_post)]
+    mts = [m for m in mts if m is not None]
+    if mts:  # probe may have failed (spawn restrictions) — see _mt_probe
+        ratios.append(min(mts) / ref["mt_probe_sec"])
+    # Worse of single-thread / all-core: a 32-way co-tenant squeeze
+    # shows up only in the all-core probe, a frequency drop in both.
+    factor_py = max(ratios)
+    # Post-run only: the pre-run JVM probe measures JIT cold-start.
+    factor_jvm = calib_post["jvm_probe_sec"] / ref["jvm_probe_sec"]
+    concordant = (
+        max(factor_py, factor_jvm) <= 1.10 * min(factor_py, factor_jvm)
+    )
+    if concordant:
+        factor = factor_py
+    else:
+        factor = min(max(factor_py, factor_jvm / 1.10), factor_jvm * 1.10)
+    return {
+        "factor": round(factor, 3),
+        "factor_py": round(factor_py, 3),
+        "factor_jvm": round(factor_jvm, 3),
+        "concordant": concordant,
+    }
 
 # Self-contained multi-core probe, run in a fresh subprocess: one
 # SHA-256 worker PROCESS per CPU (this Python's hashlib does not
@@ -360,14 +412,30 @@ if __name__ == "__main__":
 """
 
 
-def _mt_probe() -> float:
+def _mt_probe() -> float | None:
+    """All-core probe in a fresh subprocess. Returns None (with a
+    stderr diagnostic) when the probe cannot run — e.g. process-spawn
+    restrictions — instead of aborting the whole bench after warm-up
+    with a bare ValueError; the factor logic falls back to the
+    single-thread probe alone."""
     import subprocess
     import sys
 
-    r = subprocess.run(
-        [sys.executable, "-c", _MT_PROBE_SCRIPT],
-        capture_output=True, text=True, timeout=120,
-    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _MT_PROBE_SCRIPT],
+            capture_output=True, text=True, timeout=120,
+        )
+    except (OSError, subprocess.TimeoutExpired) as e:
+        print(f"WARN mt_probe spawn failed: {e!r}", file=sys.stderr)
+        return None
+    if r.returncode != 0 or not r.stdout.strip():
+        print(
+            "WARN mt_probe failed rc="
+            f"{r.returncode} stderr={r.stderr.strip()[:500]!r}",
+            file=sys.stderr,
+        )
+        return None
     return float(r.stdout.strip())
 
 
@@ -404,9 +472,10 @@ def _jvm_probe(spark) -> float:
 
 def _calibration(spark) -> dict:
     load1, load5, load15 = os.getloadavg()
+    mt = _mt_probe()
     return {
         "cpu_probe_sec": round(_cpu_probe(), 4),
-        "mt_probe_sec": round(_mt_probe(), 4),
+        "mt_probe_sec": None if mt is None else round(mt, 4),
         "jvm_probe_sec": round(_jvm_probe(spark), 4),
         "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
         "cpu_count": os.cpu_count(),
@@ -507,20 +576,12 @@ def main() -> None:
 
     calib_post = _calibration(spark)
     # Host-speed factor: how much slower this rig ran than the pinned
-    # reference (1.0 = reference speed; 1.2 = 20% slower host). Per
-    # probe, take the better of pre/post (if even the best is slow, the
-    # whole run was); across the single-thread and all-core probes take
-    # the WORSE ratio — a 32-way co-tenant squeeze shows up only in the
-    # multi-core probe, a thermal/frequency drop in both.
-    cpu_best = min(calib_pre["cpu_probe_sec"], calib_post["cpu_probe_sec"])
-    mt_best = min(calib_pre["mt_probe_sec"], calib_post["mt_probe_sec"])
-    host_speed_factor = round(
-        max(
-            cpu_best / CALIBRATION_REF["cpu_probe_sec"],
-            mt_best / CALIBRATION_REF["mt_probe_sec"],
-        ),
-        3,
-    )
+    # reference (1.0 = reference speed; 1.2 = 20% slower host). Policy
+    # and rationale in resolve_host_factor — the post-run JVM codegen
+    # probe now adjudicates the CPython probes (VERDICT r10 item 2),
+    # and a discordant rig is flagged non-adjudicable-by-normalization.
+    factor_info = resolve_host_factor(calib_pre, calib_post)
+    host_speed_factor = factor_info["factor"]
 
     total = round(sum(timings.values()), 3)
     total_normalized = round(total / host_speed_factor, 3)
@@ -543,6 +604,7 @@ def main() -> None:
         "value": total,
         "value_normalized": total_normalized,
         "host_speed_factor": host_speed_factor,
+        "calibration_concordant": factor_info["concordant"],
         "unit": "sec",
         "n_queries": len(timings),
         "queries": slowest,
@@ -562,6 +624,7 @@ def main() -> None:
         json.dump({"sf": out["sf"], "total_sec": total,
                    "total_sec_normalized": total_normalized,
                    "host_speed_factor": host_speed_factor,
+                   "host_factor_info": factor_info,
                    "calibration": {"ref": CALIBRATION_REF,
                                    "pre": calib_pre, "post": calib_post},
                    "discordant_queries": discordant,

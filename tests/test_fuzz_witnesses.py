@@ -230,9 +230,17 @@ class TestOracleDecimalToDoubleHop:
         ).fetchone()
         exact = 544121888540000.0  # < 2^53: exactly representable
         assert via_str == exact
-        # the defect this guards against: if DuckDB ever fixes its
-        # conversion this assertion flags the hop as removable
-        assert direct != exact, "DuckDB fixed DECIMAL->DOUBLE; hop now optional"
+        # The canary, not a correctness assertion (ADVICE r10): the
+        # engine under test stays correct whether or not DuckDB fixes
+        # its cast, so a fix must flag cleanup work — retire the
+        # VARCHAR hops per the NOTES_r11 procedure — without turning
+        # the tree red.
+        if direct == exact:
+            pytest.skip(
+                "HOP-NOW-REMOVABLE: DuckDB fixed its DECIMAL->DOUBLE "
+                "double-rounding — the oracle VARCHAR hops can be "
+                "retired; see NOTES_r11 'DuckDB hop retirement'"
+            )
 
     def test_cube_total_price_exact_at_magnitude(self, spark, tmp_path):
         """End-to-end: order_status_cube over values whose exact sum

@@ -242,9 +242,13 @@ def test_checkpoint_files_reclaimed_in_long_sessions(spark, tmp_path):
         del dead, dead_jrdd
 
         # The cleaner runs off JVM weak references: drive both GCs and
-        # poll. The LIVE frame must keep answering from its files.
+        # poll. Bounded by WALL time with a generous ceiling (ADVICE
+        # r10: a fixed 30x1s loop flakes when a loaded rig delays the
+        # cleaner past the window) — the deadline only costs time when
+        # the test is about to fail anyway.
         deleted = False
-        for _ in range(30):
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
             gc.collect()
             spark._jvm.System.gc()
             time.sleep(1)

@@ -105,18 +105,23 @@ def _soak(spark, build_stream, name: str, mode: str, tmp_path,
     src = str(tmp_path / "src")
     os.makedirs(src, exist_ok=True)
     prior = spark.conf.get(_PROVIDER_CONF, None)
-    if provider:
-        spark.conf.set(_PROVIDER_CONF, provider)
-    stream = build_stream(spark.readStream.schema(SCHEMA).parquet(src))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .start()
-    )
     state_rows, removed, last_ops = [], [], []
+    q = None
+    # Everything from the conf set onward sits inside the try: if
+    # build_stream() or start() raises, the finally still restores the
+    # provider conf (session-shared fixture — a leaked RocksDB conf
+    # would silently flip every later streaming test's state store).
     try:
+        if provider:
+            spark.conf.set(_PROVIDER_CONF, provider)
+        stream = build_stream(spark.readStream.schema(SCHEMA).parquet(src))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
         for i in range(BATCHES):
             _land(_mk_batch(spark, i, span_sec), src, f"b{i}")
             q.processAllAvailable()
@@ -128,7 +133,8 @@ def _soak(spark, build_stream, name: str, mode: str, tmp_path,
                 sum(op.get("numRowsRemoved", 0) for op in last_ops)
             )
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         if provider:
             if prior is None:
                 spark.conf.unset(_PROVIDER_CONF)
