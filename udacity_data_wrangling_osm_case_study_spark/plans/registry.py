@@ -54,140 +54,16 @@ _QUERY_MODULES = (
 
 _loaded = False
 
-# Names surfaced first to the driver's correctness harness. The harness
-# walks ``queries()`` in insertion order with a bounded budget
-# (~50 names/round; rounds 1-4 attested 196 distinct names, all green).
-# Round-5 priority: the 10 names never driver-attested through round 4
-# (registry ∖ (r01 ∪ … ∪ r04)), then round-5 additions; already-attested
-# names follow in registration order.
-_VERIFY_FIRST = (
-    # Round-10 schema/semantics-changed queries (composed-magnitude
-    # fuzz fixes: decay_num widened BIGINT -> DECIMAL(38,0) on both
-    # engines; sessionization gaps now microsecond-exact like their
-    # oracles — the driver should re-attest these first; all green
-    # under check_oracle and the re-run 12m/13m/mag6 variants).
-    "recency_weighted_user_value",
-    "user_sessions",
-    "session_peak_concurrency",
-    "top_session_paths",
-    # Round-9 semantics-changed queries (fuzz hardening: NULL/zero/
-    # magnitude conventions now explicit on BOTH engines — the output
-    # hash of several changed, so the driver should re-attest these
-    # first; every one is already green under tools/check_oracle.py
-    # and 17 fuzz variants).
-    "pricing_summary",
-    "nation_revenue_share",
-    "event_value_time_weighted_avg",
-    "customer_spend_gini",
-    "mannwhitney_click_view",
-    "event_value_ks_test",
-    "event_value_ewma",
-    "event_value_mad_outliers",
-    "event_value_median_histogram",
-    "quantity_weighted_median_price",
-    "theilsen_user_trend",
-    "approx_event_value_p95",
-    "trending_event_types",
-    "next_event_training_pairs",
-    "order_value_deciles",
-    "balance_distribution",
-    "customer_rfm_segments",
-    "late_shipment_priority_split",
-    "table_counts",
-    "revenue_rollup",
-    "order_status_cube",
-    "orders_status_priority_cube",
-    "nation_segment_grouping_sets",
-    "t_closeness_report",
-    "negative_sampling_pairs",
-    "part_pareto_frontier",
-    "benford_first_digit_audit",
-    "corpus_token_stats",
-    "event_type_hour_chisq",
-    "bootstrap_mean_ci",
-    "classifier_auc",
-    "classifier_calibration",
-    "source_quality_calibration",
-    "source_quantile_normalize",
-    "quality_classifier",
-    "repetition_quality",
-    "doc_profiles",
-    "pii_term_scrub",
-    "fuzzy_typo_repair",
-    "capwords_nation_styles",
-    "props_key_histogram",
-    "json_props_udtf",
-    "embedding_standardize",
-    "embedding_near_dupes",
-    "embedding_near_dupes_arrow",
-    "semantic_dedup",
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_srp_lsh",
-    "kmeans_step",
-    "hard_negative_mining",
-    "hybrid_search_rrf",
-    "ann_recall_report",
-    "ann_rank_overlap_rbo",
-    "media_metadata",
-    "media_features",
-    "media_frame_sample",
-    "media_shared_frames",
-    "media_near_dupes",
-    "substring_dedup_removal",
-    "nation_profit_rollup",
-    # round-8 additions (never attested, newest work first)
-    "incremental_substring_coverage_bucketed",
-    "min_cost_supplier",
-    "important_stock_parts",
-    "promotable_part_suppliers",
-    # round-7 additions (attested green in r7, kept near the front)
-    "substring_span_coverage",
-    "top_boilerplate_grams",
-    "incremental_substring_coverage",
-    "customer_order_counts_dist",
-    "small_qty_part_revenue",
-    "large_quantity_orders",
-    "idle_rich_customers",
-    "late_order_priority_check",
-    "top_quarter_supplier",
-    "disjunctive_promo_revenue",
-    "conversion_funnel_ordered",
-    "weekly_retention_cohorts",
-    "discount_revenue_forecast",
-    "bilateral_shipping_volume",
-    "returned_item_customers",
-    "promo_revenue_share_monthly",
-    "supplier_count_by_part_attr",
-    "substring_threshold_profile",
-    "boilerplate_share_by_source",
-    # round-6 additions (never attested, newest work first)
-    "source_centroid_cosine",
-    "daily_count_autocorr",
-    "event_markov_stationary",
-    "event_bigram_entropy",
-    "nation_market_share",
-    "part_price_smoothing",
-    "part_cheapest_path",
-    "sole_late_suppliers",
-    "dp_event_type_counts",
-    "part_bfs_hops",
-    "part_kcore",
-    "part_communities",
-    "part_clustering_coeff",
-    "kmv_distinct_sketch",
-    # never driver-attested through round 4 (10 names)
-    "weighted_doc_sample",
-    "cms_user_event_counts",
-    "salted_priority_revenue",
-    "cogrouped_entity_profile",
-    "user_activity_gaps",
-    "feature_hash_crosses",
-    "l_diversity_report",
-    "part_random_walk_pairs",
-    "weighted_doc_sample_aes",
-    # round-5 additions (never attested, newest work first)
-    "entity_profile_native",
+# Names surfaced first to the driver's correctness harness — ONLY the
+# current round's schema/semantics-changed queries (the driver must
+# re-attest those before anything else). Everything after the hoist is
+# ordered LEAST-RECENTLY-ATTESTED first from the committed
+# ATTESTATION.json (regenerated each round by tools/attestation.py from
+# the driver's CORRECTNESS_r*.json archives), so the driver's bounded
+# ~50-name budget rotates through the registry tail by construction —
+# the r5-r10 hand-maintained hoist kept re-attesting the same names
+# while 84 of 253 aged back to rounds 1-2 (VERDICT r10 item 3).
+_VERIFY_FIRST: tuple[str, ...] = (
 )
 
 # The hoist list is an honest record of verification priority; a name
@@ -284,18 +160,48 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _last_attested() -> dict[str, int]:
+    """Per-name last-driver-attested round from the committed
+    ATTESTATION.json (repo root; regenerated by tools/attestation.py).
+    Missing file or missing name -> round 0, which sorts FIRST — a
+    brand-new query is by definition the least recently attested."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "ATTESTATION.json",
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)["last_attested_round"]
+    except (OSError, ValueError, KeyError):
+        return {}
+
+
 def load_all() -> tuple[dict, dict]:
     """Import every query module once; return (QUERIES, ORACLES).
 
-    Queries are returned with the ``_VERIFY_FIRST`` block hoisted to the
-    front (see comment above); registration order is preserved otherwise.
+    Order — which IS the driver's attestation priority, since its
+    correctness harness hash-checks the first ~50 names each round:
+    the ``_VERIFY_FIRST`` hoist (this round's semantics-changed names),
+    then every other query least-recently-attested first (stable on
+    registration order within a round), per ATTESTATION.json. Each
+    round's driver sample thus covers the stalest tail, and the
+    regenerated ATTESTATION.json rotates it to the back.
     """
     global _loaded
     if not _loaded:
         for mod in _QUERY_MODULES:
             import_module(mod)
+        last = _last_attested()
         front = [n for n in _VERIFY_FIRST if n in QUERIES]
-        rest = [n for n in QUERIES if n not in _VERIFY_FIRST]
+        reg_idx = {n: i for i, n in enumerate(QUERIES)}
+        rest = sorted(
+            (n for n in QUERIES if n not in _VERIFY_FIRST),
+            key=lambda n: (last.get(n, 0), reg_idx[n]),
+        )
         reordered = {n: QUERIES[n] for n in (*front, *rest)}
         QUERIES.clear()
         QUERIES.update(reordered)
