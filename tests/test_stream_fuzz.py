@@ -16,16 +16,27 @@ watermark flushes) over seeded fuzz variants:
   blobs) — state-store keys and filters under hostile bytes;
 - ``dup_flood``: 50% of rows re-delivered 2 extra times (same
   event_id, same ts), scattered into the same AND the following batch
-  — the replayed-source ingest storm.
+  — the replayed-source ingest storm;
+- ``ts_attack`` (round-11, VERDICT item 4): the batch fuzzer's
+  timestamp dimension driven through the streaming state machinery —
+  whole-second snaps, exact 6-hour window-BOUNDARY instants (the
+  window size the tests use, so rows sit exactly on open/close
+  edges), duplicate event-time instants (which the arrival program's
+  ts-ordered split scatters across micro-batch boundaries — ordering
+  ties inside the state store), and ±hours jitter with microsecond
+  residue. Event times stay non-null per the contract. The r10
+  sessionization bug was exactly this class in batch.
 
 Assertions per test: after EVERY micro-batch the sink is a subset of
 the batch twin (append mode must never emit a row the one-shot batch
 answer doesn't contain), and after the sentinel flush the sink EQUALS
 the batch twin. Parametrized over two independent seeds.
 
-The mutation contract mirrors the batch fuzzer: event_id, ts, user_id
-stay intact (event-time and identity are declared preconditions);
-everything else is prey.
+The mutation contract mirrors the batch fuzzer: event_id and user_id
+stay intact (identity is a declared precondition); ``ts_attack``
+relaxes exactly the timestamp dimension the way the batch fuzzer's
+``Nt`` variants do — instants mutate but stay NON-NULL; everything
+else is prey.
 """
 
 from __future__ import annotations
@@ -80,6 +91,25 @@ def _fuzz_events(spark, seed: int, variant: str):
             .sort_values(["ts", "event_id"], kind="stable")
             .reset_index(drop=True)
         )
+    elif variant == "ts_attack":
+        pd = __import__("pandas")
+        r = rng.rand(n)
+        ts = pdf["ts"].copy()
+        snap = r < 0.15
+        ts[snap] = ts[snap].dt.floor("s")
+        # exact window-boundary instants for the 6-hour windows below
+        bound = (r >= 0.15) & (r < 0.30)
+        ts[bound] = ts[bound].dt.floor("6h")
+        # duplicate instants: adopt the previous row's event time
+        dup = (r >= 0.30) & (r < 0.45)
+        dup[0] = False
+        ts[dup] = ts.shift(1)[dup]
+        jit = (r >= 0.45) & (r < 0.60)
+        nj = int(jit.sum())
+        ts[jit] = ts[jit] + pd.to_timedelta(
+            rng.randint(-6 * 3600, 6 * 3600, nj), unit="s"
+        ) + pd.to_timedelta(rng.randint(0, 1_000_000, nj), unit="us")
+        pdf["ts"] = ts
     else:
         raise ValueError(variant)
     return spark.createDataFrame(
@@ -164,6 +194,8 @@ CASES = [
     ("hostile_strings", 202),
     ("dup_flood", 101),
     ("dup_flood", 202),
+    ("ts_attack", 101),
+    ("ts_attack", 202),
 ]
 
 
@@ -197,7 +229,11 @@ def test_windowed_counts_fuzz(spark, tmp_path, variant, seed):
     ev.unpersist()
 
 
-@pytest.mark.parametrize("variant,seed", [("null_heavy", 101), ("null_heavy", 202)])
+@pytest.mark.parametrize(
+    "variant,seed",
+    [("null_heavy", 101), ("null_heavy", 202),
+     ("ts_attack", 101), ("ts_attack", 202)],
+)
 def test_session_windows_fuzz(spark, tmp_path, variant, seed):
     src = str(tmp_path / "src")
     os.makedirs(src)
@@ -229,7 +265,8 @@ def test_session_windows_fuzz(spark, tmp_path, variant, seed):
 
 @pytest.mark.parametrize(
     "variant,seed",
-    [("dup_flood", 101), ("dup_flood", 202), ("null_heavy", 101)],
+    [("dup_flood", 101), ("dup_flood", 202), ("null_heavy", 101),
+     ("ts_attack", 101)],
 )
 def test_dedup_stream_fuzz(spark, tmp_path, variant, seed):
     """dropDuplicatesWithinWatermark under the replay storm: a generous
@@ -266,7 +303,8 @@ def test_dedup_stream_fuzz(spark, tmp_path, variant, seed):
 
 
 @pytest.mark.parametrize(
-    "variant,seed", [("hostile_strings", 101), ("hostile_strings", 202)]
+    "variant,seed",
+    [("hostile_strings", 101), ("hostile_strings", 202), ("ts_attack", 101)],
 )
 def test_interval_join_fuzz(spark, tmp_path, variant, seed):
     """Stream-stream interval join under hostile event_type bytes: the
@@ -299,3 +337,109 @@ def test_interval_join_fuzz(spark, tmp_path, variant, seed):
     )
     assert got_rows == want_rows
     ev.unpersist()
+
+
+def _event_row(spark, event_id, ts_str, user_id=7, etype="click", value=1.0):
+    return spark.createDataFrame(
+        [(event_id, ts_str, user_id, etype, value, None)],
+        "event_id bigint, _ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", F.col("_ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+
+
+def test_exact_watermark_boundary_row_admitted(spark, tmp_path):
+    """The watermark's sharpest edge (VERDICT r10 item 4): a row that
+    arrives late by EXACTLY the watermark delay. Its event time equals
+    the watermark instant, so its 6-hour window END is strictly above
+    the watermark — the window is still open and the row MUST be
+    admitted into the aggregate. 2-day watermark, batch 1 advances max
+    event time to T, batch 2 carries a row at exactly T - 2 days."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = _event_row(spark, 1, "2024-03-10 12:00:00").unionByName(
+        _event_row(spark, 2, "2024-03-08 13:30:00")
+    )
+    # exactly watermark-late: event time == max_seen - 2 days
+    b2 = _event_row(spark, 3, "2024-03-08 12:00:00")
+    b3 = _sentinel(spark, b1, "10 DAYS", 10**9 + 1)
+    stream = events_stream.windowed_event_counts(
+        events_stream.read_events_stream(spark, src),
+        window="6 hours",
+        watermark="2 days",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("v_wm_edge")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        for i, b in enumerate([b1, b2, b3]):
+            _land(b, src, f"b{i}")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.window_start.isoformat(), r.n)
+        for r in spark.table("v_wm_edge").collect()
+        if r.event_type == "click"
+    }
+    # the 12:00-18:00 window of 2024-03-08 must hold BOTH the on-time
+    # 13:30 row and the exactly-watermark-late 12:00 row
+    assert ("2024-03-08T12:00:00", 2) in got, got
+
+
+def test_row_into_closed_window_never_double_emits(spark, tmp_path):
+    """The dual edge: a row later than the watermark whose window the
+    watermark has already CLOSED (window end <= watermark). Append mode
+    has already emitted that window's final row; the guarantee that
+    matters downstream is exactly-once finality — the sink must never
+    grow a SECOND row for the same (window, event_type), and the
+    emitted count must stay the pre-late value."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = _event_row(spark, 1, "2024-03-01 01:00:00")
+    # advance watermark far past b1's window end (2024-03-01 06:00)
+    b2 = _event_row(spark, 2, "2024-03-20 00:00:00")
+    q0 = None
+    stream = events_stream.windowed_event_counts(
+        events_stream.read_events_stream(spark, src),
+        window="6 hours",
+        watermark="2 days",
+    )
+    q0 = (
+        stream.writeStream.format("memory")
+        .queryName("v_wm_closed")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _land(b1, src, "b1")
+        q0.processAllAvailable()
+        _land(b2, src, "b2")
+        q0.processAllAvailable()
+        emitted = [
+            (r.window_start.isoformat(), r.n)
+            for r in spark.table("v_wm_closed").collect()
+        ]
+        assert ("2024-03-01T00:00:00", 1) in emitted, emitted
+        # a straggler INTO the closed-and-emitted window
+        _land(_event_row(spark, 3, "2024-03-01 01:30:00"), src, "b3")
+        q0.processAllAvailable()
+        # flush everything that could still emit
+        _land(_event_row(spark, 4, "2024-04-15 00:00:00"), src, "b4")
+        q0.processAllAvailable()
+    finally:
+        q0.stop()
+    rows = [
+        (r.window_start.isoformat(), r.event_type, r.n)
+        for r in spark.table("v_wm_closed").collect()
+    ]
+    per_key = {}
+    for w, t, n in rows:
+        per_key[(w, t)] = per_key.get((w, t), 0) + 1
+    assert all(c == 1 for c in per_key.values()), rows
+    assert ("2024-03-01T00:00:00", "click", 1) in rows, rows
