@@ -273,3 +273,107 @@ def test_user_activity_gaps_span_cap(spark, tmp_path):
     r1 = capped[1]
     assert (r1.n_gap_days, r1.max_gap_len, r1.truncated_days) == (3, 3, 6)
     assert (capped[2].n_gap_days, capped[2].truncated_days) == (0, 0)
+
+
+class TestExactFloorDivWitnesses:
+    """Round-11 timestamp-fuzz fixes (the 1t campaign's first finds).
+
+    Two defect classes in ``floor(unix_micros(ts) / bucket_us)``:
+
+    1. Engine split on negative epochs — the LIVE one (caught as a
+       grid-length-off-by-one by fuzz variant 1t's ±100-year shifts):
+       the DuckDB oracles bucketed with ``epoch_us // d``, which
+       truncates toward zero and splits the hour straddling epoch 0,
+       while Spark's floor() floors.
+    2. DOUBLE division past 2^53 µs (epochs beyond ~year 2255): the
+       LONG→DOUBLE cast rounds the epoch itself, so an instant 1 µs
+       below an hour boundary lands ON the boundary and misbuckets
+       into the next hour. Unreachable by the ±100-year fuzz shifts
+       today, closed defensively by the same fix.
+
+    Both sides now use exact integer FLOOR division
+    (operators.temporal.exact_floor_div / the positive-mod SQL form).
+    """
+
+    def test_double_floor_defect_is_real_past_2_53(self):
+        # the arithmetic fact the defensive half of the fix rests on:
+        # past 2^53 µs the LONG->DOUBLE cast itself rounds k*d-1 up to
+        # exactly k*d, so cast-then-floor-divide misbuckets
+        import math
+
+        d = 3_600_000_000                     # 1 hour in microseconds
+        k = 2_600_000                         # ~year 2266 in epoch hours
+        ep = k * d - 1                        # 1 µs before the boundary
+        assert float(ep) == float(k * d)      # the cast rounds UP
+        assert math.floor(float(ep) / d) == k  # the double-path defect
+        assert ep // d == k - 1               # exact integer truth
+
+    def test_boundary_instant_buckets_into_earlier_hour(self, spark):
+        import pyspark.sql.functions as F
+
+        from udacity_data_wrangling_osm_case_study_spark.operators.temporal import (
+            exact_floor_div,
+        )
+
+        d = 3_600_000_000
+        k = 473_364
+        eps = [k * d - 1, k * d, k * d + 1, -1, 0, 1, -d, -d - 1, -d + 1]
+        df = spark.createDataFrame([(e,) for e in eps], ["ep"])
+        got = {
+            r.ep: r.b
+            for r in df.select("ep", exact_floor_div(F.col("ep"), d).alias("b"))
+            .collect()
+        }
+        assert got == {e: e // d for e in eps}  # Python // is exact floor
+
+    def test_resample_grid_exact_on_pre_1970_instants(self, spark):
+        """A key spanning 23:30 Dec 31 1969 -> 00:30 Jan 1 1970 has
+        exactly TWO hourly buckets (-1 and 0); truncating division
+        collapses both instants into bucket 0 and emits a 1-bucket
+        grid — the off-by-one row count fuzz variant 1t caught."""
+        from datetime import datetime
+
+        import pyspark.sql.functions as F
+
+        from udacity_data_wrangling_osm_case_study_spark.operators import temporal
+
+        df = spark.createDataFrame(
+            [
+                (7, datetime(1969, 12, 31, 23, 30), 100),
+                (7, datetime(1970, 1, 1, 0, 30), 200),
+            ],
+            ["user_id", "ts", "cents"],
+        )
+        out = temporal.resample_interp(
+            df, key="user_id", time_col="ts", value_col="cents",
+            bucket_seconds=3600,
+        ).orderBy("b").collect()
+        assert [(r.b, r.n_obs) for r in out] == [(-1, 1), (0, 1)]
+
+    def test_wide_span_resample_completes_linear(self, spark):
+        """The quadratic-frame witness: pre-fix, the forward carry used
+        a [currentRow, unboundedFollowing] frame that Spark re-evaluates
+        from scratch per row — O(grid²) per key. A 20-year span (175k
+        hourly buckets from one ±100-year-shifted outlier instant, the
+        1t mutation) needed ~3e10 aggregate updates and ran for HOURS
+        (the campaign stall this fix came from); the reversed growing
+        frame is incremental and finishes in seconds. The 120 s ceiling
+        is ~50x the post-fix cost and ~100x below the pre-fix cost."""
+        import time
+        from datetime import datetime
+
+        from udacity_data_wrangling_osm_case_study_spark.operators import temporal
+
+        rows = [(1, datetime(2004, 1, 1, 0, 0, 30), 100)] + [
+            (1, datetime(2024, 1, 1, h, 0, 30), 100 + h) for h in range(8)
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "cents"])
+        t0 = time.time()
+        out = temporal.resample_interp(
+            df, key="user_id", time_col="ts", value_col="cents",
+            bucket_seconds=3600,
+        )
+        n = out.count()
+        took = time.time() - t0
+        assert n == 175_328, n  # 20 years incl. 5 leap days, +7h, +1
+        assert took < 120, f"quadratic window frame is back: {took:.0f}s"

@@ -60,6 +60,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -219,10 +220,14 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
     for t in TABLES:
         tbl = pq.read_table(f"{base}/{t}.parquet")
         schema = tbl.schema
-        magnify = variant == "mag6" or (
-            variant.endswith("m") and variant[:-1].isdigit()
-        )
-        mutate_ts = variant.endswith("t") and variant[:-1].isdigit()
+        # Numeric seeds compose suffix letters: "7m" = magnitude-scaled
+        # base then seed-7 mutations, "7t" = seed-7 mutations plus the
+        # timestamp attacks, "7mt" = all three (magnitude first, then
+        # value mutations, timestamps attacked alongside).
+        suffix_m = re.fullmatch(r"\d+((m?t?)|(t?m?))", variant)
+        suffix = suffix_m.group(1) if suffix_m else ""
+        magnify = variant == "mag6" or "m" in suffix
+        mutate_ts = "t" in suffix
         if variant == "empty":
             out = tbl.slice(0, 0)
         elif variant == "single":
@@ -327,6 +332,11 @@ def run_variant(
         else:
             results[name] = {"status": "ok", "rows": len(mine),
                              "sec": round(time.time() - t0, 2)}
+            # flushed progress: a variant that blows a query up (the
+            # 1t interval-join stall this line was added to find) is
+            # diagnosable from the log's last line instead of opaque
+            print(f"ok    [{variant}] {name} "
+                  f"[{results[name]['sec']}s]", flush=True)
     con.close()
     return results
 

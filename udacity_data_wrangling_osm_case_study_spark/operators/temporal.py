@@ -18,8 +18,32 @@ scale-correct plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def exact_floor_div(col: Column, d: int) -> Column:
+    """Integer floor division (toward -inf) of a BIGINT column by a
+    positive constant, exact at ANY magnitude.
+
+    Two defects this replaces (round-11 timestamp fuzz,
+    tests/test_temporal.py::TestExactFloorDivWitnesses):
+    ``F.floor(col / d)`` floors correctly at today's epochs but the
+    LONG→DOUBLE cast rounds the epoch itself past 2^53 µs (~year
+    2255), landing an instant 1 µs below an hour boundary ON the
+    boundary; and Spark's ``div`` is no substitute because it
+    truncates toward zero, splitting the bucket that straddles epoch 0
+    — pre-1970 instants are legal inputs, and the matching DuckDB
+    ``//`` truncation is exactly the engine split fuzz variant 1t
+    caught as a grid-length off-by-one.
+
+    Subtracting the POSITIVE mod (pmod) leaves an exact multiple of
+    ``d``, where every correctly-rounded division is exact; the
+    DECIMAL(38,0) hop keeps that true at any magnitude. All-integer
+    end to end.
+    """
+    m = F.pmod(col, F.lit(d))
+    return ((col - m).cast("decimal(38,0)") / F.lit(d)).cast("long")
 
 
 def asof_join(
@@ -84,7 +108,7 @@ def range_join(
     # integer microseconds end to end — no float rounding anywhere
     gap_us = max_gap_seconds * 1_000_000
     ep = F.unix_micros(F.col(time_col))
-    bucket = F.floor(ep / gap_us).cast("long")
+    bucket = exact_floor_div(ep, gap_us)
     l_b = left.select(
         F.col(key).alias("k"),
         F.col(time_col).alias("l_t"),
@@ -178,7 +202,7 @@ def resample_locf(
     """
     ep = F.unix_micros(F.col(time_col))
     bucket_us = bucket_seconds * 1_000_000
-    bucketed = df.withColumn("_b", F.floor(ep / bucket_us).cast("long"))
+    bucketed = df.withColumn("_b", exact_floor_div(ep, bucket_us))
     # caller-visible per-bucket observation aggregates (exact types)
     agg_cols = [c for c in bucketed.columns if c.startswith("agg_")]
     obs = bucketed.groupBy(F.col(key).alias("k"), F.col("_b").alias("b")).agg(
@@ -359,7 +383,7 @@ def resample_interp(
     """
     ep = F.unix_micros(F.col(time_col))
     bucket_us = bucket_seconds * 1_000_000
-    bucketed = df.withColumn("_b", F.floor(ep / bucket_us).cast("long"))
+    bucketed = df.withColumn("_b", exact_floor_div(ep, bucket_us))
     obs = bucketed.groupBy(F.col(key).alias("k"), F.col("_b").alias("b")).agg(
         F.count("*").alias("n_obs"),
         F.sum(value_col).alias("_v"),
@@ -376,17 +400,28 @@ def resample_interp(
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward carry as a GROWING frame over the reversed order, not
+    # [currentRow, unboundedFollowing] over the forward order: Spark's
+    # shrinking UnboundedFollowing frame re-evaluates the aggregate
+    # from scratch for every row — O(rows²) per key partition, found
+    # in anger by the round-11 timestamp fuzz (a ±100-year outlier
+    # instant widens a key's dense grid to ~1.75M hourly buckets and
+    # the quadratic frame turns a sub-second fill into hours). The
+    # grid's b is unique per key, so last-non-null over the descending
+    # growing frame (incrementally maintained, O(rows)) is exactly
+    # first-non-null over the forward shrinking frame. Costs a second
+    # in-partition sort; the shuffle count is unchanged.
     wfwd = (
         Window.partitionBy("k")
-        .orderBy("b")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_b = F.when(F.col("_v").isNotNull(), F.col("b"))
     filled = (
         j.withColumn("_pv", F.last("_v", ignorenulls=True).over(wback))
         .withColumn("_pb", F.last(obs_b, ignorenulls=True).over(wback))
-        .withColumn("_nv", F.first("_v", ignorenulls=True).over(wfwd))
-        .withColumn("_nb", F.first(obs_b, ignorenulls=True).over(wfwd))
+        .withColumn("_nv", F.last("_v", ignorenulls=True).over(wfwd))
+        .withColumn("_nb", F.last(obs_b, ignorenulls=True).over(wfwd))
     )
     on_grid = F.col("n_obs") > 0
     return filled.select(

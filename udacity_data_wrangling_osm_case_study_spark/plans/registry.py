@@ -64,6 +64,15 @@ _loaded = False
 # the r5-r10 hand-maintained hoist kept re-attesting the same names
 # while 84 of 253 aged back to rounds 1-2 (VERDICT r10 item 3).
 _VERIFY_FIRST: tuple[str, ...] = (
+    # Round-11 semantics-changed queries (timestamp-fuzz fixes: hourly
+    # bucketing is now exact FLOOR division on BOTH engines — pre-1970
+    # instants bucket identically; and the interp forward-fill window
+    # is a reversed growing frame, O(n) instead of O(n²) per key). On
+    # clean driver data the outputs are value-identical, but the
+    # driver should re-attest first; both are green under
+    # check_oracle and the 1t/2t/3t fuzz variants.
+    "event_value_resample_locf",
+    "event_value_resample_interp",
 )
 
 # The hoist list is an honest record of verification priority; a name

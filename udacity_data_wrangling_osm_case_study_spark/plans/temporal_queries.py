@@ -94,7 +94,15 @@ def error_followup_pairs(spark, sf_dir):
     "event_value_resample_locf",
     """
     WITH b AS (
-        SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS b,
+        SELECT user_id,
+               -- exact FLOOR division (DuckDB's // truncates toward
+               -- zero, splitting the hour bucket that straddles epoch
+               -- 0 for pre-1970 instants; the positive-mod subtraction
+               -- leaves an exact multiple, matching Spark's
+               -- exact_floor_div bucket semantics)
+               CAST((epoch_us(ts)
+                     - ((epoch_us(ts) % 3600000000) + 3600000000)
+                       % 3600000000) // 3600000000 AS BIGINT) AS b,
                COUNT(*) AS n_obs,
                SUM(CAST(value AS DECIMAL(18,2))) AS s
         FROM events WHERE user_id < 3 GROUP BY 1, 2
@@ -656,10 +664,23 @@ def nearest_click_alignment(spark, sf_dir):
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Forward carry over the REVERSED order with a growing frame:
+    # [1 FOLLOWING, UNBOUNDED FOLLOWING] is a shrinking frame that
+    # Spark re-evaluates from scratch per row — O(events²) per user
+    # (the round-11 timestamp fuzz's resample stall, same frame class;
+    # a hot user with millions of events would hit it here). Over the
+    # reversed order the same rows form [UNBOUNDED PRECEDING, -1],
+    # which is incrementally maintained; the oracle keeps the forward
+    # spelling (DuckDB's frames are not quadratic).
+    order_rev = [
+        F.col("ts").desc(),
+        F.coalesce("event_id", "click_id").desc(),
+        F.col("click_id").isNull().desc(),
+    ]
     w_next = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(*order_rev)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     click_us = F.when(
         F.col("click_id").isNotNull(), F.unix_micros("ts")
@@ -667,9 +688,9 @@ def nearest_click_alignment(spark, sf_dir):
     w = merged.select(
         "user_id", "ts", "event_id",
         F.last("click_id", ignorenulls=True).over(w_prev).alias("prev_click"),
-        F.first("click_id", ignorenulls=True).over(w_next).alias("next_click"),
+        F.last("click_id", ignorenulls=True).over(w_next).alias("next_click"),
         F.last(click_us, ignorenulls=True).over(w_prev).alias("prev_us"),
-        F.first(click_us, ignorenulls=True).over(w_next).alias("next_us"),
+        F.last(click_us, ignorenulls=True).over(w_next).alias("next_us"),
     )
     nearest = (
         F.when(F.col("prev_click").isNull() & F.col("next_click").isNull(), F.lit(None))
@@ -693,7 +714,15 @@ def nearest_click_alignment(spark, sf_dir):
     "event_value_resample_interp",
     """
     WITH b AS (
-        SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS b,
+        SELECT user_id,
+               -- exact FLOOR division (DuckDB's // truncates toward
+               -- zero, splitting the hour bucket that straddles epoch
+               -- 0 for pre-1970 instants; the positive-mod subtraction
+               -- leaves an exact multiple, matching Spark's
+               -- exact_floor_div bucket semantics)
+               CAST((epoch_us(ts)
+                     - ((epoch_us(ts) % 3600000000) + 3600000000)
+                       % 3600000000) // 3600000000 AS BIGINT) AS b,
                COUNT(*) AS n_obs,
                SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
         FROM events WHERE user_id < 3 GROUP BY 1, 2
