@@ -400,3 +400,66 @@ def test_recency_weight_term_past_bigint(spark, tmp_path):
     assert row.decay_num_hi * 2**31 + row.decay_num_lo == num
     assert row.decay_num_hi == n * cents  # all weights 2^31 here
     assert row.decay_num_lo == 0
+
+
+def test_share_bp_zero_market_is_null_like_duckdb(spark):
+    """Round-11 fuzz fix (variant 4t at sf0.01): negative-price rows
+    can cancel a year's market revenue to exactly 0 cents, where the
+    share is undefined. DuckDB's // yields NULL on a zero divisor;
+    Spark's ANSI div threw DIVIDE_BY_ZERO — the projection now guards
+    to NULL so both engines agree. Same convention applied to
+    nation_revenue_share's region/total denominators."""
+    import duckdb
+
+    rows = _share_bp_projection(
+        spark.createDataFrame(
+            [(1995, 0, 0), (1996, -500, 0), (1997, 30, 90)],
+            "o_year int, nation_rev_c long, market_rev_c long",
+        )
+    ).orderBy("o_year").collect()
+    assert [(r.o_year, r.share_bp) for r in rows] == [
+        (1995, None), (1996, None), (1997, 3333),
+    ]
+    # the DuckDB behavior the convention mirrors (if an upgrade makes
+    # // throw instead, the oracle needs the explicit CASE guard too)
+    assert duckdb.connect().execute(
+        "SELECT CAST(-500 AS HUGEINT) * 10000 // 0"
+    ).fetchone()[0] is None
+
+
+def test_time_weighted_avg_per_term_past_bigint(spark, tmp_path):
+    """Round-11 composed 4mt-variant crash witness: the r10 fix widened
+    the ACCUMULATED wsum, but the per-hold product cents*dt still rode
+    BIGINT — magnitude-scaled cents (~1e13) held across a
+    ±100-year-shifted gap (~6.3e9 s) pass 2^63 inside one term. The
+    product now widens to DECIMAL(38,0) BEFORE multiplying (HUGEINT in
+    the oracle). Two events 200 years apart at a magnitude where the
+    single term provably overflows, while each factor fits BIGINT."""
+    import pyspark.sql.functions as F
+
+    from udacity_data_wrangling_osm_case_study_spark.plans import registry
+
+    cents = 2 * 10**13           # value * 100 after 1e6 magnitude scale
+    gap_s = 200 * 365 * 24 * 3600  # ~200-year hold
+    assert cents < I64_MAX and gap_s < I64_MAX
+    assert cents * gap_s > I64_MAX  # the single term overflows pre-fix
+    events = spark.createDataFrame(
+        [(1, 7, "view", cents / 100.0), (2, 7, "view", 0.0)],
+        "event_id long, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.when(F.col("event_id") == 1,
+               F.lit("1924-01-01 00:00:00").cast("timestamp"))
+        .otherwise(
+            F.lit("1924-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.lit(gap_s))
+        ).alias("ts"),
+        "user_id", "event_type", "value",
+        F.lit(None).cast("string").alias("props"),
+    )
+    d = tmp_path / "sf"
+    events.write.parquet(str(d / "events.parquet"))
+    queries, _ = registry.load_all()
+    row = queries["event_value_time_weighted_avg"](spark, str(d)).first()
+    assert row.span_s == gap_s
+    assert row.twa_micro == cents * gap_s * 10000 // gap_s == cents * 10000

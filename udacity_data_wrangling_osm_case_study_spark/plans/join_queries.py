@@ -1506,8 +1506,13 @@ def nation_revenue_share(spark, sf_dir):
         "r_name",
         "n_name",
         "rev_c",
-        F.expr("_num_r div _den_r").cast("long").alias("share_of_region_bp"),
-        F.expr("_num_t div _den_t").cast("long").alias("region_share_bp"),
+        # same zero-denominator convention as nation_market_share:
+        # a region (or grand total) cancelling to exactly 0 cents makes
+        # the share NULL on both engines instead of an ANSI throw
+        F.when(F.col("_den_r") != 0, F.expr("_num_r div _den_r"))
+        .cast("long").alias("share_of_region_bp"),
+        F.when(F.col("_den_t") != 0, F.expr("_num_t div _den_t"))
+        .cast("long").alias("region_share_bp"),
     ).orderBy("r_name", "n_name")
 
 
@@ -2028,9 +2033,17 @@ def _share_bp_projection(yr):
         "o_year",
         "nation_rev_c",
         "market_rev_c",
-        F.expr(
-            "cast(nation_rev_c as decimal(38,0)) * 10000"
-            " div cast(market_rev_c as decimal(38,0))"
+        # Zero market revenue (negative-price rows can cancel a year to
+        # exactly 0 cents) leaves the share UNDEFINED: NULL on both
+        # engines — DuckDB's // already yields NULL on a zero divisor,
+        # Spark's ANSI div throws without the guard (caught by fuzz
+        # variant 4t at sf0.01).
+        F.when(
+            F.col("market_rev_c") != 0,
+            F.expr(
+                "cast(nation_rev_c as decimal(38,0)) * 10000"
+                " div cast(market_rev_c as decimal(38,0))"
+            ),
         )
         .cast("long")
         .alias("share_bp"),

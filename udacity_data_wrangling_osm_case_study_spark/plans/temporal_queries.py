@@ -524,7 +524,7 @@ def multitouch_attribution(spark, sf_dir):
         FROM c
     ),
     s AS (
-        SELECT user_id, SUM(cents * dt) AS wsum,
+        SELECT user_id, SUM(CAST(cents AS HUGEINT) * dt) AS wsum,
                MAX(ep) - MIN(ep) AS span_s
         FROM d GROUP BY user_id
     )
@@ -544,11 +544,11 @@ def event_value_time_weighted_avg(spark, sf_dir):
 
     Shape: one ordered window (lead) and one groupBy over the same
     (user, time) sort — Catalyst plans a single shuffle. Overflow
-    posture: per-hold cents·dt fits BIGINT through extreme magnitudes,
-    but wsum and especially wsum×10000 do not (the mag6 fuzz variant
-    crossed 2^63 at ~1e11-cent values), so the accumulation and the
-    derived micro numerator clear through DECIMAL(38,0) — the DuckDB
-    oracle's SUM is HUGEINT-backed already."""
+    posture: wsum and wsum×10000 cross 2^63 at mag6 magnitudes (r10
+    fix), and the PER-HOLD cents·dt crosses it too once magnitude-
+    scaled cents meet ±100-year holds (r11 composed 4mt fix) — every
+    product and accumulation clears through DECIMAL(38,0), HUGEINT in
+    the oracle."""
     ev = table(spark, sf_dir, "events")
     c = ev.select(
         "user_id",
@@ -561,7 +561,12 @@ def event_value_time_weighted_avg(spark, sf_dir):
         "dt", F.coalesce(F.lead("ep").over(w) - F.col("ep"), F.lit(0))
     )
     s = d.groupBy("user_id").agg(
-        F.sum((F.col("cents") * F.col("dt")).cast("decimal(38,0)")).alias(
+        # cents must widen BEFORE the product: a magnitude-scaled value
+        # (~1e13 cents) held across a ±100-year-shifted gap (~6.3e9 s)
+        # passes 2^63 in the PER-TERM long multiply — caught by the
+        # composed 4mt fuzz variant (r10's fix had widened only the
+        # accumulated wsum). HUGEINT product in the oracle to match.
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dt")).alias(
             "wsum"
         ),
         (F.max("ep") - F.min("ep")).alias("span_s"),
