@@ -376,6 +376,45 @@ def test_arrow_cosine_parity_with_expression_path(spark):
         assert abs(bp - round(expr[k] * 10000)) <= 1
 
 
+def test_arrow_cosine_tiled_matches_bruteforce_multichunk(spark):
+    """Round-11 tiling fix: the blockwise matmul now runs in bounded
+    row tiles (the full gram + triu-index materialization was O(n²)
+    memory — ~24 GB per 32k-vector block at the 100x sweep, OOM at the
+    next step). 3000 vectors in one block forces MULTIPLE tiles
+    (chunk = 2048); the surviving pair set and every rounded
+    basis-point value must equal the single-matrix brute force."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n, d = 3000, 4
+    M = rng.randn(n, d)
+    M[37] = M[12] * 1.7          # exact positive scaling: cosine 1.0
+    M[2048] = M[2047] * 0.9      # a pair STRADDLING the tile boundary
+    M[99] = 0.0                  # zero vector: cosine 0 with everyone
+    df = spark.createDataFrame(
+        [(i, M[i].tolist(), 0) for i in range(n)],
+        ["vec_id", "embedding", "label"],
+    ).coalesce(1)
+    got = {
+        (r.id_a, r.id_b): r.cosine_bp
+        for r in dedup.embedding_near_duplicates_arrow(
+            df, threshold_bp=9000
+        ).collect()
+    }
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    U = np.divide(M, nrm, out=np.zeros_like(M), where=nrm != 0)
+    G = np.round(U @ U.T * 10000).astype("int64")
+    iu = np.triu_indices(n, k=1)
+    want = {
+        (int(a), int(b)): int(G[a, b])
+        for a, b in zip(iu[0], iu[1])
+        if G[a, b] >= 9000
+    }
+    assert got == want
+    assert (12, 37) in got and got[(12, 37)] == 10000
+    assert (2047, 2048) in got
+
+
 def test_connected_components_deep_chain(spark):
     # A 1000-edge chain is the worst case for one-hop label propagation
     # (diameter = vertex count). Pointer doubling must close it within

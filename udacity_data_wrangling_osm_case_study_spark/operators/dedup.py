@@ -987,16 +987,34 @@ def embedding_near_duplicates_arrow(
         # would propagate silently into the pair grid.
         nrm = np.linalg.norm(M, axis=1, keepdims=True)
         U = np.divide(M, nrm, out=np.zeros_like(M), where=nrm != 0)
-        G = U @ U.T
-        iu = np.triu_indices(len(ids), k=1)
-        bp = np.round(G[iu] * 10000).astype("int64")
-        keep = bp >= threshold_bp
-        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+        # Row-TILED U @ U.T: the full gram matrix plus triu index
+        # arrays is O(n²) MEMORY per block — ~24 GB at a 32k-vector
+        # block (the 100x GANN sweep's block size; time-per-pair grew
+        # 3.7x there from allocation/cache pressure alone, and the
+        # next scale step OOMs). Each tile is one (chunk x n) BLAS
+        # matmul filtered to survivors immediately, so peak memory is
+        # bounded by the tile, not the block, and the FLOPs and
+        # results are bit-identical (same dot products, same rounding).
+        n = len(ids)
+        chunk = max(1, min(2048, (64 << 20) // max(n * 8, 1)))
+        cols = np.arange(n)
+        out_a, out_b, out_bp = [], [], []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            bp = np.round((U[s:e] @ U.T) * 10000).astype("int64")
+            keep = (cols[None, :] > np.arange(s, e)[:, None]) & (
+                bp >= threshold_bp
+            )
+            li, j = np.nonzero(keep)
+            a, b = ids[li + s], ids[j]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_bp.append(bp[li, j])
         return pd.DataFrame(
             {
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "cosine_bp": bp[keep],
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_bp": np.concatenate(out_bp),
             }
         )
 
