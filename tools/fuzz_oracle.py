@@ -42,6 +42,10 @@ boundary the temporal arithmetic relies on (fractional-gap
 thresholds, bucket floors at negative epochs, tie ordering) is
 attacked. The r10 sessionization bug (whole-second truncation vs the
 oracle's exact INTERVAL) was reachable only through this dimension.
+Since round 11 the ``t`` class also mutates DATE columns (day
+jitter, first-of-month snaps, duplicates, ±100-year shifts) —
+o_orderdate/l_shipdate feed the TPC-H year/month arithmetic the
+timestamp dimension never reached.
 
 Data contract (columns the mutator never nulls — the engine's
 documented input requirements): identity and join key columns, and
@@ -209,6 +213,36 @@ def _mutate_timestamp(vals: list, rng: np.random.RandomState):
     return out
 
 
+def _mutate_date(vals: list, rng: np.random.RandomState):
+    """DATE attacks (round-11 extension of the ``t`` class), always
+    non-null: day jitter across month/year boundaries, first-of-month
+    snaps (GROUP BY year/month tie mass), duplicate dates (ORDER BY
+    date ties), and ±100-year shifts (pre-1970 years in date_part /
+    year() arithmetic, far-future date math). o_orderdate/l_shipdate
+    feed ~40 TPC-H/exploration queries that the timestamp dimension
+    never touched."""
+    import datetime as dt
+
+    out: list = []
+    prev = None
+    for v in vals:
+        if v is not None:
+            r = rng.rand()
+            if r < 0.06:
+                v = v.replace(day=1)
+            elif r < 0.11:
+                v = v + dt.timedelta(days=int(rng.randint(-45, 46)))
+            elif r < 0.14 and prev is not None:
+                v = prev
+            elif r < 0.15:
+                v = v - dt.timedelta(days=36500)
+            elif r < 0.16:
+                v = v + dt.timedelta(days=36500)
+            prev = v
+        out.append(v)
+    return out
+
+
 def make_variant(base: str, out_dir: str, variant: str) -> None:
     """Write the ten mutated tables for ``variant`` under ``out_dir``."""
     os.makedirs(out_dir, exist_ok=True)
@@ -256,6 +290,8 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
                 # where protected; keys stay protected as always
                 if mutate_ts and pa.types.is_timestamp(field.type):
                     vals = _mutate_timestamp(vals, rng)
+                elif mutate_ts and pa.types.is_date(field.type):
+                    vals = _mutate_date(vals, rng)
                 elif not protected:
                     if pa.types.is_floating(field.type) or pa.types.is_integer(
                         field.type
