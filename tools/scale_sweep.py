@@ -105,6 +105,12 @@ def main() -> int:
         "failed": failures,
         "with_all_null_cols": n_all_null,
         "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        # the knob that decides whether a fixed-config sweep reads
+        # linear at scale (the r11 100x GANN analysis: pagerank read
+        # 2x-above-linear at 32 partitions, linear at 128 — size
+        # shuffle partitions to the data before blaming the plan)
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "master": spark.sparkContext.master,
     }
     with open(out_path, "w") as f:
         json.dump({"summary": summary, "results": results}, f, indent=1,
