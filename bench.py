@@ -340,18 +340,30 @@ CALIBRATION_REF = {
 
 def resolve_host_factor(calib_pre: dict, calib_post: dict,
                         ref: dict | None = None) -> dict:
-    """Host-speed-factor policy (round-11, VERDICT r10 item 2).
+    """Host-speed-factor policy (round-12 revision; ADVICE r11 high).
 
     The r10 driver run reported a CPython-probe factor of 1.205 while
     its RAW total matched builder and judge within 4% — the SHA-256
     probes over-read that rig's slowness relative to JVM query
     throughput, so the normalized total over-credited by 17%. The
-    bench workload is JVM-dominated, so the JVM codegen probe now
+    bench workload is JVM-dominated, so the JVM codegen probe
     adjudicates: when the CPython factor and the JVM factor agree
     within 10%, the CPython factor stands (it is the cleaner host
-    signal); when they disagree by more, the factor is CLAMPED into
-    the JVM factor's ±10% band and the run is flagged non-concordant —
-    raw totals stay the comparison of record for such a run.
+    signal) and the run is concordant.
+
+    When they DISAGREE by more, the run is flagged non-concordant and
+    raw totals are the comparison of record. The recorded factor then
+    must never move FURTHER from 1.0 than the CPython probes support:
+    the round-11 flagged epoch (factor_py 1.019 vs factor_jvm 1.401,
+    both CPython probes ~1.02 — the all-core probe directly
+    contradicting any host-wide squeeze) clamped INTO the JVM band and
+    published a 20% self-favoring normalization. Now the factor is
+    whichever of {factor_py, JVM-band clamp of factor_py} lies closer
+    to 1.0 — the old clamp still applies when the CPython probes
+    over-read (r10 driver case, factor pulled DOWN toward the healthy
+    JVM), but a high-variance JVM probe can no longer inflate the
+    credit. main() additionally suppresses normalization entirely on
+    non-concordant runs (value_normalized = raw).
 
     Pure function of the recorded calibration dicts so the policy is
     unit-testable on archived snapshots (tests/test_bench_calibration).
@@ -376,13 +388,41 @@ def resolve_host_factor(calib_pre: dict, calib_post: dict,
     if concordant:
         factor = factor_py
     else:
-        factor = min(max(factor_py, factor_jvm / 1.10), factor_jvm * 1.10)
+        clamped = min(max(factor_py, factor_jvm / 1.10), factor_jvm * 1.10)
+        # Never further from 1.0 than the CPython evidence supports.
+        factor = min((factor_py, clamped), key=lambda f: abs(f - 1.0))
     return {
         "factor": round(factor, 3),
         "factor_py": round(factor_py, 3),
         "factor_jvm": round(factor_jvm, 3),
         "concordant": concordant,
     }
+
+
+def resolve_series_flag(series: list[float], tolerance: float = 1.15) -> dict:
+    """Mid-run squeeze detector (VERDICT r11 item 2).
+
+    The pre/post calibration probes are endpoint snapshots: the r11
+    driver run read concordant endpoints (factor 0.995) around a raw
+    total 18% above the builder's same-day concordant run, and a judge
+    session measured this rig's JVM probe swinging 1.17x -> 2.59x
+    within minutes. bench.main() now interleaves a JVM codegen probe
+    every ~20 queries; this pure function flags the run when the
+    probe SERIES itself is unsteady (max/min > tolerance) — a run
+    squeezed DURING the queries is non-adjudicable-by-normalization
+    even when its endpoints look healthy.
+
+    Returns {"steady", "ratio", "min", "max", "n"}; an empty or
+    single-point series is vacuously steady (nothing to compare).
+    """
+    pts = [s for s in series if s is not None and s > 0]
+    if len(pts) < 2:
+        return {"steady": True, "ratio": 1.0,
+                "min": pts[0] if pts else None,
+                "max": pts[0] if pts else None, "n": len(pts)}
+    lo, hi = min(pts), max(pts)
+    return {"steady": hi / lo <= tolerance, "ratio": round(hi / lo, 3),
+            "min": round(lo, 4), "max": round(hi, 4), "n": len(pts)}
 
 # Self-contained multi-core probe, run in a fresh subprocess: one
 # SHA-256 worker PROCESS per CPU (this Python's hashlib does not
@@ -547,7 +587,17 @@ def main() -> None:
     # wall time near the old best-of-2 cost for stable queries.
     timings: dict[str, float] = {}
     query_runs: dict[str, dict] = {}
-    for name in HEADLINE:
+    # Interleaved JVM probe series (VERDICT r11 item 2): the endpoint
+    # calibration pair cannot certify the minutes in between — a judge
+    # session measured this rig's JVM throughput swinging 1.17x->2.59x
+    # within minutes. One hot-JVM probe every ~20 queries (~0.3 s each,
+    # <5 s total) makes a mid-run squeeze visible; resolve_series_flag
+    # marks the run non-adjudicable when the series is unsteady.
+    probe_series: list[float] = []
+    probe_every = 20
+    for qi, name in enumerate(HEADLINE):
+        if qi % probe_every == 0:
+            probe_series.append(round(_jvm_probe(spark), 4))
         runs: list[float] = []
         for attempt in range(4):
             t0 = time.time()
@@ -575,16 +625,26 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     calib_post = _calibration(spark)
+    probe_series.append(calib_post["jvm_probe_sec"])
     # Host-speed factor: how much slower this rig ran than the pinned
     # reference (1.0 = reference speed; 1.2 = 20% slower host). Policy
     # and rationale in resolve_host_factor — the post-run JVM codegen
-    # probe now adjudicates the CPython probes (VERDICT r10 item 2),
-    # and a discordant rig is flagged non-adjudicable-by-normalization.
+    # probe adjudicates the CPython probes (VERDICT r10 item 2), the
+    # interleaved probe series catches a mid-run squeeze the endpoints
+    # miss (VERDICT r11 item 2), and a discordant/unsteady rig is
+    # flagged non-adjudicable-by-normalization: its value_normalized
+    # is set to the RAW total so the flagged number cannot be
+    # compared across rounds as if it were calibrated (ADVICE r11).
     factor_info = resolve_host_factor(calib_pre, calib_post)
+    series_info = resolve_series_flag(probe_series)
+    factor_info["series"] = series_info
+    concordant = factor_info["concordant"] and series_info["steady"]
     host_speed_factor = factor_info["factor"]
 
     total = round(sum(timings.values()), 3)
-    total_normalized = round(total / host_speed_factor, 3)
+    total_normalized = (
+        round(total / host_speed_factor, 3) if concordant else total
+    )
     # The full per-query map (120+ entries) once made the stdout line so
     # long the driver tail-truncated it (BENCH_r02.json parsed: null).
     # Keep the printed line SHORT — totals, sf, ETL, and the slowest
@@ -604,7 +664,8 @@ def main() -> None:
         "value": total,
         "value_normalized": total_normalized,
         "host_speed_factor": host_speed_factor,
-        "calibration_concordant": factor_info["concordant"],
+        "calibration_concordant": concordant,
+        "probe_series_steady": series_info["steady"],
         "unit": "sec",
         "n_queries": len(timings),
         "queries": slowest,
@@ -626,7 +687,9 @@ def main() -> None:
                    "host_speed_factor": host_speed_factor,
                    "host_factor_info": factor_info,
                    "calibration": {"ref": CALIBRATION_REF,
-                                   "pre": calib_pre, "post": calib_post},
+                                   "pre": calib_pre, "post": calib_post,
+                                   "jvm_probe_series": probe_series,
+                                   "probe_every_queries": probe_every},
                    "discordant_queries": discordant,
                    "osm_etl_shatin_sec": osm_etl_sec, "queries": timings,
                    "query_runs": query_runs},

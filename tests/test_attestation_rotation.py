@@ -85,4 +85,11 @@ def test_every_registered_query_is_tracked():
     names = list(queries)
     k = len(registry._VERIFY_FIRST)
     for n in untracked:
-        assert names.index(n) < k + len(untracked) + 1 or last.get(n) is None
+        # ADVICE r11: the old `or last.get(n) is None` arm was vacuously
+        # true for every untracked name — assert the position directly:
+        # an unattested query must lead the rotation (right after the
+        # semantics hoist, before any attested name).
+        assert names.index(n) < k + len(untracked), (
+            f"untracked query {n!r} not at rotation front "
+            f"(index {names.index(n)}, hoist {k}, untracked {len(untracked)})"
+        )

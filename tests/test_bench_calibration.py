@@ -37,18 +37,89 @@ def bench():
 
 
 def test_builder_r10_snapshot_concordant(bench):
-    """The committed BENCH_QUERIES.json snapshot (builder r10 frozen
-    tree, known-good rig epoch: raw 203.7 s agreed with driver and
-    judge within 4.5%) must resolve to a ~1.0 concordant factor. Reads
-    the REAL recorded file, so a re-pin of CALIBRATION_REF that breaks
-    the known-good epoch fails here."""
-    snap = json.load(open(os.path.join(_REPO, "BENCH_QUERIES.json")))
-    calib = snap["calibration"]
-    info = bench.resolve_host_factor(calib["pre"], calib["post"])
+    """The IMMUTABLE known-good calibration fixture (builder r10
+    frozen tree, healthy rig epoch: raw 203.7 s agreed with driver and
+    judge within 4.5%) must resolve to a ~1.0 concordant factor under
+    the current CALIBRATION_REF pin — a re-pin that breaks the
+    known-good epoch fails here. VERDICT r11 item 1: this test used to
+    read the LIVE BENCH_QUERIES.json, which commit a2b79e2 legitimately
+    overwrote with a flagged epoch, turning an honest record into a red
+    suite; the policy is now pinned on a fixture the bench never
+    rewrites."""
+    snap = json.load(open(os.path.join(
+        _REPO, "tests", "golden", "bench_calibration_known_good.json")))
+    info = bench.resolve_host_factor(snap["pre"], snap["post"])
     assert info["concordant"], info
     assert 0.9 <= info["factor"] <= 1.1, info
     # concordant -> the CPython factor stands unmodified
     assert info["factor"] == info["factor_py"]
+
+
+def test_committed_live_snapshot_is_resolvable_flagged_or_not(bench):
+    """The LIVE BENCH_QUERIES.json records whatever the latest bench
+    run measured — including an honestly-flagged discordant epoch.
+    The suite must stay green either way: the policy only has to
+    RESOLVE the committed calibration without error and agree with the
+    file's own recorded concordant flag (resolved against the ref the
+    file itself recorded, so a later CALIBRATION_REF re-pin cannot
+    retroactively fail an archived epoch)."""
+    snap = json.load(open(os.path.join(_REPO, "BENCH_QUERIES.json")))
+    calib = snap["calibration"]
+    info = bench.resolve_host_factor(
+        calib["pre"], calib["post"], ref=calib["ref"])
+    recorded = snap.get("host_factor_info", {})
+    if "concordant" in recorded:
+        assert info["concordant"] == recorded["concordant"], (
+            info, recorded)
+    # flagged or not, the factor must be a sane positive number
+    assert 0.1 < info["factor"] < 10, info
+
+
+def test_jvm_probe_inflation_cannot_overcredit(bench):
+    """ADVICE r11 (high): the committed r11 epoch had both CPython
+    probes ~1.02 (the all-core probe directly contradicting any
+    host-wide squeeze) while the high-variance JVM probe read 1.401;
+    the old symmetric clamp published factor 1.273 — a ~20%
+    self-favoring normalization. The factor must never move further
+    from 1.0 than the CPython probes support: here it must stay at
+    factor_py."""
+    ref = bench.CALIBRATION_REF
+    pre = {"cpu_probe_sec": ref["cpu_probe_sec"] * 1.157,
+           "mt_probe_sec": ref["mt_probe_sec"] * 2.68,  # warm-up blip
+           "jvm_probe_sec": ref["jvm_probe_sec"] * 7.3}  # cold JIT
+    post = {"cpu_probe_sec": ref["cpu_probe_sec"] * 1.019,
+            "mt_probe_sec": ref["mt_probe_sec"] * 1.014,
+            "jvm_probe_sec": ref["jvm_probe_sec"] * 1.401}
+    info = bench.resolve_host_factor(pre, post)
+    assert not info["concordant"], info
+    assert info["factor"] == info["factor_py"], info
+    assert info["factor"] <= 1.05, info
+
+
+def test_series_steady_and_squeezes():
+    """resolve_series_flag policy on synthesized probe series
+    (VERDICT r11 item 2): steady run passes; a step squeeze mid-run
+    flags even when both endpoints look healthy; a squeeze landing
+    only on the final endpoint probe also flags; short series are
+    vacuously steady."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_policy_s", os.path.join(_REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    steady = [0.088, 0.090, 0.086, 0.091, 0.089]
+    assert mod.resolve_series_flag(steady)["steady"]
+    # mid-run squeeze, healthy endpoints — the r11 driver blind spot
+    step = [0.088, 0.090, 0.180, 0.175, 0.089]
+    flag = mod.resolve_series_flag(step)
+    assert not flag["steady"] and flag["ratio"] > 1.9, flag
+    # squeeze only at the post endpoint
+    tail = [0.088, 0.090, 0.086, 0.091, 0.227]
+    assert not mod.resolve_series_flag(tail)["steady"]
+    # degenerate series cannot flag
+    assert mod.resolve_series_flag([])["steady"]
+    assert mod.resolve_series_flag([0.09])["steady"]
+    assert mod.resolve_series_flag([None, 0.09])["steady"]
 
 
 def test_driver_r10_overread_is_clamped_and_flagged(bench):

@@ -317,7 +317,13 @@ class TestExactFloorDivWitnesses:
 
         d = 3_600_000_000
         k = 473_364
-        eps = [k * d - 1, k * d, k * d + 1, -1, 0, 1, -d, -d - 1, -d + 1]
+        long_min, long_max = -(2**63), 2**63 - 1
+        eps = [k * d - 1, k * d, k * d + 1, -1, 0, 1, -d, -d - 1, -d + 1,
+               # ADVICE r11: col - pmod(col, d) in BIGINT overflows for
+               # col within d of LONG_MIN (the floor multiple lies
+               # below LONG_MIN) — the cast must widen BEFORE the
+               # subtraction. LONG_MAX pins the other extreme.
+               long_min, long_min + 1, long_min + d - 1, long_max]
         df = spark.createDataFrame([(e,) for e in eps], ["ep"])
         got = {
             r.ep: r.b

@@ -73,6 +73,9 @@ def main() -> int:
         os.path.join(TESTS, f) for f in os.listdir(TESTS)
         if f.startswith("test_") and f.endswith(".py")
     )
+    if not files:  # ADVICE r11: empty tests dir would ZeroDivide below
+        print(f"no test_*.py files under {TESTS}", file=sys.stderr)
+        return 1
     weights = _weights(files)
     shards = _partition(files, weights, args.shards)
     cpus = args.cpus or max((os.cpu_count() or 32) // len(shards), 2)
@@ -105,6 +108,8 @@ def main() -> int:
         try:
             root = ET.parse(xml_out).getroot()
             suite = root if root.tag == "testsuite" else root.find("testsuite")
+            if suite is None:  # ADVICE r11: parseable XML, no testsuite
+                raise ET.ParseError("junitxml has no <testsuite> element")
             for k in totals:
                 totals[k] += int(suite.get(k, 0))
             per_file: dict[str, float] = {}

@@ -40,10 +40,16 @@ def exact_floor_div(col: Column, d: int) -> Column:
     Subtracting the POSITIVE mod (pmod) leaves an exact multiple of
     ``d``, where every correctly-rounded division is exact; the
     DECIMAL(38,0) hop keeps that true at any magnitude. All-integer
-    end to end.
+    end to end. The cast happens BEFORE the subtraction (ADVICE r11):
+    ``col - pmod(col, d)`` in BIGINT overflows for col within ``d`` of
+    LONG_MIN (pmod is positive there, so the floor lies below
+    LONG_MIN), which throws under ANSI — widening first keeps the
+    intermediate in DECIMAL where it cannot overflow.
     """
     m = F.pmod(col, F.lit(d))
-    return ((col - m).cast("decimal(38,0)") / F.lit(d)).cast("long")
+    return (
+        (col.cast("decimal(38,0)") - m) / F.lit(d)
+    ).cast("long")
 
 
 def asof_join(

@@ -64,13 +64,21 @@ _loaded = False
 # the r5-r10 hand-maintained hoist kept re-attesting the same names
 # while 84 of 253 aged back to rounds 1-2 (VERDICT r10 item 3).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # Round-11 semantics-changed queries (timestamp-fuzz fixes: hourly
-    # bucketing is now exact FLOOR division on BOTH engines — pre-1970
-    # instants bucket identically; and the interp forward-fill window
-    # is a reversed growing frame, O(n) instead of O(n²) per key). On
-    # clean driver data the outputs are value-identical, but the
-    # driver should re-attest first; both are green under
-    # check_oracle and the 1t/2t/3t fuzz variants.
+    # Round-11 plan-semantics changes the r11 driver sample did NOT
+    # land on (ADVICE r11): zero-denominator revenue shares now NULL
+    # (ANSI divide fix), per-term DECIMAL widening in the
+    # time-weighted average, and the O(n) frame rewrite in the nearest
+    # alignment. Provably value-identical on clean driver data, but
+    # the driver should confirm, not the builder.
+    "nation_revenue_share",
+    "nation_market_share",  # shares the _share_bp_projection helper
+    "event_value_time_weighted_avg",
+    "nearest_click_alignment",
+    # Round-12 expression change: exact_floor_div now widens to
+    # DECIMAL(38,0) BEFORE the pmod subtraction (BIGINT overflow
+    # within bucket_us of LONG_MIN threw under ANSI — ADVICE r11).
+    # Identical arithmetic on every non-overflowing input; these are
+    # its registered consumers.
     "event_value_resample_locf",
     "event_value_resample_interp",
 )
