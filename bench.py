@@ -399,23 +399,44 @@ def resolve_host_factor(calib_pre: dict, calib_post: dict,
     }
 
 
-def resolve_series_flag(series: list[float], tolerance: float = 1.15) -> dict:
+# Interleaved-series tolerances, CALIBRATED on the three instrumented
+# round-12 adjudication runs (NOTES_r12 §3): the single-thread CPython
+# probe's healthy max/min across a run measured 1.05-1.17 (floor ~1.2),
+# and the GC-breathered JVM codegen probe still wanders 1.85-1.9
+# healthy (JIT/code-cache state) while the judge-measured squeeze class
+# reads 2.6x against the same reference — so 1.25 separates host
+# squeeze from CPython noise and 2.2 separates JVM squeeze from JIT
+# wander. A tolerance below the measured noise floor (e.g. the naive
+# 1.15) flags EVERY run and normalization never applies to anything.
+SERIES_TOL_CPU = 1.25
+SERIES_TOL_JVM = 2.2
+
+
+def resolve_series_flag(series: list[float], tolerance: float = 1.15,
+                        skip_ramp: int = 0) -> dict:
     """Mid-run squeeze detector (VERDICT r11 item 2).
 
     The pre/post calibration probes are endpoint snapshots: the r11
     driver run read concordant endpoints (factor 0.995) around a raw
     total 18% above the builder's same-day concordant run, and a judge
     session measured this rig's JVM probe swinging 1.17x -> 2.59x
-    within minutes. bench.main() now interleaves a JVM codegen probe
-    every ~20 queries; this pure function flags the run when the
-    probe SERIES itself is unsteady (max/min > tolerance) — a run
-    squeezed DURING the queries is non-adjudicable-by-normalization
-    even when its endpoints look healthy.
+    within minutes. bench.main() now interleaves probes every ~20
+    queries; this pure function flags the run when a probe SERIES is
+    unsteady (max/min > tolerance) — a run squeezed DURING the
+    queries is non-adjudicable-by-normalization even when its
+    endpoints look healthy.
+
+    ``skip_ramp`` drops the first N points from the FLAG (they stay
+    recorded): the first interleaved JVM probe reads ~1.5x slow on
+    every run because C2 compilation is still ramping minutes into
+    the session — JIT state, not host state (both r12 adjudication
+    runs showed the identical first-point bump).
 
     Returns {"steady", "ratio", "min", "max", "n"}; an empty or
     single-point series is vacuously steady (nothing to compare).
     """
     pts = [s for s in series if s is not None and s > 0]
+    pts = pts[skip_ramp:] if len(pts) > skip_ramp else pts
     if len(pts) < 2:
         return {"steady": True, "ratio": 1.0,
                 "min": pts[0] if pts else None,
@@ -594,10 +615,20 @@ def main() -> None:
     # <5 s total) makes a mid-run squeeze visible; resolve_series_flag
     # marks the run non-adjudicable when the series is unsteady.
     probe_series: list[float] = []
+    cpu_series: list[float] = []
     probe_every = 20
     for qi, name in enumerate(HEADLINE):
         if qi % probe_every == 0:
+            # GC breather first: without it the probe measures the
+            # PREVIOUS query's garbage (both r12 adjudication runs
+            # read 1.9-2.5x swings that tracked which heavy query
+            # preceded the probe, with CPython probes flat).
+            spark._jvm.System.gc()
             probe_series.append(round(_jvm_probe(spark), 4))
+            # The single-thread CPython probe is immune to JVM state —
+            # it isolates true HOST squeeze (CPU steal, thermal,
+            # co-tenant) from session-intrinsic GC/JIT drift.
+            cpu_series.append(round(_cpu_probe(), 4))
         runs: list[float] = []
         for attempt in range(4):
             t0 = time.time()
@@ -626,6 +657,7 @@ def main() -> None:
 
     calib_post = _calibration(spark)
     probe_series.append(calib_post["jvm_probe_sec"])
+    cpu_series.append(calib_post["cpu_probe_sec"])
     # Host-speed factor: how much slower this rig ran than the pinned
     # reference (1.0 = reference speed; 1.2 = 20% slower host). Policy
     # and rationale in resolve_host_factor — the post-run JVM codegen
@@ -636,9 +668,21 @@ def main() -> None:
     # is set to the RAW total so the flagged number cannot be
     # compared across rounds as if it were calibrated (ADVICE r11).
     factor_info = resolve_host_factor(calib_pre, calib_post)
-    series_info = resolve_series_flag(probe_series)
+    # Two series, two calibrated tolerances (SERIES_TOL_*): the CPython
+    # series is the clean host signal; the JVM series keeps a looser
+    # band (ramp point excluded) because even GC-breathered codegen
+    # throughput wanders ~1.9x healthy with session state — it exists
+    # to catch the 2.6x-class squeezes the judge measured, not to
+    # re-litigate ordinary JIT wander.
+    series_info = resolve_series_flag(probe_series,
+                                      tolerance=SERIES_TOL_JVM,
+                                      skip_ramp=1)
+    cpu_series_info = resolve_series_flag(cpu_series,
+                                          tolerance=SERIES_TOL_CPU)
     factor_info["series"] = series_info
-    concordant = factor_info["concordant"] and series_info["steady"]
+    factor_info["cpu_series"] = cpu_series_info
+    concordant = (factor_info["concordant"] and series_info["steady"]
+                  and cpu_series_info["steady"])
     host_speed_factor = factor_info["factor"]
 
     total = round(sum(timings.values()), 3)
@@ -665,7 +709,8 @@ def main() -> None:
         "value_normalized": total_normalized,
         "host_speed_factor": host_speed_factor,
         "calibration_concordant": concordant,
-        "probe_series_steady": series_info["steady"],
+        "probe_series_steady": (series_info["steady"]
+                                and cpu_series_info["steady"]),
         "unit": "sec",
         "n_queries": len(timings),
         "queries": slowest,
@@ -689,6 +734,7 @@ def main() -> None:
                    "calibration": {"ref": CALIBRATION_REF,
                                    "pre": calib_pre, "post": calib_post,
                                    "jvm_probe_series": probe_series,
+                                   "cpu_probe_series": cpu_series,
                                    "probe_every_queries": probe_every},
                    "discordant_queries": discordant,
                    "osm_etl_shatin_sec": osm_etl_sec, "queries": timings,

@@ -120,6 +120,48 @@ def test_series_steady_and_squeezes():
     assert mod.resolve_series_flag([])["steady"]
     assert mod.resolve_series_flag([0.09])["steady"]
     assert mod.resolve_series_flag([None, 0.09])["steady"]
+    # skip_ramp: the first interleaved JVM probe reads ~1.5x slow on
+    # every run (C2 still compiling — both r12 adjudication runs);
+    # excluded from the flag, a JIT ramp alone must not flag
+    ramp = [0.135, 0.091, 0.088, 0.092, 0.090]
+    assert not mod.resolve_series_flag(ramp, tolerance=1.15)["steady"]
+    assert mod.resolve_series_flag(ramp, tolerance=1.15,
+                                   skip_ramp=1)["steady"]
+    # but a genuine squeeze after the ramp still flags
+    rampsq = [0.135, 0.091, 0.200, 0.092, 0.090]
+    assert not mod.resolve_series_flag(rampsq, tolerance=1.15,
+                                       skip_ramp=1)["steady"]
+
+
+def test_production_tolerances_calibrated_on_measured_runs():
+    """The shipped SERIES_TOL_* must (a) pass the REAL measured series
+    of the healthy r12 adjudication run 3 (endpoint factor 1.001,
+    min-of-3 total within 2% of the r10 record — if that run flags,
+    normalization never applies to anything) and (b) flag the judge-
+    measured squeeze class (JVM probe at 2.59x the ~0.088 reference
+    mid-run, CPython co-moving above its floor)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_policy_t", os.path.join(_REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # run-3 measured series (NOTES_r12 §3), GC-breathered probes
+    jvm3 = [0.0652, 0.0929, 0.0977, 0.1075, 0.1002, 0.1261,
+            0.0944, 0.091, 0.0965, 0.0675, 0.0848]
+    cpu3 = [0.1012, 0.1169, 0.109, 0.1007, 0.1102, 0.1036,
+            0.1, 0.1026, 0.1063, 0.1015, 0.1001]
+    assert mod.resolve_series_flag(
+        jvm3, tolerance=mod.SERIES_TOL_JVM, skip_ramp=1)["steady"]
+    assert mod.resolve_series_flag(
+        cpu3, tolerance=mod.SERIES_TOL_CPU)["steady"]
+    # judge-measured squeeze: 2.59x JVM window mid-run
+    jvm_sq = [0.090, 0.088, 0.227, 0.231, 0.089, 0.091]
+    assert not mod.resolve_series_flag(
+        jvm_sq, tolerance=mod.SERIES_TOL_JVM, skip_ramp=1)["steady"]
+    # 32-way co-tenant squeeze visible to the CPython probe
+    cpu_sq = [0.101, 0.103, 0.139, 0.141, 0.102, 0.100]
+    assert not mod.resolve_series_flag(
+        cpu_sq, tolerance=mod.SERIES_TOL_CPU)["steady"]
 
 
 def test_driver_r10_overread_is_clamped_and_flagged(bench):

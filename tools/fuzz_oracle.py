@@ -47,6 +47,18 @@ jitter, first-of-month snaps, duplicates, ±100-year shifts) —
 o_orderdate/l_shipdate feed the TPC-H year/month arithmetic the
 timestamp dimension never reached.
 
+A numeric seed suffixed with ``d`` (``1d``, …, composable as ``1dm``,
+``1dmt``) attacks the NUMERIC-TYPE EDGES (round-12 campaign, VERDICT
+r11 item 5): measure columns get exact DECIMAL(12,2) precision
+boundaries (±(10¹⁰−0.01) — the widest value the narrowest engine cast
+carries), int32 edges (±2³¹ as exact doubles — quantity arithmetic
+that silently assumed int32 headroom), and exact ±0.01/0 cents;
+rate-like columns (discount/tax) get EXACT 0.0 and 1.0 (zero-revenue
+terms, 1−discount = 0 denominators — the r11 ANSI-divide fix's input
+class); and per-key consecutive instants get dt of EXACTLY 0 and ±1 µs
+(tie vs epsilon ordering in the as-of/debounce/session families, where
+``t``'s jitter almost never lands adjacent instants 1 µs apart).
+
 Data contract (columns the mutator never nulls — the engine's
 documented input requirements): identity and join key columns, and
 event/order/ship timestamps (order keys for windows; Spark and DuckDB
@@ -54,7 +66,7 @@ disagree on default NULL ORDER, so null instants are a declared
 precondition, not a differential target).
 
 Usage:
-    python3 tools/fuzz_oracle.py [--seeds 1,2,3,4,5,empty,single]
+    python3 tools/fuzz_oracle.py [--seeds 1,2,3,4,5,empty,single,1d,2dmt]
         [--base /root/testdata/sf0.001] [--workdir /tmp/fuzz_oracle]
         [--out FUZZ_ORACLE.json] [query ...]
 """
@@ -107,6 +119,23 @@ MAG_COLS = {
     "lineitem": ["l_extendedprice", "l_quantity"],
     "events": ["value"],
 }
+
+# Rate-like [0,1] columns the ``d`` class drives to EXACT 0.0/1.0.
+RATE_COLS = {"lineitem": ["l_discount", "l_tax"]}
+
+# (key, timestamp) pairs the ``d`` class gives per-key dt ∈ {0, ±1 µs}.
+DT_PAIRS = {
+    "events": ("user_id", "ts"),
+    "lineitem": ("l_orderkey", "l_shipdate"),
+    "orders": ("o_custkey", "o_orderdate"),
+}
+
+# The numeric edges the ``d`` class injects into measure columns: the
+# DECIMAL(12,2) precision boundary (every plan cast is ≥(18,2), so the
+# value must survive exactly end to end), int32 edges as exact doubles,
+# and minimal non-zero cents.
+DEC_EDGES = [9_999_999_999.99, -9_999_999_999.99,
+             2_147_483_647.0, -2_147_483_648.0, 0.01, -0.01, 0.0]
 
 # FK columns eligible for the dangling-key mutation (stay non-null).
 DANGLING_FK = {
@@ -213,6 +242,65 @@ def _mutate_timestamp(vals: list, rng: np.random.RandomState):
     return out
 
 
+def _inject_decimal_edges(vals: list, rng: np.random.RandomState):
+    """``d`` class: replace a sample of measure values with exact
+    numeric-type edges (DEC_EDGES). Nulls stay null; runs BEFORE the
+    generic numeric mutation, which may then null/negate a few of the
+    injected edges — that composition is intentional (the interaction
+    class)."""
+    out = []
+    for v in vals:
+        if v is not None and rng.rand() < 0.05:
+            out.append(DEC_EDGES[rng.randint(len(DEC_EDGES))])
+        else:
+            out.append(v)
+    return out
+
+
+def _inject_rate_edges(vals: list, rng: np.random.RandomState):
+    """``d`` class: drive rate-like [0,1] columns to EXACT 0.0 and 1.0
+    — ``1 - discount`` then multiplies revenue terms to exactly zero,
+    the input class behind the r11 ANSI divide-by-zero fix (revenue
+    shares over cancelled/free line items)."""
+    out = []
+    for v in vals:
+        r = rng.rand()
+        if v is None or r >= 0.12:
+            out.append(v)
+        elif r < 0.06:
+            out.append(0.0)
+        else:
+            out.append(1.0)
+    return out
+
+
+def _inject_dt_edges(keys: list, ts: list, rng: np.random.RandomState):
+    """``d`` class: per-key consecutive-instant gaps of EXACTLY 0 and
+    ±1 µs. The ``t`` jitter makes duplicate instants but essentially
+    never lands two events of the same key exactly 1 µs apart — the
+    boundary every strict-vs-non-strict comparison in the as-of /
+    debounce / session / monotonic-repair families turns on. Tracks
+    the last instant PER KEY (row order in the file is irrelevant);
+    non-null stays non-null."""
+    import datetime as dt
+
+    last: dict = {}
+    out = []
+    for k, v in zip(keys, ts):
+        if v is not None and k is not None:
+            r = rng.rand()
+            prev = last.get(k)
+            if prev is not None and r < 0.08:
+                v = prev                               # dt == 0 (tie)
+            elif prev is not None and r < 0.12:
+                v = prev + dt.timedelta(microseconds=1)  # dt == +1 µs
+            elif prev is not None and r < 0.16:
+                v = prev - dt.timedelta(microseconds=1)  # dt == -1 µs
+            last[k] = v
+        out.append(v)
+    return out
+
+
 def _mutate_date(vals: list, rng: np.random.RandomState):
     """DATE attacks (round-11 extension of the ``t`` class), always
     non-null: day jitter across month/year boundaries, first-of-month
@@ -254,14 +342,18 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
     for t in TABLES:
         tbl = pq.read_table(f"{base}/{t}.parquet")
         schema = tbl.schema
-        # Numeric seeds compose suffix letters: "7m" = magnitude-scaled
-        # base then seed-7 mutations, "7t" = seed-7 mutations plus the
-        # timestamp attacks, "7mt" = all three (magnitude first, then
-        # value mutations, timestamps attacked alongside).
-        suffix_m = re.fullmatch(r"\d+((m?t?)|(t?m?))", variant)
+        # Numeric seeds compose suffix letters in any order: "7m" =
+        # magnitude-scaled base then seed-7 mutations, "7t" = seed-7
+        # mutations plus the timestamp attacks, "7d" = plus the
+        # numeric-edge/dt attacks, "7dmt" = all of them (magnitude
+        # first, then edge injection, then value mutations, instants
+        # attacked alongside).
+        suffix_m = re.fullmatch(r"\d+([mtd]{0,3})", variant)
         suffix = suffix_m.group(1) if suffix_m else ""
+        assert len(set(suffix)) == len(suffix), variant
         magnify = variant == "mag6" or "m" in suffix
         mutate_ts = "t" in suffix
+        mutate_dec = "d" in suffix
         if variant == "empty":
             out = tbl.slice(0, 0)
         elif variant == "single":
@@ -284,6 +376,11 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
                 vals = tbl.column(field.name).to_pylist()
                 if magnify and field.name in MAG_COLS.get(t, []):
                     vals = [None if v is None else v * 1e6 for v in vals]
+                if mutate_dec and field.name in MAG_COLS.get(t, []):
+                    # after any magnify so the edges stay EXACT
+                    vals = _inject_decimal_edges(vals, rng)
+                if mutate_dec and field.name in RATE_COLS.get(t, []):
+                    vals = _inject_rate_edges(vals, rng)
                 protected = field.name in PROTECTED.get(t, set())
                 # the "t" variant class relaxes exactly the timestamp
                 # part of the contract: instants mutate (non-null) even
@@ -319,6 +416,15 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
                 cols[fk] = [
                     hot if rng.rand() < 0.25 else v for v in cols[fk]
                 ]
+            # ``d`` class per-key dt edges: AFTER the key mutations so
+            # the tie/±1 µs pairs land on the keys as they will be read
+            # (the hot-key collapse above concentrates them further).
+            if mutate_dec and t in DT_PAIRS:
+                k_col, ts_col = DT_PAIRS[t]
+                if k_col in cols and ts_col in cols:
+                    cols[ts_col] = _inject_dt_edges(
+                        cols[k_col], cols[ts_col], rng
+                    )
             out = pa.table(
                 {f.name: pa.array(cols[f.name], type=f.type) for f in schema},
                 schema=schema,

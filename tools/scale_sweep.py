@@ -28,6 +28,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
+def sized_shuffle_partitions(sf_dir: str) -> int:
+    """Size ``spark.sql.shuffle.partitions`` from the INPUT, not a
+    constant (VERDICT r11 item 6 / NOTES_r11 §5): the r11 100× GANN
+    sweep read the graph family ~2× above linear at the fixed default
+    32, and re-running pagerank/price_smoothing at 128 partitions made
+    them linear/sublinear — the excess was per-partition sort/spill
+    pressure, the standard cluster knob. Target ≈12 MB of compressed
+    parquet per shuffle partition (~40-50 MB in-memory at typical 3-4×
+    parquet compression), clamped to [32, 1024]; AQE coalesces DOWN
+    from this ceiling at runtime but never grows past it, so the
+    ceiling must scale with the data. 1.7 GB (the 100× GANN dirs)
+    → ~142; the sf0.1 bench dirs stay at the floor of 32.
+    Override with SPARK_GRAFT_SWEEP_PARTITIONS."""
+    env = os.environ.get("SPARK_GRAFT_SWEEP_PARTITIONS")
+    if env:
+        return int(env)
+    # tables may be single files (driver testdata) or Spark-written
+    # directories of part files (the replicated sweep dirs) — walk
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+    return int(min(1024, max(32, total // (12 * 1024 * 1024))))
+
+
 def main() -> int:
     import bench
     from udacity_data_wrangling_osm_case_study_spark.plans import registry
@@ -38,7 +66,10 @@ def main() -> int:
     queries, _ = registry.load_all()
     names = sys.argv[3:] or [n for n in bench.HEADLINE if n in queries]
 
-    spark = get_spark(app_name="scale_sweep")
+    spark = get_spark(
+        app_name="scale_sweep",
+        shuffle_partitions=sized_shuffle_partitions(sf_dir),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries["table_counts"](spark, sf_dir).collect()  # warm-up
 
