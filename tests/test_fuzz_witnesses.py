@@ -322,3 +322,48 @@ class TestSessionGapMicrosecondExact:
         d = self._events(spark, tmp_path, 1800.0)
         row = queries["user_sessions"](spark, d).first()
         assert row.n_sessions == 1
+
+
+class TestDoubleToIntCastDivergence:
+    """Round-12 ``d`` fuzz class, first find (3/3 seeds): Spark's
+    double→BIGINT cast TRUNCATES toward zero while DuckDB's ROUNDS to
+    nearest — invisible on the integer-valued base quantities, a
+    guaranteed off-by-one per fractional row once the d-class injected
+    x.99 boundary values into l_quantity. The fix (both engines ROUND
+    before the cast in quantity_weighted_median_price) defines the
+    weight semantics explicitly; these tests pin the underlying
+    divergence so the 'redundant' ROUND doesn't get simplified away."""
+
+    def test_engines_disagree_on_bare_fractional_cast(self, spark):
+        import duckdb
+
+        duck = duckdb.connect().execute(
+            "SELECT CAST(CAST(2.99 AS DOUBLE) AS BIGINT),"
+            " CAST(CAST(-2.99 AS DOUBLE) AS BIGINT)"
+        ).fetchone()
+        assert duck == (3, -3)  # DuckDB rounds
+        got = spark.sql(
+            "SELECT CAST(CAST(2.99 AS DOUBLE) AS BIGINT),"
+            " CAST(CAST(-2.99 AS DOUBLE) AS BIGINT)"
+        ).first()
+        assert tuple(got) == (2, -2)  # Spark truncates
+
+    def test_round_then_cast_is_engine_exact(self, spark):
+        import duckdb
+        import pyspark.sql.functions as F
+
+        vals = [2.99, -2.99, 0.49, -0.49, 9_999_999_999.99,
+                -9_999_999_999.99, 2.0, 0.0]
+        duck = [
+            duckdb.connect().execute(
+                f"SELECT CAST(ROUND(CAST({v!r} AS DOUBLE)) AS BIGINT)"
+            ).fetchone()[0]
+            for v in vals
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], ["x"])
+        got = [
+            r.w for r in df.select(
+                F.round(F.col("x")).cast("long").alias("w")
+            ).collect()
+        ]
+        assert got == duck, list(zip(vals, got, duck))

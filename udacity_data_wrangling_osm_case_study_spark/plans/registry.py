@@ -81,6 +81,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # its registered consumers.
     "event_value_resample_locf",
     "event_value_resample_interp",
+    # Round-12 d-fuzz find: the quantity weight is now ROUND()ed
+    # before the BIGINT cast on both engines (Spark's double→long
+    # cast truncates, DuckDB's rounds — off-by-one per fractional
+    # quantity). Value-identical on the integer-valued driver data.
+    "quantity_weighted_median_price",
 )
 
 # The hoist list is an honest record of verification priority; a name

@@ -915,7 +915,11 @@ def event_value_median_histogram(spark, sf_dir):
     WITH c AS (
         SELECT l_returnflag AS flag,
                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
-               CAST(l_quantity AS BIGINT) AS w
+               -- ROUND before the BIGINT cast: on fractional doubles
+               -- DuckDB's direct cast rounds while Spark's truncates
+               -- (fuzz class d, round 12 — first find); rounding is
+               -- the defined weight semantics on both engines
+               CAST(ROUND(l_quantity) AS BIGINT) AS w
         FROM lineitem
         WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
@@ -941,14 +945,18 @@ def quantity_weighted_median_price(spark, sf_dir):
     cumulative quantity reaches half the total, selected from a
     map-side-combinable (flag, price) histogram exactly like the
     unweighted variant (operators.stats.histogram_median with a weight
-    column). Prices in integer cents, weights integer quantities: the
-    pick is engine-exact."""
+    column). Prices in integer cents, weights ROUNDED to integer
+    quantities — explicitly rounded, not bare-cast, because Spark's
+    double→long cast truncates while DuckDB's rounds, a divergence the
+    round-12 ``d`` fuzz class hit on its first sweep (quantity
+    x.99 boundary values: n off by 1 per fractional row). With the
+    shared ROUND the pick is engine-exact."""
     from udacity_data_wrangling_osm_case_study_spark.operators import stats
 
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
-        F.col("l_quantity").cast("long").alias("w"),
+        F.round(F.col("l_quantity")).cast("long").alias("w"),
     )
     out = stats.histogram_median(li, "flag", "price_c", weight="w")
     return out.select(
