@@ -953,10 +953,23 @@ def quantity_weighted_median_price(spark, sf_dir):
     shared ROUND the pick is engine-exact."""
     from udacity_data_wrangling_osm_case_study_spark.operators import stats
 
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
-        F.round(F.col("l_quantity")).cast("long").alias("w"),
+    li = (
+        table(spark, sf_dir, "lineitem")
+        # null-drop on the RAW columns, before the ROUND: the
+        # operator's own isNotNull(round(q)) filter no longer
+        # simplifies to a parquet-pushable isnotnull(q) (plan-census
+        # diff caught the lost PushedFilters entry when the ROUND
+        # landed) — filtering the base columns restores the pushdown
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long").alias("price_c"),
+            F.round(F.col("l_quantity")).cast("long").alias("w"),
+        )
     )
     out = stats.histogram_median(li, "flag", "price_c", weight="w")
     return out.select(
