@@ -700,6 +700,12 @@ def main() -> None:
     factor_info["cpu_series"] = cpu_series_info
     concordant = (factor_info["concordant"] and series_info["steady"]
                   and cpu_series_info["steady"])
+    # Two scopes, two names (ADVICE r12): host_factor_info.concordant
+    # stays ENDPOINT-only (do the pre/post probes agree), while the
+    # run-level flag additionally requires both interleaved series
+    # steady. Store the combined flag inside host_factor_info too, so
+    # a reader of the side file never has to recombine it by hand.
+    factor_info["run_concordant_combined"] = concordant
     host_speed_factor = factor_info["factor"]
 
     total = round(sum(timings.values()), 3)

@@ -123,7 +123,12 @@ MAG_COLS = {
 # Rate-like [0,1] columns the ``d`` class drives to EXACT 0.0/1.0.
 RATE_COLS = {"lineitem": ["l_discount", "l_tax"]}
 
-# (key, timestamp) pairs the ``d`` class gives per-key dt ∈ {0, ±1 µs}.
+# (key, instant) pairs the ``d`` class gives per-key minimal-unit dt
+# edges: dt ∈ {0, ±1 µs} for TIMESTAMP columns (events.ts) and
+# dt ∈ {0, ±1 day} for DATE columns (l_shipdate, o_orderdate) — a
+# date's smallest representable step IS one day; datetime.date +
+# timedelta(microseconds=1) is a silent no-op (ADVICE r12), so the
+# injector picks the unit from the value's type.
 DT_PAIRS = {
     "events": ("user_id", "ts"),
     "lineitem": ("l_orderkey", "l_shipdate"),
@@ -276,12 +281,16 @@ def _inject_rate_edges(vals: list, rng: np.random.RandomState):
 
 def _inject_dt_edges(keys: list, ts: list, rng: np.random.RandomState):
     """``d`` class: per-key consecutive-instant gaps of EXACTLY 0 and
-    ±1 µs. The ``t`` jitter makes duplicate instants but essentially
-    never lands two events of the same key exactly 1 µs apart — the
-    boundary every strict-vs-non-strict comparison in the as-of /
-    debounce / session / monotonic-repair families turns on. Tracks
-    the last instant PER KEY (row order in the file is irrelevant);
-    non-null stays non-null."""
+    ±1 minimal unit. The ``t`` jitter makes duplicate instants but
+    essentially never lands two events of the same key exactly one
+    unit apart — the boundary every strict-vs-non-strict comparison in
+    the as-of / debounce / session / monotonic-repair families turns
+    on. The minimal unit is type-derived: 1 µs for datetimes, 1 DAY
+    for dates (timedelta(microseconds=1) on a datetime.date is a
+    silent no-op — ADVICE r12 found the date-table branches of the r12
+    campaign degenerated to dt==0 ties only). Tracks the last instant
+    PER KEY (row order in the file is irrelevant); non-null stays
+    non-null."""
     import datetime as dt
 
     last: dict = {}
@@ -290,12 +299,17 @@ def _inject_dt_edges(keys: list, ts: list, rng: np.random.RandomState):
         if v is not None and k is not None:
             r = rng.rand()
             prev = last.get(k)
+            step = (
+                dt.timedelta(microseconds=1)
+                if isinstance(v, dt.datetime)
+                else dt.timedelta(days=1)
+            )
             if prev is not None and r < 0.08:
-                v = prev                               # dt == 0 (tie)
+                v = prev                       # dt == 0 (tie)
             elif prev is not None and r < 0.12:
-                v = prev + dt.timedelta(microseconds=1)  # dt == +1 µs
+                v = prev + step                # dt == +1 unit
             elif prev is not None and r < 0.16:
-                v = prev - dt.timedelta(microseconds=1)  # dt == -1 µs
+                v = prev - step                # dt == -1 unit
             last[k] = v
         out.append(v)
     return out
@@ -348,9 +362,15 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
         # numeric-edge/dt attacks, "7dmt" = all of them (magnitude
         # first, then edge injection, then value mutations, instants
         # attacked alongside).
-        suffix_m = re.fullmatch(r"\d+([mtd]{0,3})", variant)
+        suffix_m = re.fullmatch(r"\d+([mtds]{0,4})", variant)
         suffix = suffix_m.group(1) if suffix_m else ""
-        assert len(set(suffix)) == len(suffix), variant
+        if len(set(suffix)) != len(suffix):
+            # NOT an assert: under ``python -O`` an assert is stripped
+            # and a typo like "1dd" would silently run as plain "1d"
+            # while claiming the duplicate coverage (ADVICE r12).
+            raise ValueError(
+                f"duplicate suffix letters in variant {variant!r}"
+            )
         magnify = variant == "mag6" or "m" in suffix
         mutate_ts = "t" in suffix
         mutate_dec = "d" in suffix

@@ -43,15 +43,24 @@ def sized_shuffle_partitions(sf_dir: str) -> int:
     Override with SPARK_GRAFT_SWEEP_PARTITIONS."""
     env = os.environ.get("SPARK_GRAFT_SWEEP_PARTITIONS")
     if env:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_SWEEP_PARTITIONS must be an integer, got "
+                f"{env!r}"
+            ) from None
     # tables may be single files (driver testdata) or Spark-written
-    # directories of part files (the replicated sweep dirs) — walk
+    # directories of part files (the replicated sweep dirs) — walk.
+    # Only *.parquet data files count toward the ceiling: sweep dirs
+    # accumulate JSON sidecars and logs over rounds, and the ceiling
+    # must be sized from the DATA the shuffles will carry (ADVICE r12).
     total = 0
     for root, _dirs, files in os.walk(sf_dir):
         total += sum(
             os.path.getsize(os.path.join(root, f))
             for f in files
-            if not f.startswith((".", "_"))
+            if not f.startswith((".", "_")) and f.endswith(".parquet")
         )
     return int(min(1024, max(32, total // (12 * 1024 * 1024))))
 

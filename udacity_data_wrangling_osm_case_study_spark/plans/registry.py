@@ -64,37 +64,36 @@ _loaded = False
 # the r5-r10 hand-maintained hoist kept re-attesting the same names
 # while 84 of 253 aged back to rounds 1-2 (VERDICT r10 item 3).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # Round-11 plan-semantics changes the r11 driver sample did NOT
-    # land on (ADVICE r11): zero-denominator revenue shares now NULL
-    # (ANSI divide fix), per-term DECIMAL widening in the
-    # time-weighted average, and the O(n) frame rewrite in the nearest
-    # alignment. Provably value-identical on clean driver data, but
-    # the driver should confirm, not the builder.
-    "nation_revenue_share",
-    "nation_market_share",  # shares the _share_bp_projection helper
-    "event_value_time_weighted_avg",
-    "nearest_click_alignment",
-    # Round-12 expression change: exact_floor_div now widens to
-    # DECIMAL(38,0) BEFORE the pmod subtraction (BIGINT overflow
-    # within bucket_us of LONG_MIN threw under ANSI — ADVICE r11).
-    # Identical arithmetic on every non-overflowing input; these are
-    # its registered consumers.
-    "event_value_resample_locf",
-    "event_value_resample_interp",
-    # Round-12 d-fuzz find: the quantity weight is now ROUND()ed
-    # before the BIGINT cast on both engines (Spark's double→long
-    # cast truncates, DuckDB's rounds — off-by-one per fractional
-    # quantity). Value-identical on the integer-valued driver data.
-    "quantity_weighted_median_price",
+    # ADVICE r12 (registry.py:88): the round-12 exact_floor_div
+    # widening (DECIMAL(38,0) before the pmod subtraction) also flows
+    # through range_join (operators/temporal.py), whose registered
+    # consumers were NOT hoisted in r12 — error_followup_pairs never
+    # landed in CORRECTNESS_r12 at all. Hoist both range_join-backed
+    # queries now so every consumer of the changed expression has a
+    # post-change driver attestation.
+    "error_followup_pairs",
+    "multitouch_attribution",
+    # Round-13 plan change: label_propagation / clustering_coefficient
+    # superstep tails now repartition on the vertex key at the
+    # operator's own edge_partitions instead of inheriting the session
+    # shuffle count (VERDICT r12 item 2). Same rows, different
+    # exchange placement; the driver should confirm.
+    "part_communities",
+    "part_clustering_coeff",
 )
 
 # The hoist list is an honest record of verification priority; a name
 # listed twice means a later block silently shadows an earlier intent
 # (harmless to load_all's dict rebuild, misleading to a reader). Keep
-# it duplicate-free by construction.
-assert len(_VERIFY_FIRST) == len(set(_VERIFY_FIRST)), sorted(
-    n for n in set(_VERIFY_FIRST) if _VERIFY_FIRST.count(n) > 1
-)
+# it duplicate-free by construction — and NOT via assert, which
+# ``python -O`` strips (ADVICE r12 on the same pattern in the fuzzer).
+if len(_VERIFY_FIRST) != len(set(_VERIFY_FIRST)):
+    raise ValueError(
+        "duplicate names in _VERIFY_FIRST: "
+        + ", ".join(sorted(
+            n for n in set(_VERIFY_FIRST) if _VERIFY_FIRST.count(n) > 1
+        ))
+    )
 
 
 def register(
