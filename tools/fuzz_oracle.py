@@ -59,6 +59,24 @@ class); and per-key consecutive instants get dt of EXACTLY 0 and ±1 µs
 (tie vs epsilon ordering in the as-of/debounce/session families, where
 ``t``'s jitter almost never lands adjacent instants 1 µs apart).
 
+A numeric seed suffixed with ``s`` (``1s``, …, composable as ``1st``,
+``1sd``) attacks STRING ENCODING (round-13 campaign, VERDICT r12
+item 1): every unprotected string column gets astral-plane / 4-byte
+UTF-8 (CJK Ext-B, emoji, math alphanumerics, Deseret), zero-width and
+format characters (ZWSP/ZWNJ/ZWJ/WJ/FEFF — interior insertion makes
+near-identical keys that must stay DISTINCT), combining marks and
+NFC/NFD normalization-form twins (neither engine normalizes, so both
+forms must survive as separate group/join/band keys end to end),
+RTL scripts with bidi controls, fullwidth forms, Zs-class Unicode
+spaces at value edges (Spark ``trim`` strips only U+0020), and U+000B
+(in Java's ``\\s`` but not RE2's). The pool is deliberately
+CASE-STABLE — no uppercase İ / context-sensitive Σ, no word-initial
+ß/ligature/ǆ: Java and CPython (the reference's platform) apply the
+FULL Unicode case mappings while DuckDB's utf8proc applies the SIMPLE
+per-codepoint table, a platform divergence pinned separately by
+tests/test_unicode_case_parity.py rather than laundered through the
+differential gate.
+
 Data contract (columns the mutator never nulls — the engine's
 documented input requirements): identity and join key columns, and
 event/order/ship timestamps (order keys for windows; Spark and DuckDB
@@ -163,6 +181,41 @@ HOSTILE_STRINGS = [
     " leading and trailing ",
 ]
 
+# ``s`` class pool (round-13 campaign): string-ENCODING attacks. Each
+# entry names the hazard it hunts. The pool is deliberately
+# CASE-STABLE: no uppercase İ/Σ and no word-initial ß/ligature/ǆ-class
+# chars, because Java/CPython use the FULL (context-sensitive) Unicode
+# case mappings while DuckDB's utf8proc uses the SIMPLE per-codepoint
+# table — a platform divergence, not an engine bug, pinned instead by
+# tests/test_unicode_case_parity.py (Spark must match CPython, the
+# reference's platform; the DuckDB deltas are recorded there). NUL
+# bytes are excluded: DuckDB VARCHAR rejects them at the scan layer,
+# which would fail every query at the view, not the one under test.
+S_STRINGS = [
+    "\U00020000\U00020001 街",       # CJK Ext-B: 4-byte UTF-8, astral plane
+    "🐉龍 dragon 🜁",                 # emoji + BMP CJK mix (byte-width ladder)
+    "𝔲𝔫𝔦 𝕤𝕥 𝟙",                      # math alphanumerics (astral "letters")
+    "\U00010428\U00010429 road",     # Deseret lowercase (astral WITH case pairs)
+    "étude café",                    # precomposed NFC accents
+    "café nfd",                # same word, NFD (must stay a DISTINCT key)
+    "à́̂̃z",    # stacked combining marks on one base
+    "zero​width‌key‍",  # ZWSP/ZWNJ/ZWJ interior
+    "﻿bom prefix",              # U+FEFF as content, not encoding mark
+    "word⁠joiner",              # U+2060 word joiner
+    "straße aﬁne aǆb",               # ß/ﬁ/ǆ mid-word (multi-byte, case-stable)
+    "‮mirror‬ text",       # bidi override controls
+    "שלום עולם مرحبا",               # RTL scripts
+    "ｆｕｌｌｗｉｄｔｈ１２３",        # fullwidth forms (U+FF01.. block)
+    "\xa0nbsp lead",                 # leading U+00A0 (trim-set divergence bait)
+    "trail ideo　",              # trailing U+3000 (same)
+    " thin narrow",        # more Zs-class spaces
+    "vert\x0btab",                   # U+000B: Java \s matches it, RE2 \s does not
+    "σς sigma ÿ",                    # lowercase sigma forms (already final)
+]
+
+# Zero-width / format characters for interior insertion.
+ZERO_WIDTH = ["​", "‌", "‍", "⁠", "﻿"]
+
 # Queries excluded from specific variants, with the data-contract or
 # engine-semantics reason the judge should see. Keep this SHORT — every
 # entry is a standing admission.
@@ -200,6 +253,59 @@ def _mutate_string(vals: list, rng: np.random.RandomState, allow_null: bool):
             out.append(None)
         else:
             out.append(v)
+    return out
+
+
+def _mutate_string_encoding(vals: list, rng: np.random.RandomState):
+    """``s`` class: string-ENCODING attacks on every unprotected
+    string column (round-13 campaign, VERDICT r12 item 1). Modes:
+
+    - replace with an S_STRINGS pool entry (astral/4-byte UTF-8,
+      zero-width, combining, RTL, fullwidth, Zs-class spaces, U+000B)
+    - interior zero-width insertion: a near-identical key that MUST
+      stay a distinct group/join/band key on both engines
+    - astral prefix/suffix on an existing value (byte-width torture of
+      substr/shingle/levenshtein paths that are exact on ASCII)
+    - NFC→NFD decomposition of the value (and an NFC re-composition
+      arm), so visually-identical keys in both normal forms coexist —
+      neither engine normalizes, so they must stay DISTINCT everywhere
+    - trailing combining mark (combining char with its base at a value
+      boundary — substring/prefix paths must not split base from mark
+      differently across engines)
+    - edge Unicode-space padding (U+00A0 / U+3000): the trim-set bait
+      — Spark trims only U+0020
+
+    Runs BEFORE the generic string mutation (same composition contract
+    as the ``d`` class): the generic pass may then null/replace a few
+    of the injected values — intentional interaction coverage."""
+    import unicodedata
+
+    out = []
+    for v in vals:
+        r = rng.rand()
+        if v is None or r >= 0.24:
+            out.append(v)
+            continue
+        if r < 0.06:
+            out.append(S_STRINGS[rng.randint(len(S_STRINGS))])
+        elif r < 0.09 and len(v) >= 2:
+            i = 1 + rng.randint(len(v) - 1)
+            zw = ZERO_WIDTH[rng.randint(len(ZERO_WIDTH))]
+            out.append(v[:i] + zw + v[i:])
+        elif r < 0.12:
+            out.append(v + " \U00020000\U0001F409")
+        elif r < 0.145:
+            out.append("\U00010428\U0001D54A " + v)
+        elif r < 0.17:
+            out.append(unicodedata.normalize("NFD", "éÀ " + v))
+        elif r < 0.19:
+            out.append(unicodedata.normalize("NFC", "éÀ " + v))
+        elif r < 0.21:
+            out.append(v + "é")
+        elif r < 0.225:
+            out.append(" " + v + "　")
+        else:
+            out.append(v.replace(" ", "\x0b", 1) if " " in v else v + "\x0b")
     return out
 
 
@@ -374,6 +480,7 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
         magnify = variant == "mag6" or "m" in suffix
         mutate_ts = "t" in suffix
         mutate_dec = "d" in suffix
+        mutate_str_enc = "s" in suffix
         if variant == "empty":
             out = tbl.slice(0, 0)
         elif variant == "single":
@@ -417,6 +524,10 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
                     elif pa.types.is_string(field.type) or pa.types.is_large_string(
                         field.type
                     ):
+                        if mutate_str_enc:
+                            # before the generic pass, same composition
+                            # contract as the ``d`` class
+                            vals = _mutate_string_encoding(vals, rng)
                         vals = _mutate_string(vals, rng, allow_null=True)
                     elif pa.types.is_list(field.type):
                         vals = _mutate_embedding(vals, rng)
