@@ -367,3 +367,130 @@ class TestDoubleToIntCastDivergence:
             ).collect()
         ]
         assert got == duck, list(zip(vals, got, duck))
+
+
+class TestZeroNormCentroid:
+    """Round-13 s-fuzz find (seed 1s): ``source_centroid_cosine``
+    inlined its cosine with a BARE division while the oracle declared
+    COALESCE(x / NULLIF(den, 0), 0) — a source whose centroid sums to
+    the zero vector (one mutated-unique source holding one zeroed
+    embedding) raised ANSI DIVIDE_BY_ZERO instead of scoring 0. The
+    fix routes through the try_divide + coalesce pattern the shared
+    ``operators.similarity.cosine`` helper already used."""
+
+    def test_zero_centroid_source_scores_zero(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from udacity_data_wrangling_osm_case_study_spark.plans.registry import load_all
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["a", "b"],
+            "lang": ["en", "en"],
+            "source": ["alive", "zeroed"],
+            "n_chars": pa.array([1, 1], pa.int64()),
+        })
+        emb = pa.table({
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0] * 64, [0.0] * 64], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 0], pa.int32()),
+        })
+        pq.write_table(docs, str(tmp_path / "documents.parquet"))
+        pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+        queries, _ = load_all()
+        rows = queries["source_centroid_cosine"](spark, str(tmp_path)).collect()
+        assert [(r.src_a, r.src_b, r.cos_bp) for r in rows] == [
+            ("alive", "zeroed", 0)
+        ]
+
+
+class TestNullSumTrendSign:
+    """Round-13 s-fuzz find (seed 1s): ``event_value_trend`` on a
+    group whose values are ALL NULL has NULL sufficient statistics;
+    ``signum`` propagated the NULL (rendered NaN driver-side) while
+    the oracle's CASE fell through to ELSE 0. The when-chain now
+    mirrors the CASE: undefined trend reports sign 0 beside its NULL
+    rational (slope_num/slope_den stay NULL on both engines)."""
+
+    def test_all_null_value_group_reports_sign_zero(self, spark, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from udacity_data_wrangling_osm_case_study_spark.plans.registry import load_all
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([t0, t0 + dt.timedelta(hours=1), t0],
+                           pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": ["nullgrp", "nullgrp", "live"],
+            "value": pa.array([None, None, 2.5], pa.float64()),
+            "props": ["{}", "{}", "{}"],
+        })
+        pq.write_table(ev, str(tmp_path / "events.parquet"))
+        queries, _ = load_all()
+        rows = {
+            r.event_type: (r.trend_sign, r.slope_num)
+            for r in queries["event_value_trend"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert rows["nullgrp"] == (0, None)
+        assert rows["live"][0] == 0  # single x value: num == 0
+
+
+class TestOracleWhitespaceMirror:
+    """Round-13 s-fuzz root cause for 43 of 45 seed-1s failures: the
+    oracle normalization used DuckDB's DEFAULT trim — which strips
+    Zs-class Unicode spaces (U+00A0, U+3000, …) while Spark's F.trim
+    strips only U+0020 — and RE2's '\\s', which unlike Java's excludes
+    U+000B. Every oracle now mirrors the engine exactly via
+    trim(x, ' ') and the explicit class [ \\t\\n\\x0b\\f\\r]. These
+    pin the platform behaviors the mirror depends on."""
+
+    def test_duckdb_default_trim_strips_unicode_spaces(self):
+        import duckdb
+
+        con = duckdb.connect()
+        # platform behavior the mirror works around — if an upgrade
+        # changes it, revisit the trim(x, ' ') sites
+        assert con.execute("select trim(' x　')").fetchone()[0] == "x"
+        assert con.execute("select trim(' x ', ' ')").fetchone()[0] == "x"
+        assert (
+            con.execute("select trim(' x　', ' ')").fetchone()[0]
+            == " x　"
+        )
+        con.close()
+
+    def test_explicit_class_equals_java_s(self, spark):
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        probe = " a\tb\nc\x0bd\x0ce\rf g​h "
+        df = spark.createDataFrame([(probe,)], ["s"])
+        spark_norm = df.select(
+            F.regexp_replace(F.lower(F.trim("s")), "\\s+", " ").alias("n")
+        ).collect()[0]["n"]
+        con = duckdb.connect()
+        duck_norm = con.execute(
+            r"select regexp_replace(lower(trim(?, ' ')),"
+            r" '[ \t\n\x0b\f\r]+', ' ', 'g')",
+            [probe],
+        ).fetchone()[0]
+        con.close()
+        assert spark_norm == duck_norm, (spark_norm, duck_norm)
+        # and the un-mirrored RE2 \s really is the divergence: it
+        # leaves U+000B behind
+        con = duckdb.connect()
+        bare = con.execute(
+            r"select regexp_replace(?, '\s', '_', 'g')", ["a\x0bb"]
+        ).fetchone()[0]
+        con.close()
+        assert bare == "a\x0bb"

@@ -165,12 +165,26 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def _edge_triangles(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _edge_triangles(
+    edges: DataFrame, parts: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Shared compact-forward enumeration: returns (tri_edges, deg)
     where ``tri_edges`` has one row per oriented edge (u, w) that
     closes ≥1 triangle, with ``common`` = the array of third corners
     (each triangle appears exactly once, at its lowest oriented edge),
-    and ``deg`` the undirected vertex degrees."""
+    and ``deg`` the undirected vertex degrees.
+
+    ``parts`` (round-13, VERDICT r12 item 2): when set, the
+    graph-frame exchanges — the adjacency build and the wedge join's
+    ``w`` leg — are pinned to this count instead of inheriting
+    ``spark.sql.shuffle.partitions``; a session sized for 100× fact
+    scans taxes these small vertex/edge frames 10-20% in task-launch
+    overhead (NOTES_r12 §6). The set-reduction prefixes (the edge
+    de-dup ``distinct`` and the degree count) deliberately stay at the
+    session count: they carry map-side combiners over the RAW input
+    stream, and an explicit repartition in front of them would ship
+    the un-combined stream across the wire. ``None`` preserves the
+    pre-round-13 plan exactly (``triangle_count`` path)."""
     # Cache the three multiply-referenced frames: without this the DAG
     # nests multiplicatively — deg embeds und twice, the orientation
     # join embeds und and deg (so und three more times), and the wedge
@@ -207,16 +221,24 @@ def _edge_triangles(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
     )
-    adj = oriented.groupBy("u").agg(
+    # collect_list's partial mode concatenates without reducing, so a
+    # repartition in front of this groupBy loses nothing — pin it.
+    adj_src = oriented if parts is None else oriented.repartition(parts, "u")
+    adj = adj_src.groupBy("u").agg(
         F.sort_array(F.collect_list("w")).alias("nb")
     ).cache()
     # Every triangle a<b<c (in the orientation's total order) has edges
     # a->b, a->c, b->c and is found exactly once: at edge (a, b), as
     # c ∈ N⁺(a) ∩ N⁺(b). Edges whose w has no out-neighbors close
     # nothing — the inner join drops them for free.
+    u_leg = adj_src.join(adj, "u")
+    # the w-side probe needs w-clustering either way; the explicit
+    # repartition only pins the COUNT of the exchange that would be
+    # inserted regardless (and the adj mirror follows it to match)
+    if parts is not None:
+        u_leg = u_leg.repartition(parts, "w")
     tri_edges = (
-        oriented.join(adj, "u")
-        .join(
+        u_leg.join(
             adj.select(F.col("u").alias("w"), F.col("nb").alias("nb_w")), "w"
         )
         .select("u", "w", F.array_intersect("nb", "nb_w").alias("common"))
@@ -225,7 +247,9 @@ def _edge_triangles(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     return tri_edges, deg
 
 
-def clustering_coefficient(edges: DataFrame) -> DataFrame:
+def clustering_coefficient(
+    edges: DataFrame, edge_partitions: int | None = None
+) -> DataFrame:
     """Per-vertex local clustering coefficient — how tightly each
     vertex's neighborhood is interlinked (Watts & Strogatz 1998):
     cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the density signal behind
@@ -239,13 +263,23 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     vertex-keyed rollup. Output in integer permille (cc_pm, exact
     integer division) so the value is bit-identical across engines.
 
+    The graph-frame exchanges (adjacency build, wedge-join w-leg,
+    corner rollup, final degree join) run at the operator's own
+    partition count (``_edge_partition_count``; round-13, VERDICT r12
+    item 2) instead of ``spark.sql.shuffle.partitions``: the vertex
+    and triangle frames are tiny relative to the fact scans the
+    session count is sized for, and at a 100×-sized session count
+    (126+) the extra task launches cost 10-20% (NOTES_r12 §6). Pass
+    ``edge_partitions`` for graphs whose edge count warrants more.
+
     Returns (v, deg, n_tri, cc_pm) for vertices with deg >= 2 (cc is
     undefined below that).
 
     Caches internal frames and does not unpersist (module cache
     contract — clearCache between queries in long-lived sessions).
     """
-    tri_edges, deg = _edge_triangles(edges)
+    parts = _edge_partition_count(edges.sparkSession, edge_partitions)
+    tri_edges, deg = _edge_triangles(edges, parts)
     # tri_edges feeds three corner legs — cache so the wedge join runs
     # once (same rationale as the _edge_triangles internals).
     tri_edges = tri_edges.cache()
@@ -263,11 +297,13 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         )
     )
     tri = (
-        corners.groupBy("v")
+        corners.repartition(parts, "v")
+        .groupBy("v")
         .agg(F.sum("n").cast("bigint").alias("n_tri"))
     )
     return (
         deg.filter(F.col("deg") >= 2)
+        .repartition(parts, "v")
         .join(tri, "v", "left")
         .select(
             "v",
@@ -536,8 +572,24 @@ def label_propagation(
         nb = e.join(
             labels.withColumnRenamed("v", "dst").hint("shuffle_hash"), "dst"
         ).select(F.col("src").alias("v"), "lbl")
+        # The superstep tail is pinned to the operator's own partition
+        # count (round-13, VERDICT r12 item 2): without the explicit
+        # vertex-keyed repartition, the mode pick paid TWO exchanges at
+        # spark.sql.shuffle.partitions per superstep — one for
+        # groupBy(v, lbl), another for the window (HashPartitioning
+        # [v, lbl] does not satisfy the window's clustering on [v]) —
+        # and a session sized for 100x fact scans (126+) taxed these
+        # small vertex frames 10-20% in task overhead (NOTES_r12 §6).
+        # Repartitioning on v alone satisfies BOTH the groupBy's
+        # clustering ([v] ⊆ [v, lbl]) and the window's, so each
+        # superstep now pays exactly ONE exchange, at ``parts``,
+        # independent of the session shuffle count. The traded-away
+        # map-side combine on (v, lbl) bought little — neighbor labels
+        # are near-distinct per partition in early supersteps — and
+        # the removed second exchange more than covers it.
         labels = (
-            nb.groupBy("v", "lbl")
+            nb.repartition(parts, "v")
+            .groupBy("v", "lbl")
             .agg(F.count("*").alias("c"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

@@ -179,8 +179,8 @@ def key_split_census(spark, sf_dir):
         SELECT n_nationkey,
                array_to_string(list_transform(
                    string_split(regexp_replace(trim(
-                       lower(n_name || ' trading region ' || r_name)),
-                       '\\s+', ' ', 'g'), ' '),
+                       lower(n_name || ' trading region ' || r_name), ' '),
+                       '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '),
                    w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS styled_name
         FROM nation JOIN region ON n_regionkey = r_regionkey
     )

@@ -31,7 +31,7 @@ from udacity_data_wrangling_osm_case_study_spark.operators import (
 )
 from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
 
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = "regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
 
 _MIN_TOKENS = 20
 _MAX_DENY = 3
@@ -496,7 +496,7 @@ def source_slot_allocation(spark, sf_dir):
     """
     WITH RECURSIVE norm AS (
         SELECT doc_id AS id,
-               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               string_split(regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'),
                             ' ') AS toks
         FROM documents
     ),
@@ -567,7 +567,7 @@ def leakage_safe_split(spark, sf_dir):
     """
     WITH norm AS (
         SELECT doc_id,
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+               regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS norm
         FROM documents
     ),
     keepers AS (

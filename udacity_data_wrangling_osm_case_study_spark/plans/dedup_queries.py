@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from udacity_data_wrangling_osm_case_study_spark.operators import dedup
 from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
 
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = "regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
 _TOKS = f"string_split({_NORM}, ' ')"
 
 # Shared CTE: distinct word 3-gram shingles per doc (DuckDB side).

@@ -32,7 +32,7 @@ def _poly_sql(var: str = "i") -> str:
 _FPS_CTE = f"""
     norm AS (
         SELECT doc_id AS id,
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+               regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS t
         FROM documents
     ),
     grams AS (
@@ -143,7 +143,7 @@ def fingerprint_near_pairs(spark, sf_dir):
     """
     WITH d AS (
         SELECT doc_id,
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+               regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS norm
         FROM documents
     ),
     r AS (

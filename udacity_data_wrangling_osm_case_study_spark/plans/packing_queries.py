@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from udacity_data_wrangling_osm_case_study_spark.operators import packing, sampling
 from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
 
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = "regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
 _NTOK = f"len(string_split({_NORM}, ' '))"
 
 _SEQ_LEN = 512

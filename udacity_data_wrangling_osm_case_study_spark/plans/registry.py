@@ -80,6 +80,20 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # exchange placement; the driver should confirm.
     "part_communities",
     "part_clustering_coeff",
+    # Round-13 s-fuzz fixes (seed 1s), value-identical on clean driver
+    # data but the driver should confirm: the centroid cosine now
+    # guards its zero-norm denominator (try_divide + coalesce, the
+    # oracle's declared COALESCE/NULLIF semantics), and the trend sign
+    # is an exact DECIMAL when-chain matching the oracle CASE (an
+    # all-NULL-value group reports 0, not NULL).
+    "source_centroid_cosine",
+    "event_value_trend",
+    # Representatives of the round-13 ORACLE-side whitespace mirror
+    # (trim(x, ' ') + explicit [ \t\n\x0b\f\r] class across the _NORM
+    # consumers — Spark plans untouched): one dedup-family and one
+    # token-stats attestation.
+    "minhash_lsh_dupes",
+    "corpus_token_stats",
 )
 
 # The hoist list is an honest record of verification priority; a name

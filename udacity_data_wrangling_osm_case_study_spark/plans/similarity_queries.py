@@ -1085,7 +1085,7 @@ def embedding_random_projection(spark, sf_dir):
 # Hybrid retrieval: reciprocal-rank fusion of lexical BM25 + vector cosine
 # ---------------------------------------------------------------------------
 
-_RRF_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_RRF_NORM = "regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
 
 
 @register(
@@ -1278,11 +1278,20 @@ def source_centroid_cosine(spark, sf_dir):
     return pairs.select(
         "src_a",
         "src_b",
+        # Zero-norm guard (round-13 s-fuzz find, seed 1s): a source
+        # whose centroid sums to the zero vector (a singleton group
+        # holding a zeroed embedding) made this the ONE cosine in the
+        # file dividing bare — ANSI DIVIDE_BY_ZERO — while the oracle
+        # already declared COALESCE(x / NULLIF(den, 0), 0). Same
+        # guarded pattern as operators.similarity.cosine.
         F.round(
-            dot(F.col("ca"), F.col("cb"))
-            / (
-                F.sqrt(dot(F.col("ca"), F.col("ca")))
-                * F.sqrt(dot(F.col("cb"), F.col("cb")))
+            F.coalesce(
+                F.try_divide(
+                    dot(F.col("ca"), F.col("cb")),
+                    F.sqrt(dot(F.col("ca"), F.col("ca")))
+                    * F.sqrt(dot(F.col("cb"), F.col("cb"))),
+                ),
+                F.lit(0.0),
             )
             * 10000
         )

@@ -27,7 +27,7 @@ from udacity_data_wrangling_osm_case_study_spark.plans.registry import register,
 _L = 6
 _MIN_COUNT = 2
 
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = "regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
 
 # Shared CTE chain: tokenized docs -> L-gram starts -> duplicated
 # starts -> maximal merged spans (inclusive 1-based token ranges).

@@ -431,7 +431,18 @@ def event_value_trend(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         num.cast("string").alias("slope_num"),
         den.cast("string").alias("slope_den"),
-        F.signum(num).cast("int").alias("trend_sign"),
+        # Round-13 s-fuzz find (seed 1s): a group whose values are ALL
+        # NULL (here: mutated-unique event_type singletons with nulled
+        # value) has NULL sums, and signum propagated the NULL while
+        # the oracle's CASE fell through to ELSE 0. The when-chain
+        # mirrors the CASE exactly — undefined trend reports sign 0
+        # beside its NULL rationals — and compares the DECIMAL(38,0)
+        # directly instead of signum's silent cast through double.
+        F.when(num > 0, F.lit(1))
+        .when(num < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("trend_sign"),
     ).orderBy("event_type")
 
 

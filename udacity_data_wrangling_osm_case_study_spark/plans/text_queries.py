@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from udacity_data_wrangling_osm_case_study_spark.operators import textstats
 from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
 
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM = "regexp_replace(lower(trim(text, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
 _TOKS = f"string_split({_NORM}, ' ')"
 _STOPS = "['the', 'a', 'of', 'and', 'to', 'in']"
 
