@@ -340,7 +340,8 @@ CALIBRATION_REF = {
 
 def resolve_host_factor(calib_pre: dict, calib_post: dict,
                         ref: dict | None = None,
-                        jvm_series: list | None = None) -> dict:
+                        jvm_series: list | None = None,
+                        cpu_series: list | None = None) -> dict:
     """Host-speed-factor policy (round-12 revision; ADVICE r11 high).
 
     The r10 driver run reported a CPython-probe factor of 1.205 while
@@ -372,7 +373,19 @@ def resolve_host_factor(calib_pre: dict, calib_post: dict,
     Returns {"factor", "factor_py", "factor_jvm", "concordant"}.
     """
     ref = ref or CALIBRATION_REF
-    cpu_best = min(calib_pre["cpu_probe_sec"], calib_post["cpu_probe_sec"])
+    # Single-thread CPython estimate: the MEDIAN of the interleaved
+    # series when one exists (round-13, NOTES_r12 §9 — symmetric with
+    # the JVM side below; no ramp exclusion, sha256 has no JIT), else
+    # the min of the two endpoint probes. The all-core mt probe stays
+    # endpoint-min: it is not interleaved (too heavy mid-run).
+    cpts = sorted(s for s in (cpu_series or []) if s is not None and s > 0)
+    if len(cpts) >= 3:
+        mid = len(cpts) // 2
+        cpu_best = (cpts[mid] if len(cpts) % 2
+                    else (cpts[mid - 1] + cpts[mid]) / 2)
+    else:
+        cpu_best = min(calib_pre["cpu_probe_sec"],
+                       calib_post["cpu_probe_sec"])
     ratios = [cpu_best / ref["cpu_probe_sec"]]
     mts = [c.get("mt_probe_sec") for c in (calib_pre, calib_post)]
     mts = [m for m in mts if m is not None]
@@ -684,7 +697,8 @@ def main() -> None:
     # is set to the RAW total so the flagged number cannot be
     # compared across rounds as if it were calibrated (ADVICE r11).
     factor_info = resolve_host_factor(calib_pre, calib_post,
-                                      jvm_series=probe_series)
+                                      jvm_series=probe_series,
+                                      cpu_series=cpu_series)
     # Two series, two calibrated tolerances (SERIES_TOL_*): the CPython
     # series is the clean host signal; the JVM series keeps a looser
     # band (ramp point excluded) because even GC-breathered codegen

@@ -282,3 +282,37 @@ def test_fast_rig_normalizes_up_when_concordant(bench):
     info = bench.resolve_host_factor(c, c)
     assert info["concordant"], info
     assert info["factor"] == pytest.approx(0.82, abs=0.005)
+
+
+def test_cpu_series_median_symmetric_with_jvm(bench):
+    """Round-13 (NOTES_r12 §9): the single-thread CPython estimate now
+    comes from the interleaved series median when one exists, removing
+    the last single-sample probe from the adjudication path. On the
+    REAL committed r12 series (median 0.1019 vs endpoint-min 0.0998)
+    the factor moves by ~2% and stays concordant; a series with one
+    lucky fast outlier no longer lets the outlier adjudicate; and with
+    no series, the endpoint-min fallback is unchanged."""
+    ref = bench.CALIBRATION_REF
+    pre = {"cpu_probe_sec": 0.0999, "mt_probe_sec": ref["mt_probe_sec"],
+           "jvm_probe_sec": ref["jvm_probe_sec"]}
+    post = {"cpu_probe_sec": 0.0998, "mt_probe_sec": ref["mt_probe_sec"],
+            "jvm_probe_sec": ref["jvm_probe_sec"]}
+    # the real r12 committed-snapshot series (BENCH_QUERIES.json)
+    series = [0.1009, 0.1062, 0.1067, 0.1009, 0.1013, 0.1013,
+              0.1019, 0.1048, 0.1005, 0.1024, 0.0998]
+    with_series = bench.resolve_host_factor(pre, post, cpu_series=series)
+    med = sorted(series)[len(series) // 2]
+    assert abs(with_series["factor_py"] - med / ref["cpu_probe_sec"]) < 0.01, (
+        with_series
+    )
+    assert with_series["concordant"], with_series
+    # one lucky fast sample inside a slow run: min-policy would read
+    # the host as healthy; the median reports the sustained state
+    slow = [0.13] * 10 + [0.0999]
+    squeezed = bench.resolve_host_factor(pre, post, cpu_series=slow)
+    assert squeezed["factor_py"] > 1.25, squeezed
+    # no series: endpoint-min fallback byte-identical to the old policy
+    none = bench.resolve_host_factor(pre, post)
+    assert none["factor_py"] == bench.resolve_host_factor(
+        pre, post, cpu_series=[]
+    )["factor_py"]

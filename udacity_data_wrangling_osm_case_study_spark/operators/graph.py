@@ -573,20 +573,19 @@ def label_propagation(
             labels.withColumnRenamed("v", "dst").hint("shuffle_hash"), "dst"
         ).select(F.col("src").alias("v"), "lbl")
         # The superstep tail is pinned to the operator's own partition
-        # count (round-13, VERDICT r12 item 2): without the explicit
-        # vertex-keyed repartition, the mode pick paid TWO exchanges at
-        # spark.sql.shuffle.partitions per superstep — one for
-        # groupBy(v, lbl), another for the window (HashPartitioning
-        # [v, lbl] does not satisfy the window's clustering on [v]) —
-        # and a session sized for 100x fact scans (126+) taxed these
-        # small vertex frames 10-20% in task overhead (NOTES_r12 §6).
-        # Repartitioning on v alone satisfies BOTH the groupBy's
-        # clustering ([v] ⊆ [v, lbl]) and the window's, so each
-        # superstep now pays exactly ONE exchange, at ``parts``,
-        # independent of the session shuffle count. The traded-away
-        # map-side combine on (v, lbl) bought little — neighbor labels
-        # are near-distinct per partition in early supersteps — and
-        # the removed second exchange more than covers it.
+        # count (round-13, VERDICT r12 item 2). Measured before/after
+        # on the executed plan: Spark already serves BOTH the mode
+        # groupBy and the window from a single exchange keyed on the
+        # subset [v] — but at spark.sql.shuffle.partitions, so a
+        # session sized for 100x fact scans (126+) taxed this small
+        # vertex frame 10-20% in task overhead per superstep
+        # (NOTES_r12 §6). The explicit repartition keeps the exchange
+        # count identical (verified: 4 exchanges either way at
+        # n_iter=1) and moves only the COUNT to ``parts``, making
+        # superstep cost independent of the session knob. The
+        # traded-away map-side combine on (v, lbl) bought little —
+        # neighbor labels are near-distinct per partition in early
+        # supersteps.
         labels = (
             nb.repartition(parts, "v")
             .groupBy("v", "lbl")
