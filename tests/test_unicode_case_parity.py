@@ -103,3 +103,34 @@ def test_duckdb_delta_recorded_exactly():
             f"{s!r} no longer divergent — drop it from DIVERGENT"
         )
     con.close()
+
+
+def test_full_casemap_expansion_sweep_matches_cpython(spark):
+    """Generative closure of the case axis (round-13, §8 candidate
+    pulled forward): EVERY codepoint whose CPython full case mapping
+    EXPANDS (len(c.lower()) > 1 or len(c.upper()) > 1 — the
+    SpecialCasing.txt unconditional table, 103 codepoints through
+    U+2FFFF: ß, İ, ŉ, ǰ, the Greek iota subscripts, the Armenian and
+    Latin ligatures, …) must map identically in Spark. A Java/CPython
+    Unicode-version skew that adds or changes an expansion pair breaks
+    this loudly with the exact codepoint named."""
+    from pyspark.sql import functions as F
+
+    multi = []
+    for c in range(0x20, 0x30000):
+        if 0xD800 <= c <= 0xDFFF:
+            continue
+        ch = chr(c)
+        if len(ch.lower()) > 1 or len(ch.upper()) > 1:
+            multi.append(ch)
+    assert len(multi) >= 100  # the table is stable; a collapse = bug
+    df = spark.createDataFrame([(ch,) for ch in multi], ["s"])
+    rows = df.select(
+        "s", F.lower("s").alias("lo"), F.upper("s").alias("up")
+    ).collect()
+    bad = [
+        (hex(ord(r["s"])), r["lo"], r["s"].lower(), r["up"], r["s"].upper())
+        for r in rows
+        if r["lo"] != r["s"].lower() or r["up"] != r["s"].upper()
+    ]
+    assert not bad, f"Spark != CPython on {len(bad)} expansion codepoints: {bad[:10]}"
