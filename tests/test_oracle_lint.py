@@ -95,3 +95,45 @@ def test_mirror_class_sites_are_exact():
         f"whitespace-only class differs from the Java-\\s mirror "
         f"{MIRROR_CLASS!r}: {wrong[:10]}"
     )
+
+
+def _plan_sources() -> dict[str, str]:
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(
+        here, "udacity_data_wrangling_osm_case_study_spark", "plans", "*.py"
+    )
+    return {os.path.basename(p): open(p).read() for p in glob.glob(pkg)}
+
+
+def test_no_signum_in_plan_sources():
+    """Source-level companion (the event_value_trend class): a plan's
+    sign column paired with a SQL CASE oracle must use an explicit
+    when-chain — ``F.signum`` propagates NULL where CASE falls through
+    to ELSE, and silently casts DECIMAL through double."""
+    offenders = [
+        f for f, src in _plan_sources().items() if "F.signum(" in src
+    ]
+    assert not offenders, (
+        f"F.signum in oracle-paired plan code (NULL/ELSE divergence, "
+        f"decimal->double cast) — use a when-chain: {offenders}"
+    )
+
+
+def test_no_bare_division_by_sqrt_in_plan_sources():
+    """Source-level companion (the source_centroid_cosine class): a
+    norm-product denominator must route through F.try_divide (+
+    coalesce) — a bare ``/ F.sqrt(...)`` raises ANSI DIVIDE_BY_ZERO
+    on the zero vector the fuzzer is guaranteed to produce."""
+    import re
+
+    offenders = [
+        f for f, src in _plan_sources().items()
+        if re.search(r"/\s*\(?\s*F\.sqrt\(", src)
+    ]
+    assert not offenders, (
+        f"bare division by F.sqrt in plan code — use F.try_divide "
+        f"with F.coalesce (see operators.similarity.cosine): {offenders}"
+    )
