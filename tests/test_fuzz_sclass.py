@@ -143,3 +143,61 @@ def test_duplicate_suffix_rejected_loudly():
     with tempfile.TemporaryDirectory() as td:
         with pytest.raises(ValueError, match="duplicate suffix"):
             fuzz_oracle.make_variant(BASE, os.path.join(td, "x"), "1dd")
+
+
+class TestPClassGenerator:
+    """Round-13 extension: the parquet PHYSICAL-layout variants must
+    actually change the layout they claim to (value-preserving reader
+    differential — the timestamp-physical-type-drift bug class). A
+    generator that silently wrote default layouts would make the
+    p-sweeps vacuous."""
+
+    def test_p1_reverses_columns_and_disables_dictionary(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "p1")
+        fuzz_oracle.make_variant(BASE, out, "p1")
+        base_names = pq.read_schema(f"{BASE}/events.parquet").names
+        got_names = pq.read_schema(f"{out}/events.parquet").names
+        assert got_names == list(reversed(base_names))
+        col0 = pq.read_metadata(f"{out}/events.parquet").row_group(0).column(0)
+        assert "PLAIN_DICTIONARY" not in str(col0.encodings), col0.encodings
+
+    def test_p2_many_row_groups(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "p2")
+        fuzz_oracle.make_variant(BASE, out, "p2")
+        meta = pq.read_metadata(f"{out}/events.parquet")
+        assert meta.num_row_groups >= 2, meta.num_row_groups
+
+    def test_p3_int96_timestamps_ms_truncated(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "p3")
+        fuzz_oracle.make_variant(BASE, out, "p3")
+        phys = {
+            c.path_in_schema: c.physical_type
+            for rg in range(1)
+            for c in [
+                pq.read_metadata(f"{out}/events.parquet").row_group(0).column(i)
+                for i in range(
+                    pq.read_metadata(f"{out}/events.parquet").num_columns
+                )
+            ]
+        }
+        assert phys["ts"] == "INT96", phys
+        ts = pq.read_table(f"{out}/events.parquet").column("ts").to_pylist()
+        assert all(v is None or v.microsecond % 1000 == 0 for v in ts), (
+            "int96 variant must be ms-truncated so the round-trip is "
+            "lossless-by-construction"
+        )
+
+    def test_p_variants_preserve_values(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "p1v")
+        fuzz_oracle.make_variant(BASE, out, "p1")
+        base = pq.read_table(f"{BASE}/part.parquet")
+        got = pq.read_table(f"{out}/part.parquet").select(base.schema.names)
+        assert got.equals(base), "p variants must be value-preserving"

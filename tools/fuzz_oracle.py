@@ -77,6 +77,22 @@ per-codepoint table, a platform divergence pinned separately by
 tests/test_unicode_case_parity.py rather than laundered through the
 differential gate.
 
+Special variants ``p1``/``p2``/``p3`` (round-13 extension) attack the
+PARQUET PHYSICAL LAYER with VALUE-PRESERVING rewrites of the base
+tables — any query disagreement is a reader divergence, the exact
+class of the round-1-era timestamp physical-type drift bug:
+
+- ``p1``: column order REVERSED per table + dictionary encoding off —
+  readers must bind by NAME, never by position, and plain-encoded
+  pages must decode identically;
+- ``p2``: 256-row row groups + data-page v2 — many-row-group files
+  (statistics pruning, page-level decoding) and the v2 page format;
+- ``p3``: timestamps written as deprecated INT96 — the value read
+  back must be microsecond-identical in both engines (timestamps are
+  first truncated to milliseconds IN THE DATA so the int96 physical
+  round-trip is lossless-by-construction and any reader drift is
+  attributable).
+
 Data contract (columns the mutator never nulls — the engine's
 documented input requirements): identity and join key columns, and
 event/order/ship timestamps (order keys for windows; Spark and DuckDB
@@ -481,6 +497,37 @@ def make_variant(base: str, out_dir: str, variant: str) -> None:
         mutate_ts = "t" in suffix
         mutate_dec = "d" in suffix
         mutate_str_enc = "s" in suffix
+        if variant in ("p1", "p2", "p3"):
+            # Value-preserving physical-layout rewrites (reader-layer
+            # differential; see module docstring). No value mutation.
+            write_kwargs: dict = {}
+            if variant == "p1":
+                tbl = tbl.select(list(reversed(tbl.schema.names)))
+                write_kwargs["use_dictionary"] = False
+            elif variant == "p2":
+                write_kwargs["row_group_size"] = 256
+                write_kwargs["data_page_version"] = "2.0"
+            else:  # p3: truncate instants to ms, then write INT96
+                cols = {}
+                for field in tbl.schema:
+                    vals = tbl.column(field.name).to_pylist()
+                    if pa.types.is_timestamp(field.type):
+                        vals = [
+                            None if v is None
+                            else v.replace(
+                                microsecond=v.microsecond // 1000 * 1000
+                            )
+                            for v in vals
+                        ]
+                    cols[field.name] = vals
+                tbl = pa.table(
+                    {f.name: pa.array(cols[f.name], type=f.type)
+                     for f in tbl.schema},
+                    schema=tbl.schema,
+                )
+                write_kwargs["use_deprecated_int96_timestamps"] = True
+            pq.write_table(tbl, f"{out_dir}/{t}.parquet", **write_kwargs)
+            continue
         if variant == "empty":
             out = tbl.slice(0, 0)
         elif variant == "single":
