@@ -539,8 +539,15 @@ _AQE_EXPECTATIONS = {
         ["BroadcastNestedLoopJoin"],
         ["SortMergeJoin", "ShuffledHashJoin"],
     ),
+    # round-13 optimization: the per-key Arrow cogroup was retired for
+    # the built-in-aggregate plan (shared with entity_profile_native) —
+    # the full-outer join of two pre-aggregated sides must carry ZERO
+    # Python dispatch nodes.
+    "cogrouped_entity_profile": (
+        ["SortMergeJoin", "FullOuter"],
+        ["FlatMapCoGroupsInArrow", "ArrowEvalPython", "BatchEvalPython"],
+    ),
     # superstep results: checkpoint leaves + unions — join-free finals
-    "cogrouped_entity_profile": ([], ["Join"]),
     "part_cheapest_path": ([], ["Join"]),
     "part_bfs_hops": ([], ["Join"]),
 }

