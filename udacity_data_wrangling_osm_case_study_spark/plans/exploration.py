@@ -17,7 +17,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import (
+    fan_out_scan,
+    register,
+    table,
+)
 
 _DEC = "decimal(18,4)"
 
@@ -197,8 +201,18 @@ def pricing_summary(spark, sf_dir):
             / 1_000_000
         )
 
+    # fan_out_scan (round 13): eight exact-decimal aggregates per row
+    # are heavy map-side work, and the fact scan is a single split —
+    # measured 1.15 s → 0.77 s at sf0.1 with the filtered frame fanned
+    # before the partial aggregation (guide §2.5; no-op at real scale).
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        fan_out_scan(
+            li.filter(
+                F.col("l_shipdate")
+                <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+            ),
+            spark,
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),

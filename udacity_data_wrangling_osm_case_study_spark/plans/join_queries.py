@@ -11,7 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from udacity_data_wrangling_osm_case_study_spark.plans.registry import register, table
+from udacity_data_wrangling_osm_case_study_spark.plans.registry import (
+    fan_out_scan,
+    register,
+    table,
+)
 
 _DEC = "decimal(18,4)"
 
@@ -542,10 +546,17 @@ def customer_geo_pairs(spark, sf_dir):
     it; verified: both engines produce the identical 2,095 pairs)."""
     from udacity_data_wrangling_osm_case_study_spark.operators import geo
 
-    pts = table(spark, sf_dir, "customer").selectExpr(
-        "c_custkey AS id",
-        f"{_GEO_LAT} AS lat",
-        f"{_GEO_LON} AS lon",
+    # fan_out_scan (round 13): the synthetic-coordinate derivation and
+    # the 9-cell grid explode are row-local work on a single-split
+    # scan — fanning the 3-column frame measured 1.55 s → 1.28 s at
+    # sf0.1 (guide §2.5; no-op at real scale).
+    pts = fan_out_scan(
+        table(spark, sf_dir, "customer").selectExpr(
+            "c_custkey AS id",
+            f"{_GEO_LAT} AS lat",
+            f"{_GEO_LON} AS lon",
+        ),
+        spark,
     )
     # round_dp=9 keeps the operator's distance effectively raw: the
     # centimeter quantization below must round the RAW value once —
@@ -1704,8 +1715,16 @@ def salted_priority_revenue(spark, sf_dir):
     cost. Decimal-exact revenue per the registry's determinism rules."""
     from udacity_data_wrangling_osm_case_study_spark.operators import skew
 
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+    # fan_out_scan (round 13): the salted join's big side pays the
+    # monotonic-id salt derivation, 8-way hash routing and the partial
+    # decimal-revenue aggregation in its scan stage, which is a single
+    # split — fanning the 3-column projection first measured
+    # 2.34 s → 1.85 s at sf0.1 (guide §2.5; no-op at real scale).
+    li = fan_out_scan(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        spark,
     )
     ords = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"

@@ -94,6 +94,19 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # token-stats attestation.
     "minhash_lsh_dupes",
     "corpus_token_stats",
+    # Round-13 OPTIMIZATION plan changes (results oracle-proven
+    # identical at sf0.01 + sf0.001 before shipping; the driver should
+    # re-attest): the per-key Arrow cogroup retired for the built-in
+    # aggregate plan; the post-symmetrize distinct removed; four
+    # fan_out_scan sites (one added round-robin exchange above heavy
+    # row-local scan stages).
+    "cogrouped_entity_profile",
+    "entity_profile_native",
+    "part_random_walk_pairs",
+    "bootstrap_mean_ci",
+    "pricing_summary",
+    "salted_priority_revenue",
+    "customer_geo_pairs",
 )
 
 # The hoist list is an honest record of verification priority; a name
@@ -141,6 +154,37 @@ def register(
     return deco
 
 
+def fan_out_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition for a frame whose source cannot supply
+    enough input splits to fill the cluster — single-row-group parquet
+    (the driver testdata's physical layout), unsplittable codecs, tiny
+    files (guide §2.5: "repartition immediately after the read").
+
+    Scale-adaptive by construction: a no-op whenever the frame already
+    carries at least half the session's default parallelism in
+    partitions, so at production scale — where a fact scan yields
+    thousands of row-group splits — the exchange never exists. Apply it
+    ONLY above heavy row-local compute (per-row hashing, wide decimal
+    aggregates, pair expansion): for cheap-per-row aggregate-first
+    plans the extra round-robin exchange of raw rows costs more than
+    the single-core scan stage it parallelizes (measured on the graph
+    edge build and five aggregate queries, round 13)."""
+    par = spark.conf.get("spark.default.parallelism", None)
+    if par is None:
+        try:
+            par = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect sessions have no sparkContext
+            par = 8
+    par = int(par)
+    try:
+        n_splits = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no df.rdd — skip the fan-out
+        return df
+    if n_splits < max(par // 2, 2):
+        return df.repartition(par)
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-testdata parquet table.
 
@@ -167,23 +211,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # single core until the first shuffle. Fan the scan out when it
         # yields fewer splits than cores — the exact repartition a
         # cluster job does after a skinny-file scan. At real scale the
-        # scan produces thousands of splits and this branch is a no-op.
-        # conf lookup first: Spark Connect sessions have no
-        # sparkContext (same compatibility contract as
-        # operators.graph.random_walks / label_propagation)
-        par = spark.conf.get("spark.default.parallelism", None)
-        if par is None:
-            try:
-                par = spark.sparkContext.defaultParallelism
-            except Exception:  # Spark Connect
-                par = 8
-        par = int(par)
-        try:
-            n_splits = df.rdd.getNumPartitions()
-        except Exception:  # Spark Connect: no df.rdd — skip the fan-out
-            n_splits = par
-        if n_splits < max(par // 2, 2):
-            df = df.repartition(par)
+        # scan produces thousands of splits and this is a no-op.
+        df = fan_out_scan(df, spark)
     if name == "events":
         from pyspark.sql import functions as F
 
