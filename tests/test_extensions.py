@@ -287,6 +287,32 @@ def test_word_shingles_short_doc_is_empty(spark):
     assert {r.shingle for r in out} == {"one two three", "two three four"}
 
 
+def test_word_shingles_pre_normalized_equivalent(spark):
+    # Round 13: pipelines that already materialize normalize_text output
+    # may pass it back with pre_normalized=True to skip the second regex
+    # pass. The shingle set must be IDENTICAL to the raw-text path —
+    # including for inputs where normalize_text is not idempotent (a
+    # leading tab: trim strips spaces only, so the first pass leaves a
+    # leading space that a second pass would eat, shifting every token).
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "\tAlpha  beta\ngamma delta"), (2, "  x Y\fz w  ")],
+        ["doc_id", "text"],
+    )
+    pre = df.select("doc_id", dedup.normalize_text(F.col("text")).alias("norm"))
+    raw_sh = sorted(
+        (r.id, r.shingle) for r in dedup.word_shingles(df, n=2).collect()
+    )
+    pre_sh = sorted(
+        (r.id, r.shingle)
+        for r in dedup.word_shingles(
+            pre, text_col="norm", n=2, pre_normalized=True
+        ).collect()
+    )
+    assert raw_sh == pre_sh and len(raw_sh) > 0
+
+
 def test_hashed_linear_score(spark):
     """Score properties: bounded milli-range, exact mean for a
     one-token doc, identical docs (after normalization) score equal."""

@@ -97,6 +97,7 @@ def word_shingles(
     text_col: str = "text",
     n: int = 3,
     max_shingle_df: int | None = None,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
@@ -104,15 +105,27 @@ def word_shingles(
     the token array) — stays in codegen, no UDF. ``max_shingle_df``
     applies :func:`cap_shingle_df` to the result — set it when feeding
     LSH/Jaccard pipelines on corpora with boilerplate skew.
+
+    ``pre_normalized=True`` declares that ``text_col`` ALREADY holds
+    :func:`normalize_text` output and skips re-normalizing (round-13
+    optimization: pipelines that materialize the normalized form for
+    other stages were paying the regex pass twice per document). Do NOT
+    set it for raw text: normalize_text is not idempotent at the
+    byte level (trim strips spaces only, so a leading tab normalizes
+    to a leading space once but to '' twice), so the flag must only
+    assert a fact, never substitute for the first pass.
     """
     # Materialize the token array in its OWN projection before the
     # higher-order slide: an expression captured inside a lambda is
     # re-evaluated per array element, so inlining the split would run
     # the tokenizer once per shingle position (measured 9.5x slower at
     # sf0.1).
+    norm_col = (
+        F.col(text_col) if pre_normalized else normalize_text(F.col(text_col))
+    )
     base = df.select(
         F.col(id_col).alias("id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+        F.split(norm_col, " ").alias("toks"),
     )
     tokens = F.col("toks")
     count = F.size(tokens) - (n - 1)

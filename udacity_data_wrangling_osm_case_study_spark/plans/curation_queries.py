@@ -134,10 +134,13 @@ def corpus_curation_funnel(spark, sf_dir):
     operator; see module docstring."""
     docs = table(spark, sf_dir, "documents")
     norm = dedup.normalize_text(F.col("text"))
+    # Round 13: `text` is NOT carried — every downstream stage works on
+    # the normalized form, so caching the raw bytes doubled the cache
+    # footprint, and word_shingles re-ran the normalize regex over every
+    # surviving doc (pre_normalized=True below reuses the cached norm).
     base = docs.select(
         "doc_id",
         "source",
-        "text",
         norm.alias("norm"),
         F.size(F.split(norm, " ")).alias("n_tokens"),
     ).cache()  # feeds the input stage agg, the keeper census, and s2
@@ -159,7 +162,7 @@ def corpus_curation_funnel(spark, sf_dir):
     # the cache the minhash aggregation runs twice); cand feeds the two
     # candidate-doc semi-joins plus the final pair semi-join inside
     # jaccard_pairs (×3 recompute of the whole LSH chain before).
-    sh = dedup.word_shingles(s2).cache()
+    sh = dedup.word_shingles(s2, text_col="norm", pre_normalized=True).cache()
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
     bands = dedup.lsh_bands(sigs, rows_per_band=2).cache()
     cand = dedup.lsh_candidate_pairs(bands).cache()

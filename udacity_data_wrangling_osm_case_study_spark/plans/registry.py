@@ -107,6 +107,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pricing_summary",
     "salted_priority_revenue",
     "customer_geo_pairs",
+    # …and the funnel's single-normalize rewrite (norm reused by the
+    # shingle stage via pre_normalized=True; raw text dropped from the
+    # stage caches).
+    "corpus_curation_funnel",
 )
 
 # The hoist list is an honest record of verification priority; a name
