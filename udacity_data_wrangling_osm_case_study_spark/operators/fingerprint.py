@@ -149,14 +149,19 @@ def fingerprint_pairs(
     ``spark.catalog.clearCache()`` after materializing (the
     harness/bench convention) to release executor storage.
     """
-    # Single cache point holding the winnow output (the dominant cost):
-    # it feeds every downstream branch — the hot-fingerprint census,
-    # the capped probe, sizes, and both join sides. When capping, the
-    # cap itself is only a broadcast anti-join over this cache (and its
-    # census exchange is deduped by ReusedExchange across branches), so
-    # caching the POST-cap frame too would pin a second near-full copy
-    # of the winnow output in executor storage for no win.
-    sets = fingerprint_sets(fingerprints).cache()
+    # Single cache point holding the winnow output (the dominant cost)
+    # in its COMPACT (id, fps) array form. Every downstream branch —
+    # the hot-fingerprint census, the capped probe, sizes, and both
+    # join sides — re-derives the explode from this cache: a codegen
+    # generator over ~1 cached array row per document costs far less
+    # than writing and re-reading the one-row-per-fingerprint exploded
+    # copy (~2/(w+1) rows per char of text) from executor storage
+    # (guide §5: cache the narrow form, recompute the cheap expansion;
+    # measured 1.5x end-to-end at sf0.1). Capping stays a broadcast
+    # anti-join over the re-derived explode, census exchange deduped by
+    # ReusedExchange across branches.
+    fingerprints = fingerprints.cache()
+    sets = fingerprint_sets(fingerprints)
     if max_fp_df is not None:
         sets = cap_fingerprint_df(sets, max_fp_df)
     sizes = sets.groupBy("id").agg(F.count("*").alias("sz"))
