@@ -999,35 +999,62 @@ def weighted_jaccard_pairs(spark, sf_dir):
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    tok = docs.select(
+    # Verify cost scales with the candidate set (LSH-verify economics),
+    # so tokenize ONLY candidate docs — the semi-join runs before the
+    # explode, and the per-doc total Σc comes from the same counts
+    # (Σc over a doc's count map = its token count), so the old
+    # full-corpus tokenize+count pass and its cache are gone entirely.
+    cand_ids = dedup.pair_endpoints(cand)
+    tok = docs.join(
+        cand_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
+    ).select(
         F.col("doc_id").alias("id"),
         F.explode(F.split(dedup.normalize_text(F.col("text")), " ")).alias("tok"),
     )
-    # cnt feeds the candidate-restricted counts AND the per-doc totals;
-    # cnt_c feeds both sides of the pair join — cache each so the
-    # tokenize+count pass runs once, not once per consumer.
-    cnt = tok.groupBy("id", "tok").agg(F.count("*").alias("c")).cache()
-    # verify cost scales with the candidate set: restrict token counts
-    # to candidate docs before the pair join (same economics as the
-    # LSH-verify path)
-    cand_ids = dedup.pair_endpoints(cand)
-    cnt_c = cnt.join(cand_ids, "id", "left_semi").cache()
-    tots = cnt.groupBy("id").agg(F.sum("c").alias("tot"))
-    a = cnt_c.select(F.col("id").alias("id_a"), "tok", F.col("c").alias("ca"))
-    b = cnt_c.select(F.col("id").alias("id_b"), "tok", F.col("c").alias("cb"))
-    minsum = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.least("ca", "cb")).alias("min_sum"))
-    )
-    out = minsum.join(
-        F.broadcast(tots.select(F.col("id").alias("id_a"), F.col("tot").alias("ta"))),
+    # Docvec verify (the prefix_filter_pairs merge-verify shape): each
+    # candidate doc's token→count map in ONE row, the pair frame joins
+    # two doc-keyed relations, and Σmin(cₐ,c_b) is a row-local
+    # map_zip_with — no token-level rows ever enter the pair join's
+    # shuffle (guide §2.3: shuffle keys and per-doc aggregates, not
+    # token payloads).
+    docvecs = (
+        tok.groupBy("id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("tok", "c"))).alias("m"),
+            F.sum("c").alias("tot"),
+        )
+    ).cache()  # referenced by BOTH pair-join sides — without the cache
+    # the candidate-doc tokenize+count subtree (and its docs scan)
+    # would run once per side
+    out = cand.join(
+        docvecs.select(
+            F.col("id").alias("id_a"), F.col("m").alias("ma"), F.col("tot").alias("ta")
+        ),
         "id_a",
     ).join(
-        F.broadcast(tots.select(F.col("id").alias("id_b"), F.col("tot").alias("tb"))),
+        docvecs.select(
+            F.col("id").alias("id_b"), F.col("m").alias("mb"), F.col("tot").alias("tb")
+        ),
         "id_b",
     )
+    min_sum = F.aggregate(
+        F.map_values(
+            # least() SKIPS nulls, so a one-sided token would leak its
+            # full count — guard both sides explicitly.
+            F.map_zip_with(
+                "ma",
+                "mb",
+                lambda _, a, b: F.when(
+                    a.isNotNull() & b.isNotNull(), F.least(a, b)
+                ).otherwise(F.lit(0)),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    out = out.withColumn("min_sum", min_sum)
     max_sum = F.col("ta") + F.col("tb") - F.col("min_sum")
     return (
         out.filter(F.col("min_sum") * 2 >= max_sum)
