@@ -98,23 +98,24 @@ def duplicated_starts(grams: DataFrame, min_count: int = 2) -> DataFrame:
     reference: a doc that repeats its own boilerplate is deduplicated
     against itself).
 
-    The gram frame feeds BOTH the census and the semi-join probe —
-    Spark has no cross-branch subplan reuse, so without a persist the
-    tokenize+slide+md5 explode runs twice (measured ~30% of the
-    coverage query at sf0.1). Cached here following the
-    ``fingerprint_pairs`` convention: the harness/bench clear the
-    catalog cache between queries. The STREAMING probe path
-    (:func:`incremental_span_coverage`) deliberately does NOT use this
-    helper's cache — a per-micro-batch persist would leak storage for
-    the stream's lifetime."""
-    grams = grams.persist()
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count("*").alias("n"))
+    One pass, one exchange (guide §2.4 — operations keyed the same way
+    share a shuffle): the corpus-wide census and the membership probe
+    are the SAME partitioning by ``g``, so a whole-partition window
+    count replaces the old census-groupBy + semi-join pair. That shape
+    shuffled the gram frame TWICE (once into the census aggregate, once
+    into the probe join) and had to persist it against double
+    evaluation; the window shuffles it once and the persist — and its
+    storage write of every gram row — disappears. Skew posture is
+    unchanged: a hot gram lands in one task either way, and the
+    min_count censuses here are near-unique-key. The STREAMING probe
+    path (:func:`incremental_span_coverage`) keeps its own join shape —
+    its census side is a prebuilt index, not this frame."""
+    w = Window.partitionBy("g")
+    return (
+        grams.withColumn("n", F.count("*").over(w))
         .filter(F.col("n") >= min_count)
-        .select("g")
+        .select("id", "pos")
     )
-    return grams.join(dup, "g", "left_semi").select("id", "pos")
 
 
 def merge_spans(starts: DataFrame, l: int) -> DataFrame:
