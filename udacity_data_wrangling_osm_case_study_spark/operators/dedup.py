@@ -91,45 +91,6 @@ def cap_shingle_df(shingles: DataFrame, max_df: int) -> DataFrame:
     return shingles.join(F.broadcast(hot), "shingle", "left_anti")
 
 
-def explode_shingles(arrays: DataFrame) -> DataFrame:
-    """(id, shingles array) → one (id, shingle) row per shingle — the
-    cheap codegen expansion of :func:`word_shingle_arrays`."""
-    return arrays.select("id", F.explode("shingles").alias("shingle"))
-
-
-def word_shingle_arrays(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    pre_normalized: bool = False,
-) -> DataFrame:
-    """(id, shingles): the distinct word n-gram shingle ARRAY per
-    document — the COMPACT form of :func:`word_shingles`.
-
-    Cache THIS form when a pipeline reuses the shingle frame across
-    branches (guide §5, the ``fingerprint_pairs`` lesson): the heavy
-    work (normalize, tokenize, slide, distinct) is one cached row per
-    document, and each branch re-derives the explode — a codegen
-    generator over cached arrays costs less than writing and re-reading
-    the one-row-per-shingle exploded copy from executor storage.
-    """
-    norm_col = (
-        F.col(text_col) if pre_normalized else normalize_text(F.col(text_col))
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.split(norm_col, " ").alias("toks"),
-    )
-    tokens = F.col("toks")
-    count = F.size(tokens) - (n - 1)
-    starts = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
-    )
-    slides = F.transform(starts, lambda i: F.array_join(F.slice(tokens, i, n), " "))
-    return base.select("id", F.array_distinct(slides).alias("shingles"))
-
-
 def word_shingles(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -154,16 +115,29 @@ def word_shingles(
     to a leading space once but to '' twice), so the flag must only
     assert a fact, never substitute for the first pass.
     """
-    # The token array is materialized in its own projection (inside
-    # word_shingle_arrays) before the higher-order slide: an expression
-    # captured inside a lambda is re-evaluated per array element, so
-    # inlining the split would run the tokenizer once per shingle
-    # position (measured 9.5x slower at sf0.1). A doc shorter than n
-    # tokens has no shingles: the empty-array guard is there too —
-    # sequence(1, 0) would be DESCENDING ([1, 0]), and a slice start of
-    # 0 is a runtime error.
-    out = explode_shingles(
-        word_shingle_arrays(df, id_col, text_col, n, pre_normalized)
+    # Materialize the token array in its OWN projection before the
+    # higher-order slide: an expression captured inside a lambda is
+    # re-evaluated per array element, so inlining the split would run
+    # the tokenizer once per shingle position (measured 9.5x slower at
+    # sf0.1).
+    norm_col = (
+        F.col(text_col) if pre_normalized else normalize_text(F.col(text_col))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(norm_col, " ").alias("toks"),
+    )
+    tokens = F.col("toks")
+    count = F.size(tokens) - (n - 1)
+    # A doc shorter than n tokens has no shingles: guard with an empty
+    # array — sequence(1, 0) would be DESCENDING ([1, 0]), and a slice
+    # start of 0 is a runtime error.
+    starts = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    slides = F.transform(starts, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+    out = base.select(
+        "id", F.explode(F.array_distinct(slides)).alias("shingle")
     )
     if max_shingle_df is not None:
         out = cap_shingle_df(out, max_shingle_df)

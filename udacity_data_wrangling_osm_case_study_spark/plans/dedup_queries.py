@@ -138,11 +138,7 @@ def minhash_lsh_dupes(spark, sf_dir):
     cached: shingles and candidates each feed multiple plan branches,
     and bands feeds both sides of the bucket self-join (differing
     projections defeat ReusedExchange, so uncached the minhash
-    aggregation would run twice). The compact-array cache form
-    (word_shingle_arrays) was A/B-measured here and LOST (3.14 vs
-    2.58 s paired): the minhash aggregation reads the shingle rows
-    once per seed-min, so the exploded cache is the right trade for
-    this query."""
+    aggregation would run twice)."""
     docs = table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs).cache()
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
