@@ -120,11 +120,38 @@ _FUNNEL_ORACLE = f"""
     """
 
 
-def _stage_agg(df, stage: str):
-    return df.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-    ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
+def _stage_flag_agg(marked, stages):
+    """One aggregation pass over a flag-marked frame → the funnel rows:
+    for each (stage, flag) pair, n_docs = Σflag and n_tokens =
+    Σ(n_tokens where flag). Counts coalesce to 0 on an empty stage
+    (matching COUNT(*) of the old per-stage agg branches); token sums
+    stay NULL there (matching SUM over no rows)."""
+    aggs = []
+    for stage, flag in stages:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(flag, 1).otherwise(0)), F.lit(0)
+            ).alias(f"nd_{stage}")
+        )
+        aggs.append(
+            F.sum(F.when(flag, F.col("n_tokens")))
+            .cast("bigint")
+            .alias(f"nt_{stage}")
+        )
+    row = marked.agg(*aggs)
+    out = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(stage).alias("stage"),
+                    F.col(f"nd_{stage}").alias("n_docs"),
+                    F.col(f"nt_{stage}").alias("n_tokens"),
+                )
+                for stage, _ in stages
+            ]
+        )
+    ).alias("s")
+    return row.select(out).select("s.stage", "s.n_docs", "s.n_tokens")
 
 
 @register("corpus_curation_funnel", _FUNNEL_ORACLE)
@@ -146,13 +173,20 @@ def corpus_curation_funnel(spark, sf_dir):
     ).cache()  # feeds the input stage agg, the keeper census, and s2
 
     # 1: exact dedup — keeper = min id per full-content fingerprint.
+    # keepers and drops are cached as TINY id lists; the survivor
+    # frames themselves are never cached or even built (round 13): the
+    # old shape materialized s2 and s3 as two more near-full-corpus
+    # caches and ran SIX separate aggregation branch jobs for the
+    # funnel rows — the flag aggregation below reads the one base
+    # cache once instead (guide §5, §2.3).
     keepers = (
         base.select("doc_id", F.md5("norm").alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .cache()
     )
-    s2 = base.join(keepers, "doc_id", "left_semi").cache()
+    s2 = base.join(keepers, "doc_id", "left_semi")
 
     # 2: MinHash-LSH near-dedup on the survivors — drop the larger id
     # of every verified pair (greedy keep-first, deterministic).
@@ -167,21 +201,52 @@ def corpus_curation_funnel(spark, sf_dir):
     bands = dedup.lsh_bands(sigs, rows_per_band=2).cache()
     cand = dedup.lsh_candidate_pairs(bands).cache()
     verified = dedup.jaccard_pairs(sh, candidates=cand, min_jaccard=0.5)
-    drops = verified.select(F.col("id_b").alias("doc_id")).distinct()
-    s3 = s2.join(drops, "doc_id", "left_anti").cache()
+    drops = verified.select(F.col("id_b").alias("doc_id")).distinct().cache()
 
-    # 3: quality gate (token-count floor), 4: denylist gate, 5: cap.
-    s4 = s3.filter(F.col("n_tokens") >= _MIN_TOKENS)
-    s5 = s4.filter(F.regexp_count(F.col("norm"), F.lit(_DENY_PATTERN)) <= _MAX_DENY)
-    s6 = sampling.per_key_cap(s5, "source", "doc_id", cap=_CAP)
-
-    funnel = (
-        _stage_agg(base, "00_input")
-        .unionByName(_stage_agg(s2, "01_exact_dedup"))
-        .unionByName(_stage_agg(s3, "02_near_dedup"))
-        .unionByName(_stage_agg(s4, "03_quality"))
-        .unionByName(_stage_agg(s5, "04_denylist"))
-        .unionByName(_stage_agg(s6, "05_source_cap"))
+    # 3-5: survival FLAGS per doc (quality floor, denylist, source
+    # cap), all stages in one marked frame. The cap rank replays
+    # sampling.per_key_cap's exact selection order — row_number among
+    # s5 survivors by (md5('cap'||id), id) per source, expressed as a
+    # running count of s5 rows over the same total order (ids are
+    # unique, so the orders coincide row for row).
+    k = keepers.withColumn("_k", F.lit(1))
+    d = drops.withColumn("_d", F.lit(1))
+    f2 = F.col("_k").isNotNull()
+    f3 = f2 & F.col("_d").isNull()
+    f4 = f3 & (F.col("n_tokens") >= _MIN_TOKENS)
+    f5 = f4 & (
+        F.regexp_count(F.col("norm"), F.lit(_DENY_PATTERN)) <= _MAX_DENY
+    )
+    cap_h = F.md5(F.concat(F.lit("cap"), F.col("doc_id").cast("string")))
+    w_cap = (
+        Window.partitionBy("source")
+        .orderBy(cap_h, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = (
+        base.join(k, "doc_id", "left")
+        .join(d, "doc_id", "left")
+        .withColumn("f5", f5)
+        .withColumn("cap_rn", F.sum(F.when(F.col("f5"), 1).otherwise(0)).over(w_cap))
+        .select(
+            "n_tokens",
+            f2.alias("f2"),
+            f3.alias("f3"),
+            f4.alias("f4"),
+            "f5",
+            (F.col("f5") & (F.col("cap_rn") <= _CAP)).alias("f6"),
+        )
+    )
+    funnel = _stage_flag_agg(
+        marked,
+        [
+            ("00_input", F.lit(True)),
+            ("01_exact_dedup", F.col("f2")),
+            ("02_near_dedup", F.col("f3")),
+            ("03_quality", F.col("f4")),
+            ("04_denylist", F.col("f5")),
+            ("05_source_cap", F.col("f6")),
+        ],
     )
     return funnel.orderBy("stage")
 
