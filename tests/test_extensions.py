@@ -1467,6 +1467,31 @@ def test_similarity_pairs_both_physical_paths_agree(docs):
     assert via_inverted  # the fixture corpus has planted dup pairs
 
 
+def test_df_skew_probe_sampled_decision(spark, docs):
+    """The 1/16 instance-sampled df-skew probe (round 13) must keep
+    the decisions the full census made: trip on a hot-key corpus (the
+    adversary instance sampling exists for — a key-coherent sample
+    would miss the one hot shingle 15/16 of the time), stay calm on
+    the low-skew fixture at the default gate, and keep the forced
+    extremes meaningful (ratio 0 trips on ANY non-empty sample, so
+    the both-paths-agree tests above really exercise both paths)."""
+    from pyspark.sql import functions as F
+
+    sh_fixture = dedup.word_shingles(docs)
+    assert dedup._df_skew_probe(sh_fixture, 0) is True
+    assert dedup._df_skew_probe(sh_fixture, 10**9) is False
+
+    # one shingle shared by every doc: df = n, ratio -> n/2 >> 64
+    n = 4096
+    hot = spark.range(n).select(
+        F.col("id"), F.lit("the same hot shingle").alias("shingle")
+    )
+    assert dedup._df_skew_probe(hot, 64) is True
+
+    empty = hot.filter(F.col("id") < 0)
+    assert dedup._df_skew_probe(empty, 0) is False
+
+
 def test_containment_adaptive_both_paths_agree(docs):
     sh = dedup.word_shingles(docs)
     direct = {

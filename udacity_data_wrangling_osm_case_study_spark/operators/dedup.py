@@ -1477,6 +1477,44 @@ def prefix_filter_pairs(
     )
 
 
+def _df_skew_probe(sh: DataFrame, max_df2_ratio: int) -> bool:
+    """The cost-based plan chooser's df-skew decision, from a 1/16
+    DETERMINISTIC instance sample (round 13, guide §1): filter shingle
+    INSTANCES by hash of (id, shingle), census the sample, and
+    un-bias. Instance (not key) sampling is what makes the probe safe
+    against the exact adversary it exists for: a single mega-hot
+    shingle is sampled ~df/16 times (binomial concentration) and its
+    df² term survives proportionally, where a key-coherent 1/16 sample
+    would MISS it outright 15 times in 16.
+
+    Unbiasing: with X_s ~ Binomial(df_s, p), E[ΣX²] = p²·Σdf² +
+    p(1−p)·Σdf and E[ΣX] = p·Σdf, so ŝ2 = (ΣX² − (1−p)·ΣX)/p² and
+    ŝ1 = ΣX/p. ŝ2 ≥ ΣX/p² > 0 for any non-empty sample (ΣX² ≥ ΣX),
+    so the forced-path extremes (ratio 0 / huge) keep their meaning.
+    The probe is a PLAN chooser only — both physical paths are exact,
+    so estimator noise near the threshold can never change a result,
+    only which exact plan computes it. Deterministic: fixed hash, no
+    rand(). An empty sample (tiny corpora) chooses the inverted index,
+    which is optimal there anyway.
+    """
+    p_inv = 16  # sample 1 instance in 16
+    samp = (
+        sh.filter(F.pmod(F.xxhash64("id", "shingle"), F.lit(p_inv)) == 0)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.sum(F.col("df") * F.col("df")).alias("x2"),
+            F.sum("df").alias("x1"),
+        )
+        .first()
+    )
+    if samp.x1 is None:
+        return False
+    s2_hat = (samp.x2 - (p_inv - 1) / p_inv * samp.x1) * p_inv * p_inv
+    s1_hat = samp.x1 * p_inv
+    return s2_hat > max_df2_ratio * s1_hat
+
+
 def similarity_pairs(
     sh: DataFrame,
     threshold_num: int = 1,
@@ -1501,17 +1539,14 @@ def similarity_pairs(
 
     Returns (id_a, id_b, inter, size_a, size_b, jaccard_bp), the
     :func:`prefix_filter_pairs` schema.
+
+    The df census behind the choice runs on a 1/16 deterministic
+    instance sample (:func:`_df_skew_probe`) — the probe was the
+    single most expensive part of the low-skew path (a full
+    corpus-wide census per run, ~1.4 s warm of a 2.7 s query at
+    sf0.1) and its only job is a one-bit plan decision.
     """
-    stats = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .agg(
-            F.sum(F.col("df") * F.col("df")).alias("s2"),
-            F.sum("df").alias("s1"),
-        )
-        .first()
-    )
-    if stats.s2 is not None and stats.s2 > max_df2_ratio * stats.s1:
+    if _df_skew_probe(sh, max_df2_ratio):
         return prefix_filter_pairs(sh, threshold_num, threshold_den)
     scored = jaccard_pairs(sh)
     keep = (threshold_den + threshold_num) * F.col("inter") >= threshold_num * (
@@ -1592,17 +1627,8 @@ def containment_pairs_adaptive(
     (exact recall) when the df distribution says hot shingles would
     make the collision count quadratic. Result-identical either way.
     """
-    stats = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .agg(
-            F.sum(F.col("df") * F.col("df")).alias("s2"),
-            F.sum("df").alias("s1"),
-        )
-        .first()
-    )
     cand = None
-    if stats.s2 is not None and stats.s2 > max_df2_ratio * stats.s1:
+    if _df_skew_probe(sh, max_df2_ratio):
         cand = containment_candidates(sh, threshold_num, threshold_den)
         cand = cand.transform(snap_eager)
     return containment_pairs(sh, threshold_num, threshold_den, candidates=cand)
