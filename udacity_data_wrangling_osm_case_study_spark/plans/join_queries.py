@@ -1323,14 +1323,19 @@ def part_similarity_topk(spark, sf_dir):
 
     from udacity_data_wrangling_osm_case_study_spark.operators import graph
 
-    # No .distinct() before the pair expansion: copurchase_pairs
-    # aggregates each order's items with collect_set, which dedups, so
-    # the distinct was redundant (round 13). Plan-neutral: Catalyst's
-    # RemoveRedundantAggregates already eliminated it below the
-    # duplicate-agnostic collect_set (identical physical plans,
-    # plans/r13/copurchase_edge_build_{before,after}.txt) — removed at
-    # the source so the intent is visible without optimizer knowledge.
-    op = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # The .distinct() is REQUIRED here, unlike the copurchase_pairs
+    # edge builds: this query's co-occurrence is a raw SELF-JOIN of
+    # the (order, part) stream plus a raw per-part COUNT, and neither
+    # is duplicate-agnostic — a part listed twice in one order would
+    # inflate both tot and cab (the oracle's op CTE is SELECT
+    # DISTINCT). The round-13 distinct-removal sweep over-reached to
+    # this site and was caught by the full-registry oracle gate;
+    # restored with this warning.
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     tot = op.groupBy(F.col("l_partkey").alias("p")).agg(F.count("*").alias("c"))
     o1, o2 = op.alias("o1"), op.alias("o2")
     co = (
