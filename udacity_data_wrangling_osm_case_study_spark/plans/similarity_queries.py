@@ -867,11 +867,9 @@ def hard_negative_mining(spark, sf_dir):
     to be informative, far enough to be a true negative. The all-pairs
     problem is blocked by the same deterministic k-means cells
     semantic_dedup uses (candidates per anchor ∝ cell occupancy, never
-    the corpus); top-1 is one ordered window per anchor over cell-local
-    pairs. Basis-point cosines with id tie-breaks keep the mined pairs
-    engine-exact."""
-    from pyspark.sql import Window
-
+    the corpus); top-1 is a map-side-combinable argmax aggregate over
+    cell-local pairs. Basis-point cosines with id tie-breaks keep the
+    mined pairs engine-exact."""
     emb = table(spark, sf_dir, "embeddings")
     v = similarity.as_double_vec(F.col("embedding"))
     base = emb.select(F.col("vec_id").alias("id"), v.alias("v"))
@@ -891,13 +889,24 @@ def hard_negative_mining(spark, sf_dir):
         .select("anchor_id", "negative_id", bp.alias("cosine_bp"))
         .filter(F.col("cosine_bp") < 4000)
     )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cosine_bp"), "negative_id"
-    )
+    # Top-1 as an argmax AGGREGATE, not a window (round 13, guide
+    # §2.3): row_number shuffled and sorted the ENTIRE cell-local pair
+    # stream by anchor, while max(struct) partial-aggregates to one
+    # row per anchor per map task before the exchange — the shuffle
+    # carries anchors, not pairs. Ordering contract preserved exactly:
+    # max of (cosine_bp, -negative_id) == first row under
+    # (desc cosine_bp, asc negative_id).
+    best = F.max(
+        F.struct(F.col("cosine_bp"), (-F.col("negative_id")).alias("nid"))
+    ).alias("m")
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("anchor_id", "negative_id", "cosine_bp")
+        pairs.groupBy("anchor_id")
+        .agg(best)
+        .select(
+            "anchor_id",
+            (-F.col("m.nid")).alias("negative_id"),
+            F.col("m.cosine_bp").alias("cosine_bp"),
+        )
         .orderBy("anchor_id")
     )
 
