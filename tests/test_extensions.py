@@ -1099,6 +1099,39 @@ def test_sq_encode_random_roundtrip_property(spark):
     assert all(seen0) and all(seen255)
 
 
+def test_pagerank_duplicate_edges_and_self_loops_deduped(spark):
+    """The round-13 adjacency fold moved pagerank's dedup from a
+    pair-level .distinct() into the collect_set adjacency build; this
+    pins the property that fold relies on: duplicate input edges (the
+    same pair from several groups), reversed duplicates, and self
+    loops must not change outdeg or any rank."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    clean = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    noisy = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (2, 3), (3, 2), (2, 2), (1, 1)],
+        ["src", "dst"],
+    )
+    r_clean = sorted(graph.pagerank(clean, n_iter=3).collect())
+    r_noisy = sorted(graph.pagerank(noisy, n_iter=3).collect())
+    assert r_clean == r_noisy
+
+
+def test_random_walks_duplicate_edges_deduped(spark):
+    """part_random_walk_pairs dropped its caller-side pair
+    .distinct() in round 13 because random_walks' collect_set
+    adjacency dedups; pin that duplicated input edges leave every
+    walk (and the walker count) unchanged."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)]
+    clean = spark.createDataFrame(edges, ["src", "dst"])
+    noisy = spark.createDataFrame(edges + edges + [(1, 2)], ["src", "dst"])
+    a = sorted(graph.random_walks(clean, n_steps=3).collect())
+    b = sorted(graph.random_walks(noisy, n_steps=3).collect())
+    assert a == b
+
+
 def test_pagerank_random_graph_invariants(spark):
     """Randomized invariants (fixed seed): rank mass is conserved up
     to integer-floor leakage; every vertex keeps at least the base

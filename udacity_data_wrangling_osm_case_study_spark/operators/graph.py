@@ -447,15 +447,17 @@ def pagerank(
     bit-identical in any engine: no float summation order, no libm.
     The standard float formulation differs only by sub-micro rounding.
 
-    Plan shape per iteration: the src-partitioned edge checkpoint
-    joins the (vertex, rank) frame — only the vertex side moves — and
-    one groupBy(dst) with map-side combine: the classic Pregel
-    superstep as two relational ops. ``n_iter`` is small and fixed
-    (ranks stabilize geometrically; 3-5 suffices for ordering), so the
-    lineage stays shallow — for long chains, localCheckpoint per round
-    like ``dedup.connected_components``.
+    Plan shape per iteration: the src-partitioned ADJACENCY checkpoint
+    (one sorted out-neighbor array per vertex — built with a single
+    edge-sized exchange, see the layout comment below) joins the
+    (vertex, rank) frame — only the vertex side moves — then a
+    row-local explode and one groupBy(dst) with map-side combine: the
+    classic Pregel superstep as two relational ops. ``n_iter`` is
+    small and fixed (ranks stabilize geometrically; 3-5 suffices for
+    ordering), so the lineage stays shallow — for long chains,
+    localCheckpoint per round like ``dedup.connected_components``.
 
-    Storage lifecycle: the edge frame is localCheckpoint(eager=False)ed
+    Storage lifecycle: the adjacency is localCheckpoint(eager=False)ed
     — no Spark job runs at call time; the MEMORY_AND_DISK blocks
     materialize at the caller's first action and live as long as the
     returned frame's lineage is reachable. Dereference the result (or
@@ -465,25 +467,35 @@ def pagerank(
 
     Returns (v, rank_micro).
     """
-    und = (
+    sym = symmetrize(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    sym = symmetrize(
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
-    # Pregel layout, materialized ONCE: the BIG edge frame is hash-
-    # partitioned by src and checkpointed as a plan leaf — the stored
-    # blocks carry hashpartitioning(src) (LogicalRDD preserves
-    # outputPartitioning), so no superstep ever re-exchanges the edge
-    # side; each superstep shuffles only the vertex-sized rank frame
-    # into it (shuffle-hash hint — a broadcast would be rebuilt per
-    # superstep and stops being valid once the vertex set outgrows the
-    # driver). The checkpoint also collapses the edge-build subtree,
-    # which would otherwise appear n_iter+2 times in the plan and be
+    # Pregel layout, materialized ONCE, as ADJACENCY ARRAYS (round 13,
+    # guide §2.4): the raw symmetric pair stream (duplicates intact —
+    # an edge seen in several groups) hash-partitions by src ONCE and
+    # the co-partitioned collect_set both DEDUPS and packs each
+    # vertex's out-neighbors into one sorted array. The previous shape
+    # paid TWO edge-sized exchanges (a pair-level .distinct() and the
+    # src repartition of the deduped doubled stream) to reach the same
+    # layout; symmetrize-then-dedup ships ~2·raw pair rows through one
+    # exchange instead of raw + 2·dedup through two, and the
+    # checkpoint stores vertex-count array rows instead of edge-count
+    # pair rows. The traded-away map-side combine of the old distinct
+    # bought little (cross-group duplicate pairs are rare in
+    # co-occurrence graphs — the same call label_propagation's tail
+    # made); sort_array pins the array order so the frame is
+    # deterministic under retries. The stored blocks carry
+    # hashpartitioning(src) (LogicalRDD preserves outputPartitioning),
+    # so no superstep ever re-exchanges the adjacency side; each
+    # superstep shuffles only the vertex-sized rank frame into it
+    # (shuffle-hash hint — a broadcast would be rebuilt per superstep
+    # and stops being valid once the vertex set outgrows the driver).
+    # The checkpoint also collapses the edge-build subtree, which
+    # would otherwise appear n_iter+2 times in the plan and be
     # re-analyzed on every Dataset creation (classic-mode PySpark) —
     # same rationale as dedup.connected_components' per-round
     # checkpoint. Default partition count is defaultParallelism/4:
@@ -496,21 +508,26 @@ def pagerank(
     # eager=False: defer block materialization to the caller's first
     # action (no hidden job at call time); blocks are reclaimed by the
     # ContextCleaner once the returned lineage is unreachable.
-    sym = sym.repartition(parts, "src").transform(snap)
-    outdeg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    adj = (
+        sym.repartition(parts, "src")
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nb"))
+        .transform(snap)
+    )
+    outdeg = adj.select("src", F.size("nb").cast("long").alias("outdeg"))
     base = F.lit((100 - damping_pct) * 10_000).cast("long")
     # Carry outdeg INSIDE the rank frame: each superstep then needs one
-    # edge-sized join (edges ⋈ ranks) + one map-side-combinable groupBy
-    # + one vertex-sized join to re-attach degrees — instead of two
-    # edge-sized joins. The vertex frame is orders of magnitude smaller
-    # than the edge list on any real graph.
+    # vertex-sized join (adjacency ⋈ ranks) + a row-local explode + one
+    # map-side-combinable groupBy + one vertex-sized join to re-attach
+    # degrees — instead of two edge-sized joins. The vertex frame is
+    # orders of magnitude smaller than the edge list on any real graph.
     ranks = outdeg.select(
         F.col("src").alias("v"), "outdeg", F.lit(1_000_000).cast("long").alias("r")
     )
     for _ in range(n_iter):
-        contrib = sym.join(
+        contrib = adj.join(
             ranks.withColumnRenamed("v", "src").hint("shuffle_hash"), "src"
-        ).select("dst", F.expr("r DIV outdeg").alias("c"))
+        ).select(F.explode("nb").alias("dst"), F.expr("r DIV outdeg").alias("c"))
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = sums.join(
             outdeg.withColumnRenamed("src", "dst"), "dst"
@@ -721,10 +738,22 @@ def random_walks(
 
     _snapshot = snapshotter(spark, reliable_checkpoint_dir)
 
+    # repartition BEFORE the groupBy (round 13, guide §2.4): the
+    # src-hash exchange of the raw pair stream is the one exchange the
+    # aggregation needs — co-partitioned, collect_set then builds (and
+    # DEDUPS) the arrays with no further movement. The previous shape
+    # aggregated at the session partition count and then re-exchanged
+    # the finished adjacency rows (vertex-count rows, but edge-count
+    # PAYLOAD — the arrays carry every edge) to ``parts``: two
+    # edge-payload exchanges where one suffices. The traded-away
+    # map-side combine bought little (duplicate (src, dst) pairs are
+    # rare in co-occurrence graphs — same call as pagerank's layout),
+    # and because collect_set dedups here, callers need not (and
+    # should not) pre-distinct the pair stream.
     adj = _snapshot(
-        edges.groupBy("src")
+        edges.repartition(parts, "src")
+        .groupBy("src")
         .agg(F.sort_array(F.collect_set("dst")).alias("nb"))
-        .repartition(parts, "src")
     )
     walk = adj.select(F.col("src").alias("anchor"), F.col("src").alias("cur"))
     outs = []

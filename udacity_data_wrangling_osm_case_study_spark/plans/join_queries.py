@@ -1854,13 +1854,19 @@ def part_random_walk_pairs(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     und = graph.copurchase_pairs(li, "l_orderkey", "l_partkey").select(
         "src", "dst"
-    ).distinct()
-    # No .distinct() after symmetrize: ``und`` is distinct with
-    # src < dst, and symmetrize emits each direction exactly once
-    # row-locally, so the output is already duplicate-free — the
-    # explicit distinct re-shuffled the full doubled edge list for the
-    # same rows (round 13; guide §2.4: 3 Exchange → 2, 4 HashAggregate
-    # → 2, plans/r13/randomwalk_sym_edges_{before,after}.txt).
+    )
+    # No pair-level .distinct() anywhere (round 13, guide §2.4, two
+    # steps): first the post-symmetrize distinct went (``und`` was
+    # distinct with src < dst and symmetrize emits each direction
+    # exactly once row-locally — 3 Exchange → 2,
+    # plans/r13/randomwalk_sym_edges_{before,after}.txt); then the
+    # PRE-symmetrize distinct too, because random_walks' adjacency
+    # build ends in collect_set, which dedups — unlike
+    # part_similarity_topk, no raw-count consumer touches the pair
+    # stream, so dedup-by-collect_set is exact (oracle re-proven at
+    # sf0.001/0.01/0.1). With the operator's repartition-before-groupBy
+    # fold the whole edge path now pays ONE edge-sized exchange
+    # (plans/r13/randomwalk_sym_edges_after2.txt).
     sym = graph.symmetrize(und)
     return graph.random_walks(sym, n_steps=3, salt="walk").orderBy(
         "anchor", "step"

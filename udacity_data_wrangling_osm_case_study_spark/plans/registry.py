@@ -111,6 +111,16 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # shingle stage via pre_normalized=True; raw text dropped from the
     # stage caches).
     "corpus_curation_funnel",
+    # Round-13 OPTIMIZATION, second pass: pagerank's edge build folded
+    # into a single-exchange collect_set adjacency (pair distinct +
+    # src repartition → one co-partitioned aggregation; supersteps now
+    # join the vertex-sized adjacency and explode row-locally), and
+    # random_walks' adjacency build repartitions BEFORE its groupBy
+    # (plus the caller's now-redundant pair distinct removed — the
+    # collect_set dedups). Results oracle-proven identical at
+    # sf0.001/0.01/0.1 before shipping; part_random_walk_pairs is
+    # already hoisted above.
+    "part_pagerank",
 )
 
 # The hoist list is an honest record of verification priority; a name
