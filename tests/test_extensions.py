@@ -1500,6 +1500,35 @@ def test_similarity_pairs_both_physical_paths_agree(docs):
     assert via_inverted  # the fixture corpus has planted dup pairs
 
 
+def test_jaccard_pairs_candidate_docvec_matches_full(docs):
+    """The round-13 docvec rewrite of jaccard_pairs' candidates path
+    must reproduce the token-level inverted-index path exactly: with
+    the candidate set equal to ALL co-shingled pairs, the verify-only
+    path and the full path must return the same rows — including the
+    implicit inter >= 1 behavior (pairs sharing no shingle never
+    appear) and the float jaccard rounding."""
+    sh = dedup.word_shingles(docs)
+    full = dedup.jaccard_pairs(sh)
+    all_pairs = full.select("id_a", "id_b")
+    via_docvec = {
+        tuple(r) for r in dedup.jaccard_pairs(sh, candidates=all_pairs).collect()
+    }
+    via_full = {tuple(r) for r in full.collect()}
+    assert via_docvec == via_full
+    assert via_full  # the fixture corpus has planted dup pairs
+    # a candidate pair with NO shared shingle must stay absent
+    import pyspark.sql.functions as F
+
+    ids = sorted(r.id for r in sh.select("id").distinct().collect())[:2]
+    fake = all_pairs.sparkSession.createDataFrame(
+        [(ids[0], ids[1])], ["id_a", "id_b"]
+    )
+    disjoint = fake.join(all_pairs, ["id_a", "id_b"], "left_anti")
+    got = dedup.jaccard_pairs(sh, candidates=disjoint).collect()
+    if disjoint.count():  # only meaningful when the pair is truly disjoint
+        assert got == []
+
+
 def test_df_skew_probe_sampled_decision(spark, docs):
     """The 1/16 instance-sampled df-skew probe (round 13) must keep
     the decisions the full census made: trip on a hot-key corpus (the

@@ -260,8 +260,12 @@ def jaccard_pairs(
     (id_a, id_b, inter, size_a, size_b, jaccard). If ``candidates`` is
     given, only those pairs are scored (the LSH-verify path); otherwise
     all co-shingled pairs are scored (small corpora / audits).
+
+    ``candidates`` contract: DISTINCT canonical pairs (id_a < id_b) —
+    what every in-module producer (:func:`lsh_candidate_pairs`,
+    :func:`containment_candidates`) emits; a duplicated candidate row
+    would duplicate its output row on the docvec path below.
     """
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     # Join on a 60-bit hash of the shingle, not the string: the
     # inverted-index shuffle carries 8-byte keys instead of ~20-char
     # strings and the probe compares longs (measured 1.5x on the pair
@@ -269,26 +273,77 @@ def jaccard_pairs(
     # engine — the oracle hashes the same way — and cannot create a
     # pair on their own, only nudge an intersection count.
     hashed = shingles.select("id", shingle_hash().alias("g"))
+    if candidates is not None:
+        # Verify-only-candidates, DOCVEC form (round 13, guide §2.3 —
+        # the merge-verify shape already proven in prefix_filter_pairs
+        # and weighted_jaccard_pairs): candidate docs are NEAR-DUPS of
+        # each other, so the old token-level inverted-index join over
+        # them was its own worst case — every shared shingle of every
+        # co-shingled candidate-doc pair (including non-candidate
+        # pairs, discarded only after the groupBy) entered the g-keyed
+        # shuffle. Instead: one token→hash array row per candidate doc
+        # (semi-join BEFORE the aggregation, so the pass scales with
+        # the candidate set, not the corpus — the LSH point at
+        # 100 TB), two doc-keyed joins from the pair frame, and the
+        # intersection as a row-local array_intersect: verify cost is
+        # O(|pairs|·avg_set) compute with no token-level shuffle.
+        # Measured (isolated, warm inputs, interleaved ×6 at sf0.1):
+        # 2.03 → 1.05 s. ``inter >= 1`` mirrors the old path exactly —
+        # it only ever emitted co-shingled pairs; docvecs is cached
+        # because both pair-join sides reference it (the
+        # weighted_jaccard_pairs lesson: uncached, the semi-join +
+        # collect_list subtree runs twice).
+        cand_ids = pair_endpoints(candidates)
+        docvecs = (
+            hashed.join(cand_ids, "id", "left_semi")
+            .groupBy("id")
+            .agg(F.collect_list("g").alias("v"), F.count("*").alias("sz"))
+            .cache()
+        )
+        scored = (
+            candidates.select("id_a", "id_b")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(
+                docvecs.select(
+                    F.col("id").alias("id_a"),
+                    F.col("v").alias("va"),
+                    F.col("sz").alias("size_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                docvecs.select(
+                    F.col("id").alias("id_b"),
+                    F.col("v").alias("vb"),
+                    F.col("sz").alias("size_b"),
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "inter", F.size(F.array_intersect("va", "vb")).cast("long")
+            )
+            .filter(F.col("inter") >= 1)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter")
+                    / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                    6,
+                ),
+            )
+        )
+        return scored.filter(F.col("jaccard") >= min_jaccard).select(
+            "id_a", "id_b", "inter", "size_a", "size_b", "jaccard"
+        )
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     a = hashed.select(F.col("id").alias("id_a"), "g")
     b = hashed.select(F.col("id").alias("id_b"), "g")
-    if candidates is not None:
-        # Verify-only-candidates: restrict the inverted-index join to
-        # docs that appear in some candidate pair BEFORE the join — the
-        # verification cost scales with the candidate set, not the
-        # corpus (the LSH point at 100 TB).
-        cand_ids = pair_endpoints(candidates)
-        a = a.join(cand_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
-        b = b.join(cand_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
     inter = (
         a.join(b, "g")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    if candidates is not None:
-        # …and keep only the true candidate pairs (candidate docs can
-        # co-shingle with each other without being a candidate pair).
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     # sizes is one row per doc — always broadcast-sized relative to the
     # pair frame (docs ≪ pairs); hint it so neither join shuffles inter.
     scored = (
