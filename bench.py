@@ -611,6 +611,14 @@ def main() -> None:
     queries, _ = registry.load_all()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Print the parallelism the run ACTUALLY used (VERDICT r13 item 2):
+    # the r13 driver's scaling check read ≈1 ratios on iterative
+    # queries and flagged suspect_cpus_ignored because the JSON line
+    # carried no evidence of the core count; session.py honors
+    # $SPARK_GRAFT_CPUS (master local[N]), and printing the resolved
+    # master lets the check verify instead of suspect.
+    bench_master = spark.conf.get("spark.master", "unknown")
+    bench_cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     # Warm the JVM/session so per-query numbers measure the queries.
     queries["table_counts"](spark, sf_dir).collect()
@@ -753,6 +761,8 @@ def main() -> None:
         "queries": slowest,
         "queries_file": queries_file,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(bench_cpus) if bench_cpus.isdigit() else bench_cpus,
+        "master": bench_master,
     }
     if osm_etl_sec is not None:
         out["osm_etl_shatin_sec"] = osm_etl_sec
@@ -764,7 +774,8 @@ def main() -> None:
                      queries_file),
         "w",
     ) as f:
-        json.dump({"sf": out["sf"], "total_sec": total,
+        json.dump({"sf": out["sf"], "cpus": out["cpus"],
+                   "master": bench_master, "total_sec": total,
                    "total_sec_normalized": total_normalized,
                    "host_speed_factor": host_speed_factor,
                    "host_factor_info": factor_info,

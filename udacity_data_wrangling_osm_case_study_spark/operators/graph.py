@@ -391,9 +391,16 @@ def bfs_hops(
     against the visited set keeps newly discovered vertices only, which
     is what makes hop = MIN distance by construction: a vertex joins the
     visited set at the first superstep that reaches it and is never
-    relabeled. Frontier and visited frames are checkpointed per step so
-    the k supersteps never recompute the prefix (registry scan-budget
-    enforced). Multi-source runs share every edge pass across all seeds
+    relabeled. Only the per-step FRONTIER is checkpointed (round 14,
+    guide §5): the visited set is a plain union of the checkpointed
+    frontier leaves — row-identical to snapshotting it, but the old
+    shape re-materialized the whole ACCUMULATED set every step (O(k²)
+    snapshot rows over k hops, and in reliable mode O(k²) rows written
+    to shared storage) where the union form stores each frontier
+    exactly once (O(k) total). Unions are plan-only (no shuffle), the
+    anti-join reads the same rows either way, and the k supersteps
+    still never recompute the prefix (registry scan-budget enforced).
+    Multi-source runs share every edge pass across all seeds
     — one join per hop regardless of seed count. Same executor-loss
     caveat as ``random_walks``'s local checkpoints.
     """
@@ -405,10 +412,12 @@ def bfs_hops(
         .repartition(parts, "src")
         .transform(snap)
     )
-    visited = seeds.select(
+    v0 = seeds.select(
         "seed", F.col("seed").alias("v"), F.lit(0).cast("int").alias("hop")
     ).transform(snap)
-    frontier = visited.select("seed", "v")
+    frontier = v0.select("seed", "v")
+    visited_kv = frontier
+    hop_frames = [v0]
     for step in range(1, n_hops + 1):
         cand = (
             frontier.withColumnRenamed("v", "src")
@@ -418,13 +427,17 @@ def bfs_hops(
             .distinct()
         )
         frontier = cand.join(
-            visited.select("seed", "v"), ["seed", "v"], "left_anti"
+            visited_kv, ["seed", "v"], "left_anti"
         ).transform(snap)
-        visited = visited.unionAll(
+        visited_kv = visited_kv.unionAll(frontier)
+        hop_frames.append(
             frontier.select(
                 "seed", "v", F.lit(step).cast("int").alias("hop")
             )
-        ).transform(snap)
+        )
+    visited = hop_frames[0]
+    for fr in hop_frames[1:]:
+        visited = visited.unionAll(fr)
     return visited
 
 

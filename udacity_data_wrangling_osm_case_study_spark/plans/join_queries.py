@@ -898,7 +898,18 @@ def part_bfs_hops(spark, sf_dir):
         .filter(F.col("shared") >= 2)
         .select("src", "dst")
     )
-    sym = graph.symmetrize(e2)
+    from udacity_data_wrangling_osm_case_study_spark.operators.iterative import (
+        snap_lazy,
+    )
+
+    # ONE lazy snapshot of the symmetric edge frame shared by the seeds
+    # derivation AND the BFS operator (round 14, guide §2.4/§5): both
+    # consumers previously re-derived the whole co-purchase edge build
+    # — and because the operator checkpoints its copy, the two subtrees
+    # ran in SEPARATE query executions where AQE exchange reuse cannot
+    # fire, so the ~2.4 s build executed twice. Interleaved A/B at
+    # sf0.1: 4.7-6.0 s → 3.1-4.1 s, every pair ordered.
+    sym = snap_lazy(graph.symmetrize(e2))
     seeds = (
         sym.select("src")
         .distinct()
@@ -2141,7 +2152,18 @@ def part_price_smoothing(spark, sf_dir):
         .filter(F.col("shared") >= 2)
         .select("src", "dst")
     )
-    sym = graph.symmetrize(e2)
+    from udacity_data_wrangling_osm_case_study_spark.operators.iterative import (
+        snap_lazy,
+    )
+
+    # ONE lazy snapshot of the symmetric edge frame shared by the
+    # vertex derivation (inside h0's checkpoint) AND the propagation
+    # operator (round 14, guide §2.4/§5): h0 and the operator's edge
+    # frame checkpoint separately, so each used to re-run the whole
+    # co-purchase edge build in its own query execution (no AQE
+    # exchange reuse across executions). Interleaved A/B at sf0.1:
+    # 4.3-7.6 s → 3.0-4.5 s, every pair ordered.
+    sym = snap_lazy(graph.symmetrize(e2))
     verts = sym.select("dst").distinct()
     # h0 feeds BOTH the propagation loop and the final shift join — one
     # lazy checkpoint so the second consumer reads the same blocks
@@ -2242,7 +2264,18 @@ def part_cheapest_path(spark, sf_dir):
         .filter(F.col("shared") >= 2)
         .select("src", "dst", F.expr("1000 DIV shared").alias("w"))
     )
-    sym = graph.symmetrize(pp)
+    from udacity_data_wrangling_osm_case_study_spark.operators.iterative import (
+        snap_lazy,
+    )
+
+    # ONE lazy snapshot of the symmetric weighted edge frame shared by
+    # the seeds derivation AND the Bellman-Ford operator (round 14,
+    # guide §2.4/§5): the operator checkpoints its copy, so without the
+    # shared snapshot the two subtrees run in separate query executions
+    # (no AQE exchange reuse) and the co-purchase edge build executes
+    # twice. Interleaved A/B at sf0.1: 4.8-10.5 s → 2.6-4.2 s, every
+    # pair ordered.
+    sym = snap_lazy(graph.symmetrize(pp))
     seeds = (
         sym.select("src")
         .distinct()
