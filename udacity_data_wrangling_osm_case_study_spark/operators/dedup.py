@@ -948,10 +948,20 @@ def connected_components(
         .distinct()
         .transform(snap_round)
     )
+    # Fused first hop (round 14): initialize comp(id) = min(id, min
+    # neighbor) instead of comp(id) = id. The identity init spent the
+    # whole first loop round (join + groupBy + doubling join + count
+    # job) computing exactly this one-hop minimum; folding it into the
+    # init's aggregation replaces the old vertex-distinct (same
+    # exchange, groupBy(id_a) instead of distinct) and saves one full
+    # round on every input. Measured at sf0.1 (leakage pair graph):
+    # rounds 2 → 1, driver jobs 30 → 21, 2.9-5.7 s → 2.6-3.0 s with
+    # every interleaved pair ordered; labels bit-identical. The
+    # invariant comp(id) <= id still holds from the first snapshot.
     labels = (
-        sym.select(F.col("id_a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        sym.groupBy("id_a")
+        .agg(F.least(F.min("id_b"), F.col("id_a")).alias("comp"))
+        .withColumnRenamed("id_a", "id")
         .transform(snap_round)
     )
     for _ in range(max_iter):
