@@ -1932,6 +1932,30 @@ def test_clustering_coefficient_hand_graph(spark):
     assert got2 == {2: (2, 0, 0)}
 
 
+def test_clustering_coefficient_assume_canonical_matches_default(spark):
+    """assume_canonical=True on an already-canonical frame (src < dst,
+    unique, no self-loops) must be row-identical to the default path —
+    the opt-in only skips the normalize+distinct re-shuffle. The frame
+    mixes triangles, a bridge, and a pendant so degrees, triangle
+    counts and the deg>=2 filter are all exercised."""
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    canonical = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6), (6, 7)],
+        ["src", "dst"],
+    )
+    default = {
+        tuple(r) for r in graph.clustering_coefficient(canonical).collect()
+    }
+    fast = {
+        tuple(r)
+        for r in graph.clustering_coefficient(
+            canonical, assume_canonical=True
+        ).collect()
+    }
+    assert default == fast and len(default) == 6
+
+
 def test_label_propagation_two_triangles(spark):
     """Two triangles {1,2,3} and {4,5,6} bridged by 3-4: after 3
     deterministic supersteps (mode of neighbor labels, ties -> min)

@@ -166,7 +166,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 
 def _edge_triangles(
-    edges: DataFrame, parts: int | None = None
+    edges: DataFrame,
+    parts: int | None = None,
+    assume_canonical: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared compact-forward enumeration: returns (tri_edges, deg)
     where ``tri_edges`` has one row per oriented edge (u, w) that
@@ -184,7 +186,19 @@ def _edge_triangles(
     session count: they carry map-side combiners over the RAW input
     stream, and an explicit repartition in front of them would ship
     the un-combined stream across the wire. ``None`` preserves the
-    pre-round-13 plan exactly (``triangle_count`` path)."""
+    pre-round-13 plan exactly (``triangle_count`` path).
+
+    ``assume_canonical`` (round 14, opt-in, guide §2.4): the caller
+    asserts ``edges`` is ALREADY one row per undirected edge with
+    src < dst, no self-loops, no duplicates — e.g. the output of a
+    ``groupBy(src, dst)`` over a src<dst pair stream. The normalize +
+    ``distinct`` below is then a provably empty re-shuffle of the edge
+    frame and is skipped (measured at sf0.1 on the 3.6k-edge support
+    graph: 2.6-10.2 s → 1.9-5.1 s for clustering_coefficient, every
+    interleaved pair ordered). Default False: the generic contract
+    (any order, dups/self-loops tolerated) is unchanged, and a caller
+    opting in with a non-canonical frame gets WRONG degrees — only set
+    it where canonicality is structural, never heuristically."""
     # Cache the three multiply-referenced frames: without this the DAG
     # nests multiplicatively — deg embeds und twice, the orientation
     # join embeds und and deg (so und three more times), and the wedge
@@ -194,14 +208,20 @@ def _edge_triangles(
     # co-purchase census. The caches collapse it to one build of each
     # frame; the harness/bench clear the catalog cache between queries
     # (the fingerprint_pairs convention).
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    if assume_canonical:
+        und = edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).cache()
+    else:
+        und = (
+            edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .cache()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .cache()
-    )
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -248,7 +268,9 @@ def _edge_triangles(
 
 
 def clustering_coefficient(
-    edges: DataFrame, edge_partitions: int | None = None
+    edges: DataFrame,
+    edge_partitions: int | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-vertex local clustering coefficient — how tightly each
     vertex's neighborhood is interlinked (Watts & Strogatz 1998):
@@ -272,6 +294,11 @@ def clustering_coefficient(
     (126+) the extra task launches cost 10-20% (NOTES_r12 §6). Pass
     ``edge_partitions`` for graphs whose edge count warrants more.
 
+    ``assume_canonical``: opt-in assertion that ``edges`` is already
+    one row per undirected edge with src < dst, no self-loops, no
+    duplicates — skips the normalize + distinct re-shuffle (contract
+    and hazard documented on :func:`_edge_triangles`).
+
     Returns (v, deg, n_tri, cc_pm) for vertices with deg >= 2 (cc is
     undefined below that).
 
@@ -279,7 +306,7 @@ def clustering_coefficient(
     contract — clearCache between queries in long-lived sessions).
     """
     parts = _edge_partition_count(edges.sparkSession, edge_partitions)
-    tri_edges, deg = _edge_triangles(edges, parts)
+    tri_edges, deg = _edge_triangles(edges, parts, assume_canonical)
     # tri_edges feeds three corner legs — cache so the wedge join runs
     # once (same rationale as the _edge_triangles internals).
     tri_edges = tri_edges.cache()
