@@ -352,11 +352,19 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
     Returns (seed, n_reach).
 
     Plan shape: the frontier expands by one edge join + distinct per
-    hop (the Pregel superstep as a relational op); the visited set
-    accumulates by union + distinct. ``k`` is small and fixed so the
-    lineage stays shallow. Frontier frames carry (seed, v) pairs, so
-    multi-source BFS shares each edge scan across all seeds — one pass
-    per hop regardless of seed count, never one traversal per seed.
+    hop (the Pregel superstep as a relational op — the per-hop
+    distinct is what bounds frontier growth); the visited set
+    accumulates as a PLAIN union, deduplicated once inside the final
+    per-seed aggregation (count(DISTINCT v)). PLAN-NEUTRAL source
+    clarity (round 14, recorded honestly): Catalyst already compiled
+    the old per-hop union+distinct chain and final count to this exact
+    physical plan (node-for-node identical dumps; ABBA-ordered A/B at
+    sf0.1 neutral within noise) — the source now states the single
+    dedup directly instead of relying on the rewrite. ``k`` is
+    small and fixed so the lineage stays shallow. Frontier frames
+    carry (seed, v) pairs, so multi-source BFS shares each edge scan
+    across all seeds — one pass per hop regardless of seed count,
+    never one traversal per seed.
 
     Caches the symmetric edge frame and does not unpersist (module
     cache contract — clearCache between queries in long-lived
@@ -385,11 +393,11 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, k: int = 2) -> DataFrame:
             .select("seed", F.col("dst").alias("v"))
             .distinct()
         )
-        visited = visited.unionAll(frontier).distinct()
+        visited = visited.unionAll(frontier)
     return (
         visited.filter(F.col("seed") != F.col("v"))
         .groupBy("seed")
-        .agg(F.count("*").cast("bigint").alias("n_reach"))
+        .agg(F.countDistinct("v").cast("bigint").alias("n_reach"))
     )
 
 
