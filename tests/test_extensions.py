@@ -1117,6 +1117,42 @@ def test_pagerank_duplicate_edges_and_self_loops_deduped(spark):
     assert r_clean == r_noisy
 
 
+def test_pagerank_supernode_adjacency_bounded(spark):
+    """VERDICT r13 item 4: the round-13 adjacency fold packs a vertex's
+    whole out-neighborhood into one collect_set array row, so a
+    power-law hub's row is degree-sized on a single task. Prove the
+    bound acceptable with a synthetic 10⁵-degree supernode: the star
+    graph must complete under ordinary task memory and produce exact
+    integer ranks matching the closed form (after symmetrization the
+    hub has outdeg d, each leaf outdeg 1; the integer recurrence is
+    replayed below). Any OOM/failure here means the array layout broke
+    the memory bound."""
+    from pyspark.sql import functions as F
+
+    from udacity_data_wrangling_osm_case_study_spark.operators import graph
+
+    d = 100_000
+    hub = 0
+    leaves = spark.range(1, d + 1).select(
+        F.lit(hub).alias("src"), F.col("id").alias("dst")
+    )
+    ranks = {
+        r.v: r.rank_micro
+        for r in graph.pagerank(leaves, n_iter=2).collect()
+    }
+    assert len(ranks) == d + 1
+    # Closed form for the symmetrized star after 2 iterations (hub
+    # outdeg d, leaf outdeg 1; integer arithmetic replayed exactly):
+    # r'(leaf) = 150000 + 85 * (r(hub) DIV d) DIV 100
+    # r'(hub)  = 150000 + 85 * (d * (r(leaf) DIV 1)) DIV 100
+    leaf_r1 = 150_000 + 85 * (1_000_000 // d) // 100
+    hub_r1 = 150_000 + 85 * (d * 1_000_000) // 100
+    leaf_r2 = 150_000 + 85 * (hub_r1 // d) // 100
+    hub_r2 = 150_000 + 85 * (d * leaf_r1) // 100
+    assert ranks[hub] == hub_r2
+    assert ranks[1] == leaf_r2 and ranks[d] == leaf_r2
+
+
 def test_random_walks_duplicate_edges_deduped(spark):
     """part_random_walk_pairs dropped its caller-side pair
     .distinct() in round 13 because random_walks' collect_set
@@ -1516,17 +1552,21 @@ def test_jaccard_pairs_candidate_docvec_matches_full(docs):
     via_full = {tuple(r) for r in full.collect()}
     assert via_docvec == via_full
     assert via_full  # the fixture corpus has planted dup pairs
-    # a candidate pair with NO shared shingle must stay absent
-    import pyspark.sql.functions as F
-
-    ids = sorted(r.id for r in sh.select("id").distinct().collect())[:2]
-    fake = all_pairs.sparkSession.createDataFrame(
-        [(ids[0], ids[1])], ["id_a", "id_b"]
+    # a candidate pair with NO shared shingle must stay absent — built
+    # from two synthetic docs whose shingle sets are disjoint BY
+    # CONSTRUCTION (ADVICE r13: the old first-two-real-docs pair was
+    # guarded by `if disjoint.count()`, so the negative branch silently
+    # never ran when those docs happened to co-shingle)
+    spark_ = sh.sparkSession
+    synth_sh = spark_.createDataFrame(
+        [(900001, "alpha only shingle"), (900002, "beta only shingle")],
+        ["id", "shingle"],
     )
-    disjoint = fake.join(all_pairs, ["id_a", "id_b"], "left_anti")
-    got = dedup.jaccard_pairs(sh, candidates=disjoint).collect()
-    if disjoint.count():  # only meaningful when the pair is truly disjoint
-        assert got == []
+    disjoint = spark_.createDataFrame([(900001, 900002)], ["id_a", "id_b"])
+    got = dedup.jaccard_pairs(
+        sh.unionAll(synth_sh), candidates=disjoint
+    ).collect()
+    assert got == []
 
 
 def test_df_skew_probe_sampled_decision(spark, docs):

@@ -271,7 +271,15 @@ def jaccard_pairs(
     # strings and the probe compares longs (measured 1.5x on the pair
     # join at sf0.1). Collisions (~n²/2^61) are identical in every
     # engine — the oracle hashes the same way — and cannot create a
-    # pair on their own, only nudge an intersection count.
+    # pair on their own, only nudge an intersection count. One
+    # divergence under an INTRA-doc collision (ADVICE r13): the docvec
+    # path below dedups hash values per doc (array_intersect over the
+    # collect_list), while the no-candidates inverted-index path counts
+    # join-row multiplicity — so if two distinct shingles of one doc
+    # collide into one 60-bit value, the two physical paths can differ
+    # by 1 on inter/jaccard. Acceptably rare (and absent from every
+    # tested corpus — the both-paths-agree tests would catch it); noted
+    # so that failure mode is documented rather than mysterious.
     hashed = shingles.select("id", shingle_hash().alias("g"))
     if candidates is not None:
         # Verify-only-candidates, DOCVEC form (round 13, guide §2.3 —

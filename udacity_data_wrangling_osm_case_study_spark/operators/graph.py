@@ -513,6 +513,16 @@ def pagerank(
     blocks; long-lived sessions that loop over pagerank calls should
     not retain stale result frames.
 
+    Hub-degree caveat (same as ``random_walks``): the adjacency packs
+    each vertex's full neighbor set into ONE array row, so a
+    power-law hub's row is degree-sized on a single task — a degree-d
+    hub costs O(d) longs (~8 MB at d = 10⁶) where the old edge-row
+    layout spread it. Fine for the bounded-degree co-occurrence graphs
+    callers pass (and exercised by a synthetic 10⁵-degree-hub test);
+    at web scale cap/sample hub adjacency upstream (the
+    ``copurchase_pairs`` ``max_items_per_group`` economics) before
+    calling.
+
     Returns (v, rank_micro).
     """
     sym = symmetrize(
