@@ -120,6 +120,12 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         state.update((n,))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
 
+    # Project to the one column the function reads BEFORE the state
+    # shuffle (round 14, guide §4): applyInPandasWithState is opaque to
+    # Catalyst, so without this every event column crossed the
+    # groupBy(user_id) exchange and the JVM→Arrow→Python boundary just
+    # to be len()-counted.
+    events = events.select("user_id")
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=RUNNING_COUNT_SCHEMA,
@@ -188,6 +194,10 @@ def cms_user_event_counts(events: DataFrame) -> DataFrame:
             {"event_type": key[0], "user_id": probe, "est_n": est}
         )
 
+    # Guide §4 (round 14): the sketch reads only (event_type, user_id);
+    # project before the state shuffle so payload columns never cross
+    # the exchange or the Arrow boundary (opaque to Catalyst pruning).
+    events = events.select("event_type", "user_id")
     return events.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=CMS_OUTPUT_SCHEMA,
@@ -246,6 +256,9 @@ def kmv_user_distinct(events: DataFrame) -> DataFrame:
             }
         )
 
+    # Guide §4 (round 14): same projection as the CMS operator — the
+    # sketch reads only (event_type, user_id).
+    events = events.select("event_type", "user_id")
     return events.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=KMV_OUTPUT_SCHEMA,
@@ -306,6 +319,9 @@ def cusum_user_drift(events: DataFrame) -> DataFrame:
             }
         )
 
+    # Guide §4 (round 14): the detector reads exactly these five
+    # columns; project before the state shuffle (opaque to Catalyst).
+    events = events.select("user_id", "ts", "event_id", "cents", "target_c")
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=CUSUM_OUTPUT_SCHEMA,
@@ -366,6 +382,9 @@ def ewma_user_value(events: DataFrame) -> DataFrame:
             }
         )
 
+    # Guide §4 (round 14): the EWMA reads exactly these four columns;
+    # project before the state shuffle (opaque to Catalyst).
+    events = events.select("user_id", "ts", "event_id", "cents")
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=EWMA_OUTPUT_SCHEMA,
